@@ -132,8 +132,17 @@ final class SchemaResolver private (
 
     dest match {
       case Some(d: JObj) =>
-        cache(ref) = d
-        if (d.has("$ref")) resolve(d) else d
+        // Follow ref→ref chains to the final target BEFORE caching, so the
+        // refStack check catches every pure ref cycle at compile time. The
+        // reference caches the intermediate node (resolver.js:212-216),
+        // which lets mutual cycles (a→b→a) slip through to an infinitely
+        // recursive runtime validator — a bug class we must not reproduce
+        // (SURVEY.md §7.4.6); genuinely recursive-but-grounded specs are
+        // still accepted because the compiler inlines against the finite
+        // row schema and only rejects cycles with no structural progress.
+        val resolved = if (d.has("$ref")) resolve(d) else d
+        cache(ref) = resolved
+        resolved
       case Some(_) | None =>
         if (missingRef) { val d = JObj.empty; cache(ref) = d; d }
         else throw invalidRef(ref)
