@@ -84,8 +84,12 @@ object ConstraintCompiler {
     * path. Values reaching a compile site are always "present" in jsen's
     * sense (the `!== undefined` guard is applied by the parent generator);
     * they may still be SQL NULL (≡ JSON null) in array-element / map-value
-    * positions. */
-  final case class Val(col: Column, dt: DataType, path: JPath)
+    * positions. `knownNonNull` marks values already guarded by a presence
+    * check (struct fields under properties, map values under key-presence)
+    * so type predicates skip the redundant isNotNull — a tree-size
+    * optimization mirroring jsen's fused presence/descend branches. */
+  final case class Val(col: Column, dt: DataType, path: JPath,
+                       knownNonNull: Boolean = false)
 
   /** Compiled fragment: pure boolean validity (fast path), greedy error
     * array, and non-greedy ("first error group") error array. */
@@ -300,33 +304,36 @@ object ConstraintCompiler {
       case _ => false
     }
 
-    def typePred(t: String, v: Val): Column = t match {
-      case "null"    => v.col.isNull
-      case "boolean" => if (v.dt == BooleanType) v.col.isNotNull else lit(false)
-      case "string"  => if (v.dt == StringType) v.col.isNotNull else lit(false)
-      case "number"  => if (isNumeric(v.dt)) v.col.isNotNull else lit(false)
+    def typePred(t: String, v: Val): Column = {
+      def nn: Column = if (v.knownNonNull) lit(true) else v.col.isNotNull
+      t match {
+      case "null"    => if (v.knownNonNull) lit(false) else v.col.isNull
+      case "boolean" => if (v.dt == BooleanType) nn else lit(false)
+      case "string"  => if (v.dt == StringType) nn else lit(false)
+      case "number"  => if (isNumeric(v.dt)) nn else lit(false)
       case "integer" =>
-        if (isIntegral(v.dt)) v.col.isNotNull
+        if (isIntegral(v.dt)) nn
         // value test on a float, like jsen's `!(x % 1)` (jsen.js:67-69):
         // 7.0 is an integer; NaN/Infinity pass too (floor is identity and
         // Spark treats NaN = NaN as true).
-        else if (isNumeric(v.dt)) v.col.isNotNull && v.col === floor(v.col)
+        else if (isNumeric(v.dt)) nn && v.col === floor(v.col)
         else lit(false)
       case "array"   => v.dt match {
-        case _: ArrayType => v.col.isNotNull
+        case _: ArrayType => nn
         case _ => lit(false)
       }
       case "object"  => v.dt match {
-        case _: StructType | _: MapType => v.col.isNotNull
+        case _: StructType | _: MapType => nn
         case _ => lit(false)
       }
       case "date"    => v.dt match {
-        case DateType | TimestampType | TimestampNTZType => v.col.isNotNull
+        case DateType | TimestampType | TimestampNTZType => nn
         case _ => lit(false)
       }
       // unknown type names compile to the constant true predicate
       // (jsen.js:980-982, test/any.js)
       case _ => lit(true)
+      }
     }
 
     /** Static pruning: group never applies → skip compiling it. */
@@ -546,14 +553,14 @@ object ConstraintCompiler {
     // ------------------------------------------------------------------
 
     private def kItems(schema: JObj, v: Val, stack: Stack): Option[Comp] = {
-      val et = v.dt match {
-        case ArrayType(t, _) => t
+      val (et, elemNullable) = v.dt match {
+        case ArrayType(t, n) => (t, n)
         case _ => return None
       }
       schema.get("items") match {
         case Some(sub: JObj) =>
           def elemComp(x: Column, i: Column): Comp =
-            generate(sub, Val(x, et, v.path / i), stack)
+            generate(sub, Val(x, et, v.path / i, knownNonNull = !elemNullable), stack)
           Some(arrayComp(v.col, elemComp, from = 0))
         case Some(JArr(tuple)) =>
           val positional = tuple.zipWithIndex.map { case (sub, i) =>
@@ -565,7 +572,7 @@ object ConstraintCompiler {
           val rest = schema.get("additionalItems") match {
             case Some(restSub: JObj) =>
               def elemComp(x: Column, i: Column): Comp =
-                generate(restSub, Val(x, et, v.path / i), stack)
+                generate(restSub, Val(x, et, v.path / i, knownNonNull = !elemNullable), stack)
               Vector(arrayComp(v.col, elemComp, from = tuple.length))
             case _ => Vector.empty
           }
@@ -654,7 +661,8 @@ object ConstraintCompiler {
                 val fieldCol = v.col.getField(name)
                 val present = fieldCol.isNotNull
                 val descend = Comp.gated(present,
-                  generate(sub, Val(fieldCol, f.dataType, v.path / name), stack))
+                  generate(sub, Val(fieldCol, f.dataType, v.path / name,
+                    knownNonNull = true), stack))
                 requiredErr match {
                   case Some(re) => Comp.seq(Seq(descend, Comp.gated(!present, re)))
                   case None     => descend

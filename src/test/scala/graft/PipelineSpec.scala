@@ -1,0 +1,166 @@
+package graft
+
+import graft.checks._
+import graft.data.TokenTable
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end slice (SURVEY.md §7.2): synthetic token table → row
+  * constraints + table checks → verdicts + violations + checkpoint;
+  * resume skips committed partitions; tokens stay byte-identical. */
+class PipelineSpec extends SparkSpec {
+
+  val cfg: TokenTable.Config = TokenTable.Config(rows = 4000L, parts = 4, maxLen = 32)
+  lazy val table = TokenTable.generate(spark, cfg).cache()
+  lazy val vocab = TokenTable.vocabDim(spark, cfg)
+
+  def validator: Validator = Validator(
+    TokenTable.constraintSpec(cfg.vocabSize),
+    compile.ValidatorOptions(
+      greedy = true,
+      formats = Map("n_tok_consistent" -> Right(_ => col("n_tok") === size(col("tokens"))))))
+
+  def allChecks: Seq[Check] = Seq(
+    RowConstraintCheck(validator),
+    UniquenessCheck("doc_id"),
+    ReferentialCheck("source", vocab, "source"),
+    StatsCheck(Seq(
+      ColumnStatsSpec("n_tok", min = Some(1)),
+      ColumnStatsSpec("doc_id", maxNullRate = Some(0.5)))),
+    KsDriftCheck("n_tok",
+      reference = TokenTable.generate(spark, cfg.copy(seed = 7L)), threshold = 0.05),
+    Chi2DriftCheck("tokens", explode(col("tokens")),
+      reference = TokenTable.generate(spark, cfg.copy(seed = 7L)),
+      refKeyExpr = explode(col("tokens")), threshold = 1e6))
+
+  test("generator injects violations at known rates") {
+    val n = table.count()
+    assert(n == cfg.rows)
+    val oob = table.where(exists(col("tokens"), t => t >= cfg.vocabSize || t < 0)).count()
+    val mismatch = table.where(col("n_tok") =!= size(col("tokens"))).count()
+    val nullDoc = table.where(col("doc_id").isNull).count()
+    assert(oob > 0 && mismatch > 0 && nullDoc > 0)
+    assert(oob < n / 50 && mismatch < n / 50)
+  }
+
+  test("row constraint check: violations carry jsen-style paths") {
+    val res = RowConstraintCheck(validator).run(table)
+    val kws = res.violations.select("keyword").distinct().collect().map(_.getString(0)).toSet
+    assert(kws.contains("maximum")) // out-of-range token
+    assert(kws.contains("required")) // null doc_id
+    val tokPaths = res.violations.where(col("keyword") === "maximum")
+      .select("path").head().getString(0)
+    assert(tokPaths.matches("tokens\\.\\d+"), s"unexpected path $tokPaths")
+    // verdict arithmetic: every partition fails (violations everywhere)
+    val verdicts = res.verdicts.collect()
+    assert(verdicts.length == cfg.parts)
+    assert(verdicts.forall(!_.getBoolean(2)))
+  }
+
+  test("uniqueness check finds injected duplicates") {
+    val res = UniquenessCheck("doc_id").run(table)
+    val v = res.violations.collect()
+    assert(v.nonEmpty)
+    // each duplicated key appears at least twice in the violation rows
+    val byKey = v.groupBy(_.getString(1)).map(_._2.length)
+    assert(byKey.forall(_ >= 2))
+  }
+
+  test("referential check flags rogue sources via broadcast anti-join") {
+    val res = ReferentialCheck("source", vocab, "source").run(table)
+    val rogue = res.violations.select("additional_properties").distinct()
+      .collect().map(_.getString(0))
+    assert(rogue.nonEmpty)
+    assert(rogue.forall(s => s.startsWith("rogue") || s.startsWith("src")))
+    // plan must contain a broadcast exchange, not a shuffle join
+    val plan = table.join(
+      broadcast(vocab.where(col("active")).select(col("source"))),
+      Seq("source"), "left_anti").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+
+  test("KS drift: same distribution ≈ 0, shifted distribution large") {
+    val ref = TokenTable.generate(spark, cfg.copy(seed = 7L))
+    val same = KsDriftCheck("n_tok", ref, threshold = 0.05).run(table)
+      .verdicts.agg(max("metric_value")).head().getDouble(0)
+    assert(same < 0.05, s"same-distribution KS D=$same")
+    val shifted = table.withColumn("n_tok", col("n_tok") + lit(12))
+    val drifted = KsDriftCheck("n_tok", ref, threshold = 0.05).run(shifted)
+      .verdicts.agg(min("metric_value")).head().getDouble(0)
+    assert(drifted > 0.2, s"shifted KS D=$drifted")
+  }
+
+  test("chi2 drift flips on perturbed token histogram") {
+    val ref = TokenTable.generate(spark, cfg.copy(seed = 7L))
+    val cap = 512
+    val check = Chi2DriftCheck("tokens",
+      explode(col("tokens")), ref, explode(col("tokens")),
+      threshold = 2 * cap.toDouble, keyTransform = _ % cap)
+    val statSame = check.run(table).verdicts.agg(max("metric_value")).head().getDouble(0)
+    // skew all tokens into one bucket → chi2 explodes
+    val perturbed = table.withColumn("tokens", transform(col("tokens"), t => t % 3))
+    val statDrift = check.run(perturbed).verdicts.agg(min("metric_value")).head().getDouble(0)
+    assert(statDrift > 10 * math.max(statSame, 1.0),
+      s"chi2 same=$statSame drifted=$statDrift")
+  }
+
+  test("pipeline end-to-end: verdicts, violations, checkpoint, resume") {
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out", lineage = "test-run")
+
+    // full run
+    val r1 = new ValidationPipeline(allChecks, pcfg).run(table)
+    assert(r1.processedParts == (0 until cfg.parts))
+    assert(r1.rowsValidated == cfg.rows)
+    val ckpt = new Checkpoint(s"$dir/ckpt")
+    assert(ckpt.committedParts() == (0 until cfg.parts).toSet)
+    assert(ckpt.readCommits().forall(_.lineage == "test-run"))
+
+    // resume: everything committed → nothing processed
+    val r2 = new ValidationPipeline(allChecks, pcfg).run(table)
+    assert(r2.processedParts.isEmpty)
+    assert(r2.skippedParts == (0 until cfg.parts))
+
+    // partial resume: drop two commits, re-run, outputs equal a full run
+    val dir2 = Files.createTempDirectory("graft-pipe2").toString
+    val pcfg2 = PipelineConfig(s"$dir2/ckpt", s"$dir2/out")
+    val half = new Checkpoint(s"$dir2/ckpt")
+    half.commit(PartCommit(0, 0L, 0.0, "pre"))
+    half.commit(PartCommit(2, 0L, 0.0, "pre"))
+    val r3 = new ValidationPipeline(allChecks, pcfg2).run(table)
+    assert(r3.processedParts == Seq(1, 3))
+    assert(r3.skippedParts == Seq(0, 2))
+
+    val fullViolations = spark.read.parquet(s"$dir/out/violations")
+    val partViolations = spark.read.parquet(s"$dir2/out/violations")
+    val fullCount = fullViolations.where(col("part").isin(1, 3)).count()
+    assert(partViolations.count() == fullCount)
+  }
+
+  test("tokens remain byte-identical through validation") {
+    val validated = validator.withValidation(table)
+    val diff = validated.select(col("doc_id"), col("tokens"))
+      .exceptAll(table.select(col("doc_id"), col("tokens"))).count()
+    assert(diff == 0L)
+  }
+
+  test("row validation plan is a pure shuffle-free projection") {
+    val validated = validator.withValidation(table)
+    val plan = validated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"validation must not shuffle:\n$plan")
+    // NOTE: specs whose compiled tree contains higher-order functions
+    // (array `items` descent) fall out of whole-stage codegen because
+    // Spark's HOF expressions are CodegenFallback — the custom fused
+    // Expression (SURVEY.md §7.1.7) is the v2 fix. Scalar-only specs
+    // must stay inside codegen:
+    val scalarOnly = Validator(
+      """{"properties":{"doc_id":{"type":"string","pattern":"^doc-"},
+                        "n_tok":{"minimum":1}},"required":["doc_id"]}""")
+    val scalarPlan = scalarOnly.withValidation(
+      table.select("doc_id", "n_tok")).queryExecution.executedPlan.toString
+    assert(scalarPlan.contains("WholeStageCodegen") || scalarPlan.contains("*(")
+      , s"scalar validation fell out of codegen:\n$scalarPlan")
+  }
+}
