@@ -1,0 +1,132 @@
+package graft.entry
+
+import graft.Validator
+import graft.checks._
+import graft.compile.ValidatorOptions
+import org.apache.spark.sql.functions._
+
+/** Table-level check queries (SURVEY.md §2.8) with independent SQL
+  * oracles: exact stats, salted uniqueness, broadcast-anti referential,
+  * KS + chi-square drift, and per-partition verdict assembly. */
+object CheckQueries {
+  import QueryUtil._
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_stats_exact",
+      (s, d) => {
+        val df = T(s, d, "orders").withColumn("part",
+          pmod(col("o_orderkey"), lit(4)).cast("int"))
+        df.groupBy("part").agg(
+          count(lit(1)).as("n_rows"),
+          round(min("o_totalprice"), 2).as("price_min"),
+          round(max("o_totalprice"), 2).as("price_max"),
+          sum(col("o_custkey").isNull.cast("long")).as("cust_nulls"),
+          countDistinct("o_custkey").as("cust_distinct"))
+      },
+      Some("""SELECT (o_orderkey % 4)::INT AS part, count(*) AS n_rows,
+                round(min(o_totalprice), 2) AS price_min,
+                round(max(o_totalprice), 2) AS price_max,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS cust_nulls,
+                count(DISTINCT o_custkey) AS cust_distinct
+              FROM orders GROUP BY 1""")),
+
+    Q("q_uniqueness_dups",
+      (s, d) => {
+        val df = T(s, d, "orders")
+          .withColumn("part", pmod(col("o_orderkey"), lit(4)).cast("int"))
+        UniquenessCheck("o_custkey").run(df)
+          .violations.groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
+      },
+      Some("""SELECT CAST(o_custkey AS VARCHAR) AS doc_id, count(*) AS occurrences
+              FROM orders
+              WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+              GROUP BY 1""")),
+
+    Q("q_referential_anti",
+      (s, d) => {
+        val nation = T(s, d, "nation")
+          .withColumn("part", pmod(col("n_nationkey"), lit(2)).cast("int"))
+        val dimOk = T(s, d, "region").where(col("r_regionkey") <= 2)
+        ReferentialCheck("n_regionkey", dimOk, "r_regionkey",
+          activeCol = None, idCol = "n_nationkey").run(nation)
+          .violations.select(col("doc_id"), col("additional_properties"))
+      },
+      Some("""SELECT CAST(n_nationkey AS VARCHAR) AS doc_id,
+                     CAST(n_regionkey AS VARCHAR) AS additional_properties
+              FROM nation WHERE n_regionkey NOT IN
+                (SELECT r_regionkey FROM region WHERE r_regionkey <= 2)""")),
+
+    // two-sample KS between odd and even order keys on binned total price;
+    // the oracle restates the binned-CDF max-gap computation in SQL
+    Q("q_drift_ks",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val obs = orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumn("part", lit(0))
+        val ref = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        KsDriftCheck("o_totalprice", ref, threshold = 0.05,
+          bin = c => floor(c / 10000)).run(obs)
+          .verdicts.select(col("part"), round(col("metric_value"), 6).as("ks_d"))
+      },
+      Some("""WITH obs AS (
+                SELECT floor(o_totalprice/10000) AS bin, count(*) AS o_cnt
+                FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+              ref AS (
+                SELECT floor(o_totalprice/10000) AS bin, count(*) AS r_cnt
+                FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+              j AS (
+                SELECT coalesce(obs.bin, ref.bin) AS bin,
+                       coalesce(o_cnt, 0) AS o_cnt, coalesce(r_cnt, 0) AS r_cnt
+                FROM obs FULL OUTER JOIN ref ON obs.bin = ref.bin),
+              c AS (
+                SELECT sum(o_cnt) OVER (ORDER BY bin) / (sum(o_cnt) OVER ())::DOUBLE AS o_cdf,
+                       sum(r_cnt) OVER (ORDER BY bin) / (sum(r_cnt) OVER ())::DOUBLE AS r_cdf
+                FROM j)
+              SELECT 0 AS part, round(max(abs(o_cdf - r_cdf)), 6) AS ks_d FROM c""")),
+
+    Q("q_drift_chi2",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val obs = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+          .withColumn("part", lit(0))
+        val ref = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+        Chi2DriftCheck("l_returnflag", col("l_returnflag"), ref,
+          col("l_returnflag"), threshold = 100.0).run(obs)
+          .verdicts.select(col("part"), round(col("metric_value"), 4).as("chi2"))
+      },
+      Some("""WITH obs AS (
+                SELECT l_returnflag AS key, count(*)::DOUBLE AS o
+                FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+              ref AS (
+                SELECT l_returnflag AS key, count(*)::DOUBLE AS r
+                FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+              j AS (
+                SELECT coalesce(o, 0) AS o,
+                       coalesce(r, 0) / (SELECT sum(r) FROM ref) AS p
+                FROM obs FULL OUTER JOIN ref ON obs.key = ref.key),
+              t AS (SELECT sum(o) AS n FROM j)
+              SELECT 0 AS part,
+                round(sum(pow(o - p*n, 2) / greatest(p*n, 0.5)), 4) AS chi2
+              FROM j, t""")),
+
+    Q("q_verdicts",
+      (s, d) => {
+        val df = T(s, d, "documents")
+          .withColumn("part", pmod(col("doc_id"), lit(4)).cast("int"))
+        RowConstraintCheck(
+          Validator("""{"properties":{"n_chars":{"minimum":100,"maximum":450}}}""",
+            ValidatorOptions(greedy = true))).run(df)
+          .verdicts.select(col("part"), col("check"), col("passed"),
+            col("violation_count"), round(col("metric_value"), 6).as("valid_rate"))
+      },
+      Some("""SELECT (doc_id % 4)::INT AS part, 'row_constraint' AS check,
+                bool_and(n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS passed,
+                sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT
+                  AS violation_count,
+                round(avg(CASE WHEN n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)
+                          THEN 1.0 ELSE 0.0 END), 6) AS valid_rate
+              FROM documents GROUP BY 1""")),
+  )
+}

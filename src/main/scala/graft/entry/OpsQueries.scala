@@ -1,0 +1,189 @@
+package graft.entry
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator queries: dedup family, similarity
+  * search, text analysis, multimodal plumbing. SQL oracles restate the
+  * deterministic ones; LSH/SimHash families are covered by property tests
+  * in DedupSpec instead (hash-family internals are not SQL-expressible) —
+  * they still ship here as rows-only queries so the driver can smoke them.
+  */
+object OpsQueries {
+  import QueryUtil._
+
+  // shared DuckDB fragment: word list of a text column (mirrors
+  // TextAnalysis.words)
+  private val duckWords =
+    "list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), w -> w <> '')"
+
+  private def duckStopRatio(lang: String): String = {
+    val sw = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(",")
+    s"(CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN ($sw)))::DOUBLE / len(w) ELSE 0.0 END)"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exactDuplicates(T(s, d, "documents"),
+        substring(col("text"), 1, 30)),
+      Some("""SELECT substr(text, 1, 30) AS key, count(*) AS occurrences
+              FROM documents GROUP BY 1 HAVING count(*) > 1""")),
+
+    Q("q_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardDuplicates(T(s, d, "documents"),
+        "doc_id", "text", blockCol = col("lang"), threshold = 0.12, shingleN = 2),
+      Some(s"""WITH w AS (
+                 SELECT doc_id, lang, $duckWords AS w FROM documents),
+               sh AS (
+                 SELECT doc_id, lang,
+                   CASE WHEN len(w) >= 2
+                        THEN list_distinct(list_transform(range(0, len(w)-1),
+                               i -> w[i+1] || ' ' || w[i+2]))
+                        ELSE [list_aggregate(w, 'string_agg', ' ')] END AS sh
+                 FROM w)
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+               FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.12""")),
+
+    // LSH/SimHash: rows-only smoke (recall properties proven in DedupSpec)
+    Q("q_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashDuplicates(
+        T(s, d, "documents").limit(200), "doc_id", "text",
+        threshold = 0.10, shingleN = 2, bands = 16, rowsPerBand = 2),
+      None),
+
+    Q("q_dedup_simhash",
+      (s, d) => Dedup.simhashDuplicates(
+        T(s, d, "documents").limit(200), "doc_id", "text",
+        maxDist = 16, shingleN = 2),
+      None),
+
+    Q("q_embed_cosine_pairs",
+      (s, d) => {
+        val e = T(s, d, "embeddings").where(col("vec_id") < 100)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+          .where(col("sim") >= 0.25)
+          .select("id_a", "id_b", "sim")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id < 100)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25""")),
+
+    Q("q_ann_topk",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+          queries = e.where(col("vec_id") < 8), queryId = "vec_id",
+          queryVec = "embedding", k = 5)
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              q AS (SELECT * FROM e WHERE vec_id < 8),
+              scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.v, e.v), 6) AS sim
+                FROM q JOIN e ON e.vec_id <> q.vec_id),
+              ranked AS (
+                SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+              SELECT query_id, neighbor_id, sim, rank::INT AS rank
+              FROM ranked WHERE rank <= 5""")),
+
+    Q("q_ann_lsh",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        Similarity.lshTopK(
+          corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+          queries = e.where(col("vec_id") < 8), queryId = "vec_id",
+          queryVec = "embedding", k = 5, dim = 64, planes = 8)
+      },
+      None),
+
+    Q("q_lang_id",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang")),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               scored AS (
+                 SELECT doc_id, list_aggregate([
+                   {'score': ${duckStopRatio("de")}, 'lang': 'de'},
+                   {'score': ${duckStopRatio("en")}, 'lang': 'en'},
+                   {'score': ${duckStopRatio("es")}, 'lang': 'es'},
+                   {'score': ${duckStopRatio("fr")}, 'lang': 'fr'}], 'max') AS best
+                 FROM w)
+               SELECT doc_id,
+                 CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang
+               FROM scored""")),
+
+    Q("q_quality_score",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH t AS (
+                 SELECT doc_id, text, length(text) AS n, $duckWords AS w,
+                   length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) AS alpha_ratio
+                 FROM documents),
+               m AS (
+                 SELECT doc_id, n, alpha_ratio,
+                   CASE WHEN len(w) > 0 THEN
+                     length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)
+                   ELSE 0.0 END AS mean_word_len
+                 FROM t)
+               SELECT doc_id, round(
+                 (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                       WHEN n >= 20 AND n < 100 THEN 0.5 ELSE 0.0 END) * 0.4
+                 + alpha_ratio * 0.3
+                 + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+                         THEN 1.0 ELSE 0.3 END) * 0.3, 4) AS quality
+               FROM m""")),
+
+    Q("q_token_counts",
+      (s, d) => T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe")),
+      Some(s"""SELECT doc_id,
+                 len($duckWords)::BIGINT AS n_ws,
+                 (len(list_filter(string_split_regex(text, '[^\\p{L}\\p{N}]+'), x -> x <> ''))
+                  + length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')))::BIGINT AS n_bpe
+               FROM documents""")),
+
+    Q("q_fingerprint",
+      (s, d) => T(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+                coalesce(list_reduce(
+                  list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                  (a, b) -> (a * 31 + b) % 2147483647), 0) AS fp
+              FROM documents""")),
+
+    Q("q_multimodal_media",
+      (s, d) => {
+        val media = Multimodal.asMedia(T(s, d, "documents").where(col("doc_id") < 50),
+          "doc_id", "text", "video")
+        Multimodal.sampleFrames(media, frames = 4)
+          .select(col("media_id"), col("frame_idx"),
+            octet_length(col("frame_bytes")).as("frame_len"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+                       text FROM documents WHERE doc_id < 50),
+              f AS (SELECT media_id, n, greatest(n // 4, 1) AS flen, text FROM m)
+              SELECT media_id, i AS frame_idx,
+                octet_length(encode(substr(text, (i*flen + 1)::INT, flen::INT))) AS frame_len
+              FROM f, unnest(range(0, 4)) AS t(i)""")),
+  )
+}

@@ -1,0 +1,252 @@
+package graft.entry
+
+import graft.Validator
+import graft.compile.{DefaultsBuilder, ValidatorOptions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryUtil {
+  def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** greedy validator with standard outputs: valid + violation count. */
+  def validate(df: DataFrame, spec: String,
+               keyCols: Seq[String]): DataFrame = {
+    val v = Validator(spec, ValidatorOptions(greedy = true)).withValidation(df)
+    v.select((keyCols.map(col) :+ col("valid") :+
+      size(col("errors")).cast("long").as("nviol")): _*)
+  }
+}
+
+/** Row-constraint queries over the shared test tables: each exercises one
+  * keyword family of SURVEY.md §2.1-2.4 end-to-end through the compiler,
+  * with a hand-written ANSI-SQL oracle that independently restates the
+  * draft-4 semantics. */
+object ValidationQueries {
+  import QueryUtil._
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_type_bounds",
+      (s, d) => validate(T(s, d, "documents"),
+        """{"properties":{"n_chars":{"type":"integer","minimum":100,"maximum":450}}}""",
+        Seq("doc_id")),
+      Some("""SELECT doc_id, (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS valid,
+             (CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    Q("q_enum_required",
+      (s, d) => validate(
+        T(s, d, "documents").select(col("doc_id"),
+          expr("nullif(lang,'zh')").as("lang"), col("source")),
+        """{"required":["doc_id","lang"],
+            "properties":{"lang":{"enum":["en","de","fr","es"]}}}""",
+        Seq("doc_id")),
+      Some("""SELECT doc_id,
+             (nullif(lang,'zh') IS NOT NULL AND nullif(lang,'zh') IN ('en','de','fr','es')) AS valid,
+             (CASE WHEN nullif(lang,'zh') IS NULL THEN 1
+                   WHEN nullif(lang,'zh') NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    Q("q_pattern_strlen",
+      (s, d) => validate(T(s, d, "part"),
+        """{"required":["p_name"],
+            "properties":{"p_name":{"type":"string","pattern":"^[a-z]+ [a-z]+$",
+                                    "minLength":8,"maxLength":20},
+                          "p_brand":{"pattern":"^Brand#\\d+$"}}}""",
+        Seq("p_partkey")),
+      Some("""SELECT p_partkey,
+             (regexp_matches(p_name, '^[a-z]+ [a-z]+$') AND length(p_name) >= 8
+              AND length(p_name) <= 20 AND regexp_matches(p_brand, '^Brand#\d+$')) AS valid,
+             (CASE WHEN NOT regexp_matches(p_name, '^[a-z]+ [a-z]+$') THEN 1 ELSE 0 END
+            + CASE WHEN length(p_name) < 8 THEN 1 ELSE 0 END
+            + CASE WHEN length(p_name) > 20 THEN 1 ELSE 0 END
+            + CASE WHEN NOT regexp_matches(p_brand, '^Brand#\d+$') THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM part""")),
+
+    Q("q_numeric_exclusive",
+      (s, d) => validate(T(s, d, "lineitem"),
+        """{"properties":{
+             "l_quantity":{"minimum":1,"maximum":25},
+             "l_discount":{"minimum":0,"exclusiveMinimum":true}}}""",
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             (l_quantity >= 1 AND l_quantity <= 25 AND l_discount > 0) AS valid,
+             (CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END
+            + CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+            + CASE WHEN l_discount < 0 THEN 1 ELSE 0 END
+            + CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM lineitem""")),
+
+    Q("q_multiple_of",
+      (s, d) => validate(T(s, d, "orders"),
+        """{"properties":{"o_totalprice":{"multipleOf":0.25},
+                          "o_orderkey":{"multipleOf":3}}}""",
+        Seq("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             (((CAST(o_totalprice AS DECIMAL(38,4)) % 0.25) = 0) AND o_orderkey % 3 = 0) AS valid,
+             (CASE WHEN (CAST(o_totalprice AS DECIMAL(38,4)) % 0.25) <> 0 THEN 1 ELSE 0 END
+            + CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM orders""")),
+
+    // synthesized int array exercises items/minItems: element i of row =
+    // (l_orderkey*31 + i*17) % 100, first element pushed negative on every
+    // 89th order key
+    Q("q_items_bounds",
+      (s, d) => {
+        val df = T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          transform(sequence(lit(0), pmod(col("l_linenumber"), lit(4)) + 1),
+            i => (pmod(col("l_orderkey") * 31 + i * 17, lit(100)) -
+              when(pmod(col("l_orderkey"), lit(89)) === 0 && i === 0, 500).otherwise(0))
+              .cast("int")).as("tokens"))
+        validate(df,
+          """{"properties":{"tokens":{"type":"array","minItems":1,
+               "items":{"type":"integer","minimum":0,"maximum":99}}}}""",
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH t AS (
+               SELECT l_orderkey, l_linenumber,
+                 list_transform(range(0, (l_linenumber % 4) + 2),
+                   i -> ((l_orderkey*31 + i*17) % 100)
+                        - (CASE WHEN l_orderkey % 89 = 0 AND i = 0 THEN 500 ELSE 0 END)) AS tokens
+               FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+               (len(tokens) >= 1 AND len(list_filter(tokens, x -> x < 0 OR x > 99)) = 0) AS valid,
+               (CASE WHEN len(tokens) < 1 THEN 1 ELSE 0 END
+                + len(list_filter(tokens, x -> x < 0 OR x > 99)))::BIGINT AS nviol
+             FROM t""")),
+
+    Q("q_unique_items",
+      (s, d) => {
+        val df = T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          transform(sequence(lit(0), lit(3)),
+            i => when(pmod(col("l_orderkey"), lit(13)) === 0, i * 0)
+              .otherwise(pmod(col("l_orderkey") + i * 7, lit(1000))).cast("int")).as("arr"))
+        validate(df, """{"properties":{"arr":{"uniqueItems":true}}}""",
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH t AS (
+               SELECT l_orderkey, l_linenumber,
+                 list_transform(range(0, 4),
+                   i -> CASE WHEN l_orderkey % 13 = 0 THEN i*0
+                             ELSE (l_orderkey + i*7) % 1000 END) AS arr
+               FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+               (len(list_distinct(arr)) = len(arr)) AS valid,
+               (CASE WHEN len(list_distinct(arr)) <> len(arr) THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM t""")),
+
+    Q("q_tuple_items",
+      (s, d) => {
+        val df = T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(pmod(col("l_orderkey"), lit(5)) === 0,
+            array(col("l_linenumber"), pmod(col("l_orderkey"), lit(7)).cast("int"),
+              lit(9)))
+            .otherwise(array(col("l_linenumber"), pmod(col("l_orderkey"), lit(7)).cast("int")))
+            .as("pair"))
+        validate(df,
+          """{"properties":{"pair":{
+               "items":[{"minimum":1,"maximum":7},{"maximum":5}],
+               "additionalItems":false}}}""",
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH t AS (
+               SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_orderkey % 5 = 0
+                      THEN [l_linenumber, l_orderkey % 7, 9]
+                      ELSE [l_linenumber, l_orderkey % 7] END AS pair
+               FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+               (pair[1] >= 1 AND pair[1] <= 7 AND pair[2] <= 5 AND len(pair) <= 2) AS valid,
+               (CASE WHEN pair[1] < 1 THEN 1 ELSE 0 END
+              + CASE WHEN pair[1] > 7 THEN 1 ELSE 0 END
+              + CASE WHEN pair[2] > 5 THEN 1 ELSE 0 END
+              + CASE WHEN len(pair) > 2 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM t""")),
+
+    // anyOf + oneOf + not in one spec; greedy error counts follow the
+    // reference's rollback arithmetic (branch errors survive only on
+    // combinator failure)
+    Q("q_combinators",
+      (s, d) => validate(T(s, d, "orders"),
+        """{"properties":{
+             "o_totalprice":{"anyOf":[{"maximum":50000},{"minimum":150000}]},
+             "o_custkey":{"oneOf":[{"maximum":700},{"minimum":300}]},
+             "o_orderkey":{"not":{"multipleOf":5}}}}""",
+        Seq("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             ((o_totalprice <= 50000 OR o_totalprice >= 150000)
+              AND NOT (o_custkey <= 700 AND o_custkey >= 300)
+              AND o_orderkey % 5 <> 0) AS valid,
+             (CASE WHEN NOT (o_totalprice <= 50000 OR o_totalprice >= 150000) THEN 3 ELSE 0 END
+            + CASE WHEN (o_custkey <= 700 AND o_custkey >= 300) THEN 1
+                   WHEN NOT (o_custkey <= 700 OR o_custkey >= 300) THEN 3 ELSE 0 END
+            + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM orders""")),
+
+    Q("q_dependencies",
+      (s, d) => validate(
+        T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          expr("nullif(l_discount, 0.0)").as("discount"),
+          expr("nullif(l_tax, 0.02)").as("tax")),
+        """{"dependencies":{"discount":["tax"]}}""",
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             (nullif(l_discount, 0.0) IS NULL OR nullif(l_tax, 0.02) IS NOT NULL) AS valid,
+             (CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
+                    AND nullif(l_tax, 0.02) IS NULL THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM lineitem""")),
+
+    // the error contract itself: one row per violation with jsen paths
+    Q("q_violation_rows",
+      (s, d) => Validator(
+        """{"required":["doc_id","text"],
+            "properties":{"n_chars":{"minimum":150,"maximum":400},
+                          "lang":{"enum":["en","de","fr"]},
+                          "source":{"pattern":"^src\\d+$"}}}""",
+        ValidatorOptions(greedy = true))
+        .violations(T(s, d, "documents"), Seq("doc_id"))
+        .select("doc_id", "path", "keyword"),
+      Some("""SELECT doc_id, 'n_chars' AS path, 'minimum' AS keyword FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars < 150
+              UNION ALL
+              SELECT doc_id, 'n_chars', 'maximum' FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 400
+              UNION ALL
+              SELECT doc_id, 'lang', 'enum' FROM documents
+              WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+              UNION ALL
+              SELECT doc_id, 'source', 'pattern' FROM documents
+              WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src\d+$')""")),
+
+    Q("q_ref_inline",
+      (s, d) => validate(T(s, d, "documents"),
+        """{"definitions":{"charRange":{"minimum":100,"maximum":450}},
+            "properties":{"n_chars":{"$ref":"#/definitions/charRange"}}}""",
+        Seq("doc_id")),
+      Some("""SELECT doc_id, (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS valid,
+             (CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    Q("q_defaults_build",
+      (s, d) => DefaultsBuilder.build(
+        T(s, d, "documents").select(col("doc_id"),
+          expr("nullif(lang,'en')").as("lang"),
+          expr("CASE WHEN n_chars < 100 THEN NULL ELSE n_chars END").as("n_chars")),
+        """{"properties":{"lang":{"default":"en"},"n_chars":{"default":-1}}}"""),
+      Some("""SELECT doc_id,
+                coalesce(nullif(lang,'en'), 'en') AS lang,
+                coalesce(CASE WHEN n_chars < 100 THEN NULL ELSE n_chars END, -1) AS n_chars
+              FROM documents""")),
+  )
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exact: one hash-aggregate on the key; partial aggregation makes the
+  *    shuffle carry (key, count) partials only.
+  *  - MinHash/LSH: signatures are narrow per-row expressions; the only
+  *    shuffle is the band-bucket self-join, whose fan-out is controlled by
+  *    (bands, rowsPerBand). Candidate pairs are verified with exact
+  *    Jaccard BEFORE leaving the bucket join, so the output is exact
+  *    above the threshold — LSH only bounds recall.
+  *  - SimHash: 64-bit signature per doc; near-dup candidates via banded
+  *    16-bit chunks (Hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** Exact duplicate groups by arbitrary key expression: returns
+    * (key, occurrences) for keys seen more than once. */
+  def exactDuplicates(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("occurrences"))
+      .where(col("occurrences") > 1)
+
+  private val HashPrime = 2305843009213693951L // 2^61 - 1
+
+  /** Deterministic affine hash family h_i(x) = (a_i * x + b_i) mod p with
+    * a,b < 2^31 over 32-bit shingle ids, so a*x+b < 2^63 never overflows a
+    * Long (ANSI-safe — no 128-bit arithmetic needed). Seeded driver-side,
+    * so every run and every executor agrees. */
+  private def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+                 rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (k values) of a text column's n-gram shingle set. */
+  def minhashSignature(text: Column, shingleN: Int = 3, k: Int = 64,
+                       seed: Long = 42L): Column = {
+    // 32-bit shingle ids keep the affine hash inside Long range
+    val ids = transform(shingles(text, shingleN),
+      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    val fam = hashFamily(k, seed)
+    array(fam.map { case (a, b) =>
+      array_min(transform(ids, x => pmod(x * lit(a) + lit(b), lit(HashPrime))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures, verified with exact
+    * n-gram Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold. Input df must have (idCol, textCol). */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"),
+      minhashSignature(col(textCol), shingleN, k, seed).as("sig"))
+
+    // band hash = xxhash64 of the band's signature slice
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+
+    // bucket self-join: only docs agreeing on a full band collide
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    verifyJaccard(candidates, threshold)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs carrying shingle arrays. */
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(col("sh_a")) + size(col("sh_b")) -
+      size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .withColumn("jaccard", round(inter / union, 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Brute-force n-gram Jaccard duplicates within a blocking key (for
+    * oracle checks and small candidate sets — O(block²)). */
+  def ngramJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
+                             blockCol: Column, threshold: Double,
+                             shingleN: Int = 3): DataFrame = {
+    val t = df.select(col(idCol).as("id"), blockCol.as("block"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val a = t.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    verifyJaccard(a.join(b, Seq("block")).where(col("id_a") < col("id_b")), threshold)
+  }
+
+  /** 64-bit SimHash of the shingle set: sign of the per-bit weighted sum
+    * of shingle hashes. */
+  def simhash(text: Column, shingleN: Int = 3): Column = {
+    val ids = transform(shingles(text, shingleN), s => xxhash64(s))
+    // bit b of the signature: 1 iff #(hashes with bit b set) > #hashes/2
+    (0 until 64).map { b =>
+      when(size(filter(ids, h => shiftright(h, b).bitwiseAND(1L) === 1L)) * 2 > size(ids),
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** SimHash near-duplicate candidates: Hamming(sig_a, sig_b) <= maxDist,
+    * blocked on 16-bit chunks (pigeonhole: dist<=3 ⇒ ≥1 of 4 chunks equal).
+    * Output: (id_a, id_b, hamming). */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3, shingleN: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(col(textCol), shingleN).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

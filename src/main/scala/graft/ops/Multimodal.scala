@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, partition-friendly batch shapes,
+  * and decode/feature hooks.
+  *
+  * The Spark-side contract (schema, partitioning, batch shape) is real and
+  * tested; the actual byte decoding is STUBBED with a deterministic fake
+  * (this container has no image/audio codecs). A production deployment
+  * swaps `fakeDecode*` for a Pandas-UDF / mapInArrow stage with the same
+  * input/output schema — nothing else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType),      // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType),
+      StructField("mime", StringType))))))
+
+  /** Wrap an arbitrary (id, string) DF as opaque media rows — UTF-8 bytes
+    * stand in for real payloads in-sandbox. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String,
+              modality: String = "image"): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      lit(modality).as("modality"),
+      payload.as("payload"),
+      struct(
+        octet_length(col(textCol)).as("n_bytes"),
+        lit(s"application/x-fake-$modality").as("mime")).as("meta"))
+  }
+
+  /** STUB image decode: deterministic fake dimensions derived from payload
+    * length and first bytes. Real impl: a mapInArrow batch decoder with
+    * this exact output schema. */
+  def fakeDecodeImage(payload: Column): Column = struct(
+    (octet_length(payload) % 1920 + 1).as("width"),
+    (octet_length(payload) % 1080 + 1).as("height"),
+    lit(3).as("channels"))
+
+  /** STUB feature extraction: fixed-size float vector from payload bytes —
+    * byte-windowed means, the batch shape a real encoder would produce. */
+  def fakeFeatures(payload: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (crc32(concat(payload, i.cast("string").cast("binary"))) % 1000L)
+        .cast("double") / 1000.0)
+
+  /** Frame sampling plumbing for video-like payloads: split the payload
+    * into `frames` equal byte windows, one output row per sampled frame.
+    * The explode is the real thing; the "frame" is a byte slice. */
+  def sampleFrames(df: DataFrame, frames: Int): DataFrame = {
+    val n = octet_length(col("payload"))
+    val frameLen = greatest(n / frames, lit(1))
+    df.select(col("media_id"), col("modality"),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)),
+          i => substr(col("payload"), i * frameLen + 1, frameLen)))
+          .as(Seq("frame_idx", "frame_bytes")))
+      .withColumn("frame_crc", crc32(col("frame_bytes")))
+  }
+
+  /** Decode + feature pipeline over media rows (stubbed kernels, real
+    * plan shape: narrow projection, codegen-friendly, no shuffle). */
+  def decodeAndFeaturize(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("modality"), col("meta"),
+      fakeDecodeImage(col("payload")).as("decoded"),
+      fakeFeatures(col("payload")).as("features"))
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — exact, O(|Q|·|C|); the corpus
+  * stays partitioned and the (small) query set is broadcast, so the
+  * cross product never shuffles the corpus.
+  *
+  * Scale path: random-hyperplane LSH — embeddings are bucketed by the
+  * sign pattern of `planes` seeded random projections; neighbor search
+  * probes only the query's bucket. Recall is tunable via (planes,
+  * tables); candidates are re-ranked with exact cosine so precision is 1.
+  */
+object Similarity {
+
+  /** Exact cosine similarity of two float-array columns (computed in
+    * double precision). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k: for each query row, the k nearest corpus rows by
+    * cosine. Queries are broadcast (must be small); ranking is made
+    * deterministic by (rounded sim desc, corpus id asc). */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `planes` vectors of `dim`
+    * components in {-1, +1}, from a seeded driver-side RNG. */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH bucket id of a vector: the sign bits of its projections. */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
+    val hp = hyperplanes(planes, dim, seed)
+    hp.zipWithIndex.map { case (plane, i) =>
+      val proj = aggregate(
+        zip_with(vec, typedlit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: exact cosine re-rank within the query's bucket.
+    * Returns the same shape as bruteForceTopK; recall < 1 by design. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, dim: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cv"),
+      lshBucket(col(corpusVec), dim, planes, seed).as("bucket"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv"),
+      lshBucket(col(queryVec), dim, planes, seed).as("bucket")))
+    val scored = bucketed.join(q, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
+    * then exactly verified. */
+  def cosineDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dim: Int,
+                       planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
+    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-overlap heuristic), quality scoring, token counting, and
+  * document fingerprinting. All pure Catalyst expressions — narrow, no
+  * UDFs, no shuffle; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace word list (lowercased, punctuation stripped). */
+  def words(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"),
+      w => w =!= "")
+
+  // Small function-word inventories per language (public knowledge).
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "para"),
+  )
+
+  /** Per-language stopword hit-rate. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val ws = words(text)
+    when(size(ws) > 0,
+      size(filter(ws, w => w.isin(sw: _*))).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /** n-gram-free language ID: argmax of stopword hit-rate, 'und'
+    * (undetermined) when every rate is 0. Deterministic tie-break by
+    * language code order. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordRatio(text, l).as("score"),
+      lit(l).as("lang")))
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: alphanumeric runs + individual non-space
+    * punctuation characters, the unit count a byte-pair pre-tokenizer's
+    * regex pass produces (defined arithmetically — no lookarounds — so
+    * RE2-based engines can restate it). */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+
+  /** Heuristic document quality in [0,1]: length band, alpha ratio, mean
+    * word length band, whitespace sanity. The standard cheap pre-filter
+    * stack for web-scale corpora. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text)
+    val alphaRatio = (length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+      greatest(n, lit(1)))
+    val wordCount = tokenCountWs(text)
+    val meanWordLen = when(wordCount > 0,
+      length(regexp_replace(text, "\\s+", "")).cast("double") / wordCount)
+      .otherwise(lit(0.0))
+    val lengthOk = when(n >= 100 && n <= 20000, lit(1.0))
+      .when(n >= 20 && n < 100, lit(0.5)).otherwise(lit(0.0))
+    val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 12, lit(1.0)).otherwise(lit(0.3))
+    round((lengthOk * 0.4 + alphaRatio * 0.3 + wordLenOk * 0.3), 4)
+  }
+
+  /** Polynomial rolling-hash fingerprint over code points, mod 2^31-1 —
+    * deterministic across engines and platforms (no float, no JVM hash). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(2147483647L)))
+}
