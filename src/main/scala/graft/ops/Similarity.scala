@@ -63,19 +63,27 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: exact cosine re-rank within the query's bucket.
-    * Returns the same shape as bruteForceTopK; recall < 1 by design. */
+  /** Multi-table LSH ANN: `tables` independent hyperplane sets; a corpus
+    * row is a candidate if it shares ANY table's bucket with the query
+    * (recall ≈ 1-(1-p^planes)^tables, p = 1-θ/π). Candidates are exactly
+    * re-ranked with cosine, so precision is 1; recall < 1 by design.
+    * Returns the same shape as bruteForceTopK. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, dim: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+              k: Int, dim: Int, planes: Int = 8, tables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    def buckets(vec: Column): Column = array((0 until tables).map { t =>
+      lshBucket(vec, dim, planes, seed + 7919L * t)
+    }: _*)
     val bucketed = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("cv"),
-      lshBucket(col(corpusVec), dim, planes, seed).as("bucket"))
+        col(corpusVec).as("cv"), posexplode(buckets(col(corpusVec)))
+          .as(Seq("table", "bucket")))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qv"),
-      lshBucket(col(queryVec), dim, planes, seed).as("bucket")))
-    val scored = bucketed.join(q, Seq("bucket"))
+      col(queryVec).as("qv"), posexplode(buckets(col(queryVec)))
+        .as(Seq("table", "bucket"))))
+    val scored = bucketed.join(q, Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)

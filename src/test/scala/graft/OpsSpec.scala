@@ -1,0 +1,175 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Training-data operator tests: LSH recall against brute force, SimHash
+  * locality, ANN recall, text metrics, multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus with planted near-duplicates: each base doc has
+  // a unique vocabulary (cross-doc jaccard 0); doc i+100 clones doc i
+  // with one perturbed word (2-gram jaccard ≈ 0.87) for i < 20
+  lazy val docs = {
+    val base = (0 until 100).map { i =>
+      (i.toLong, (0 until 30).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val dups = (0 until 20).map { i =>
+      val words = (0 until 30).map(j => s"d${i}w$j").updated(17, "zzz")
+      ((i + 100).toLong, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH recall: finds every brute-force pair above threshold") {
+    val truth = Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
+      blockCol = lit(1), threshold = 0.4, shingleN = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "planted duplicates must be above threshold")
+    val lsh = Dedup.minhashDuplicates(docs, "doc_id", "text",
+      threshold = 0.4, shingleN = 2, bands = 16, rowsPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact (verified); recall must be total at 16 bands for
+    // jaccard >= 0.4 (P[miss] = (1-j^4)^16 < 3% per pair; planted pairs
+    // have j ~ 0.75 → miss < 1e-8)
+    assert(lsh == truth, s"missing=${truth -- lsh} extra=${lsh -- truth}")
+  }
+
+  test("minhash jaccard estimate equals exact jaccard on identical text") {
+    val self = Dedup.minhashDuplicates(
+      docs.union(docs.withColumn("doc_id", col("doc_id") + 1000)),
+      "doc_id", "text", threshold = 0.999)
+      .where(col("id_b") === col("id_a") + 1000)
+    assert(self.count() == 120) // every doc pairs with its clone
+  }
+
+  test("simhash: planted near-dups within small hamming distance") {
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text",
+      maxDist = 16, shingleN = 2)
+      .where(col("id_b") === col("id_a") + 100).count()
+    assert(pairs >= 12, s"expected >=12 of 20 planted pairs, got $pairs")
+  }
+
+  test("exact dedup groups") {
+    val withClones = docs.union(docs.limit(5).withColumn("doc_id", col("doc_id") + 500))
+    val groups = Dedup.exactDuplicates(withClones, col("text"))
+    assert(groups.count() == 5)
+    assert(groups.agg(max("occurrences")).head().getLong(0) == 2)
+  }
+
+  // ---- similarity ----
+
+  lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 80).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk is exact and deterministic") {
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    val rows = topk.collect()
+    assert(rows.length == 15)
+    // rank 1 has max sim per query
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).toSeq == sorted.map(_.getDouble(2)).sortBy(-_).toSeq)
+    }
+  }
+
+  test("LSH ANN: results are a subset of brute-force ordering with decent recall") {
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      dim = 16, planes = 4, tables = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed — bucketing broken")
+    assert(lsh.nonEmpty)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val one = vecs.limit(3)
+      .withColumn("sim", round(Similarity.cosine(col("embedding"), col("embedding")), 9))
+    assert(one.collect().forall(_.getAs[Double]("sim") == 1.0))
+  }
+
+  // ---- text analysis ----
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa es una maravilla para los gatos"),
+      (3L, "der hund und die katze ist nicht ein problem"),
+      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de" && got(4L) == "und")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq((1L, "Hello, world! x=42")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe")).head()
+    assert(r.getInt(0) == 4) // hello world x 42
+    // runs: Hello world x 42 (4) + punct , ! = (3)
+    assert(r.getInt(1) == 7)
+  }
+
+  test("fingerprint matches a reference implementation and is stable") {
+    val text = "abc xyz"
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    val got = Seq((1L, text)).toDF("id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
+    assert(got == ref(text))
+  }
+
+  test("quality score is in [0,1] and penalizes garbage") {
+    val df = Seq(
+      (1L, "A perfectly reasonable document with enough words to look like quality text for the filter to accept."),
+      (2L, "!!!! ???? ####"),
+      (3L, "x")).toDF("id", "text")
+    val scores = df.select(col("id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("media wrapping, decode stub, frame sampling shapes") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "abcdefgh" * 4), (2L, "short")).toDF("id", "text"), "id", "text", "video")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "payload", "meta"))
+    val decoded = Multimodal.decodeAndFeaturize(media).collect()
+    assert(decoded.forall(_.getAs[Seq[Double]]("features").length == 8))
+    val frames = Multimodal.sampleFrames(media, frames = 4)
+    assert(frames.count() == 8) // 2 media × 4 frames
+    val lens = frames.where(col("media_id") === 1)
+      .select(octet_length(col("frame_bytes"))).collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq(8, 8, 8, 8))
+  }
+
+  // ---- defaults builder ----
+
+  test("defaults builder: coalesce semantics incl. allOf merge") {
+    val df = Seq((1L, null.asInstanceOf[String], 5), (2L, "x", 7))
+      .toDF("id", "name", "n")
+    val built = graft.compile.DefaultsBuilder.build(df,
+      """{"allOf":[{"properties":{"name":{"default":"anon"}}}],
+          "properties":{"n":{"default":0}}}""")
+    val rows = built.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSet == Set((1L, "anon", 5), (2L, "x", 7)))
+  }
+}
