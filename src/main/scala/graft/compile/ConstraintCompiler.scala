@@ -567,7 +567,19 @@ object ConstraintCompiler {
         case Some(sub: JObj) =>
           def elemComp(x: Column, i: Column): Comp =
             generate(sub, Val(x, et, v.path / i, knownNonNull = !elemNullable), stack)
-          Some(arrayComp(v.col, elemComp, from = 0))
+          val general = arrayComp(v.col, elemComp, from = 0)
+          // Fast path: a pure-bounds element schema over non-nullable
+          // integral elements compiles the VALID column to
+          // array_min/array_max comparisons — builtin expressions with
+          // real doGenCode, unlike higher-order functions which are
+          // CodegenFallback and evaluate the lambda interpreted per
+          // element. This keeps the hot loop (e.g. token-id bounds over a
+          // 10^12-row table) inside whole-stage codegen; the error tree
+          // still uses the general per-element path, but it is gated
+          // behind `valid` and only runs for violating rows.
+          Some(scalarBoundsValid(sub, et, elemNullable, v.col)
+            .map(fast => general.copy(valid = fast))
+            .getOrElse(general))
         case Some(JArr(tuple)) =>
           val positional = tuple.zipWithIndex.map { case (sub, i) =>
             // guarded on arr.length-1 >= i (jsen.js:222): get() is
@@ -585,6 +597,47 @@ object ConstraintCompiler {
           Some(Comp.seq(positional ++ rest))
         case _ => None
       }
+    }
+
+    /** Detect an element schema that is nothing but integral bounds and
+      * compile the VALID column to the fused single-pass
+      * [[ArrayBoundsCheck]] codegen expression. Returns None when
+      * semantics could diverge (floats/NaN, fractional bounds, extra
+      * keywords, enum, combinators, a type excluding integers). */
+    private def scalarBoundsValid(sub: JObj, et: DataType, elemNullable: Boolean,
+                                  arr: Column): Option[Column] = {
+      val integral = et == IntegerType || et == LongType || et == ShortType || et == ByteType
+      if (!integral) return None
+      val annotations = Set("id", "$schema", "title", "description", "default")
+      val boundsKeys = Set("type", "minimum", "maximum",
+        "exclusiveMinimum", "exclusiveMaximum")
+      if (!sub.keys.forall(k => boundsKeys(k) || annotations(k))) return None
+      // declared type must statically admit integral values; a NULL
+      // element fails the type check iff a type is declared that
+      // excludes null (jsen type ladder, jsen.js:978-1009)
+      val typeNames: Option[List[String]] = sub.get("type") match {
+        case None => None
+        case Some(JStr(t)) => Some(List(t))
+        case Some(JArr(ts)) => Some(ts.collect { case JStr(t) => t }.toList)
+        case _ => Some(Nil)
+      }
+      typeNames match {
+        case None => ()
+        case Some(ts) if ts.exists(t => t == "integer" || t == "number" || t == "any") => ()
+        case _ => return None
+      }
+      val failOnNull = elemNullable && typeNames.exists(!_.contains("null"))
+      // fractional bounds change comparison semantics → keep general path
+      val loBd = sub.num("minimum"); val hiBd = sub.num("maximum")
+      if (loBd.exists(!_.isWhole) || hiBd.exists(!_.isWhole)) return None
+      val exMin = sub.bool("exclusiveMinimum").contains(true) && loBd.isDefined
+      val exMax = sub.bool("exclusiveMaximum").contains(true) && hiBd.isDefined
+      if (loBd.isEmpty && hiBd.isEmpty && !failOnNull) return Some(lit(true))
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      Some(ColumnBridge.column(ArrayBoundsCheck(
+        ColumnBridge.expression(arr),
+        loBd.map(_.toLongExact), hiBd.map(_.toLongExact),
+        exMin, exMax, failOnNull)))
     }
 
     /** Per-element validation over an array column starting at `from`.

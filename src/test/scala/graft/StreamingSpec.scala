@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.StreamingValidation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming validation over a MemoryStream source. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(doc_id: String, n_tok: Int, ts: Timestamp)
+
+  val validator: Validator = Validator(
+    """{"required":["doc_id"],"properties":{"n_tok":{"minimum":1,"maximum":100}}}""",
+    compile.ValidatorOptions(greedy = true))
+
+  test("streaming violations: stateless validate over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = StreamingValidation.violations(
+      source.toDF(), validator, "doc_id", "ts")
+      .writeStream.format("memory").queryName("sv_viol").outputMode("append").start()
+    try {
+      source.addData(
+        Ev("a", 5, Timestamp.valueOf("2026-01-01 00:00:01")),
+        Ev("b", 0, Timestamp.valueOf("2026-01-01 00:00:02")),
+        Ev(null, 7, Timestamp.valueOf("2026-01-01 00:00:03")))
+      q.processAllAvailable()
+      val rows = spark.table("sv_viol")
+        .select("doc_id", "path", "keyword").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(
+        ("b", "n_tok", "minimum"),
+        (null, "doc_id", "required")))
+    } finally q.stop()
+  }
+
+  test("windowed verdicts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val df = source.toDF().withColumn("part", lit(0))
+    val q = StreamingValidation.windowedVerdicts(
+      df, validator, "ts", "part", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("sv_verd").outputMode("update").start()
+    try {
+      source.addData(
+        Ev("a", 5, Timestamp.valueOf("2026-01-01 00:00:10")),
+        Ev("b", -1, Timestamp.valueOf("2026-01-01 00:00:20")),
+        Ev("c", 5, Timestamp.valueOf("2026-01-01 00:01:10")))
+      q.processAllAvailable()
+      val verd = spark.table("sv_verd")
+        .select(col("window.start").cast("string"), col("passed"),
+          col("violation_count"), col("rows_validated")).collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3))).toSet
+      assert(verd.contains(("2026-01-01 00:00:00", false, 1L, 2L)))
+      assert(verd.contains(("2026-01-01 00:01:00", true, 0L, 1L)))
+    } finally q.stop()
+  }
+}
