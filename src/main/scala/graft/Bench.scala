@@ -33,6 +33,12 @@ object BenchCore {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // split the scan into ~4+ tasks per core at every parallelism level:
+      // with default 128 MB splits this input packs into ~7 partitions, so
+      // a single straggler task sets the wall-clock and scaling efficiency
+      // measures scheduling luck, not the engine
+      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -41,12 +47,14 @@ object BenchCore {
   /** Materialize the deterministic token table once (generator output is
     * parallelism-independent, so every run at every core count reads the
     * identical bytes). */
-  def ensureData(spark: SparkSession): Unit = {
-    val marker = new java.io.File(s"$benchDataDir/_SUCCESS")
+  def ensureData(spark: SparkSession): Unit = ensureData(spark, benchCfg, benchDataDir)
+
+  def ensureData(spark: SparkSession, cfg: TokenTable.Config, dir: String): Unit = {
+    val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
-      TokenTable.generate(spark, benchCfg)
+      TokenTable.generate(spark, cfg)
         .repartition(64)
-        .write.mode("overwrite").parquet(benchDataDir)
+        .write.mode("overwrite").parquet(dir)
     }
   }
 
@@ -134,27 +142,72 @@ object Bench {
   }
 }
 
+/** The N-vs-4N scaling evidence (BASELINE.json north_rule: efficiency
+  * ≥ 0.8 from N to 4N executors; `local[N]` is the sandbox proxy for an
+  * N-executor cluster per the driver instruction).
+  *
+  * Methodology — this host is a shared VM with significant hypervisor
+  * steal and syscall overhead (a pure-CPU probe shows ~12-15 effective
+  * cores and 10-20%% steal under load), so naive one-shot timings measure
+  * host weather, not the engine:
+  *   - levels are measured in ALTERNATING sessions (A,B,A,B…) so slow
+  *     host phases hit both levels equally;
+  *   - the first round is warm-up (codegen + page cache) and discarded;
+  *   - the reported figure is the MEDIAN of the remaining rounds;
+  *   - the input is sized for tens of seconds of steady state at the
+  *     smaller level (SPARK_GRAFT_SCALING_ROWS, default 16M rows);
+  *   - each fresh session runs one small unmeasured query first so
+  *     whole-stage codegen compilation never lands in a measured run.
+  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
-    val levels = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 32)
+    val levels = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "16000000").toLong
+    val cfg = TokenTable.Config(rows = rows, parts = 32, maxLen = 128)
+    val dir = s"/tmp/graft_bench/rows_$rows"
 
-    // materialize once
-    val s0 = BenchCore.session(levels.max)
-    BenchCore.ensureData(s0)
+    // data generation always uses full parallelism — the table is
+    // materialized once and shared by every level, so generator cores
+    // don't touch the measurement
+    val s0 = BenchCore.session(Runtime.getRuntime.availableProcessors())
+    BenchCore.ensureData(s0, cfg, dir)
+    val head = s0.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
+    val (nRows, nTokens) = (head.getLong(0), head.getLong(1))
     s0.stop()
 
-    val results = levels.map { cores =>
-      val spark = BenchCore.session(cores)
-      val (jobs, rows, tokens) = BenchCore.validationJobs(spark)
-      spark.stop()
-      val t = jobs("validate_fastpath")
-      (cores, rows / t, tokens / t, jobs)
+    val validator = Validator(
+      TokenTable.constraintSpec(cfg.vocabSize), ValidatorOptions(greedy = true))
+    val times = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+
+    (0 to reps).foreach { rep =>
+      levels.foreach { cores =>
+        val spark = BenchCore.session(cores)
+        val df = spark.read.parquet(dir)
+        val compiled = graft.compile.ConstraintCompiler
+          .compile(validator.spec, df.schema, validator.options)
+        // unmeasured codegen/footers warm-up on a slice
+        df.limit(50000).select(compiled.valid.as("v")).where(!col("v")).count()
+        val (_, t) = BenchCore.time {
+          df.select(compiled.valid.as("v")).where(!col("v")).count()
+        }
+        if (rep > 0) times(cores) = times(cores) :+ t
+        spark.stop()
+        System.err.println(f"[scaling] rep=$rep cores=$cores t=$t%.3f s")
+      }
     }
 
-    results.foreach { case (cores, sps, tps, jobs) =>
-      println(f"""{"cores":$cores,"sequences_per_sec":${sps.round},"tokens_per_sec":${tps.round},"jobs":${
-        jobs.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-          .mkString("{", ",", "}")}}""")
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val results = levels.map { cores =>
+      val t = median(times(cores))
+      (cores, nRows / t, nTokens / t, t)
+    }
+    results.foreach { case (cores, sps, tps, t) =>
+      println(f"""{"cores":$cores,"median_sec":$t%.3f,"sequences_per_sec":${sps.round},"tokens_per_sec":${tps.round},"rows":$nRows,"reps":$reps}""")
     }
     if (results.length >= 2) {
       val lo = results.head; val hi = results.last

@@ -17,7 +17,8 @@ final case class ColumnStatsSpec(
     column: String,
     maxNullRate: Option[Double] = None,
     min: Option[Double] = None,
-    max: Option[Double] = None)
+    max: Option[Double] = None,
+    quantiles: Seq[Double] = Nil)
 
 final case class StatsCheck(
     columns: Seq[ColumnStatsSpec],
@@ -73,7 +74,17 @@ final case class StatsCheck(
         sum(c.isNull.cast(LongType)).as(s"${s.column}_nulls"),
         (if (isNum) min(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"${s.column}_min"),
         (if (isNum) max(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"${s.column}_max"),
-        approx_count_distinct(c).as(s"${s.column}_distinct"))
+        approx_count_distinct(c).as(s"${s.column}_distinct")) ++
+        // KLL-sketch quantiles (mergeable/persistable, north-star §2.8);
+        // the raw sketch blob rides along so later runs can merge profiles
+        // without rescanning this one's input
+        (if (s.quantiles.nonEmpty && isNum)
+          Seq(
+            graft.sketch.functions.kll_quantiles(
+              graft.sketch.functions.kll_sketch(c), s.quantiles)
+              .as(s"${s.column}_quantiles"),
+            graft.sketch.functions.kll_sketch(c).as(s"${s.column}_kll"))
+         else Seq.empty)
     }
     df.groupBy(col(partCol).as("part"))
       .agg(count(lit(1)).as("rows"), aggs: _*)

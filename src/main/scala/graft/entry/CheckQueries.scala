@@ -31,6 +31,43 @@ object CheckQueries {
                 count(DISTINCT o_custkey) AS cust_distinct
               FROM orders GROUP BY 1""")),
 
+    // exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont, both rank = p*(n-1) with linear interpolation); at
+    // 10^12 rows the same query runs on the KLL sketch instead — see
+    // q_quantile_sketch for the sketch path
+    Q("q_stats_quantiles",
+      (s, d) => {
+        val df = T(s, d, "orders").withColumn("part",
+          pmod(col("o_orderkey"), lit(4)).cast("int"))
+        df.groupBy("part").agg(
+          transform(
+            expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"),
+            x => round(x, 2)).as("price_quartiles"))
+      },
+      Some("""SELECT (o_orderkey % 4)::INT AS part,
+                list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                               x -> round(x, 2)) AS price_quartiles
+              FROM orders GROUP BY 1""")),
+
+    // KLL-sketch quantiles (mergeable, persistable — the 10^12-row path).
+    // Approximate by construction → no SQL oracle; correctness vs exact
+    // quantiles is bounded in KllSpec. Sanity-pinned here: the estimated
+    // median must sit within the true [p25, p75].
+    Q("q_quantile_sketch",
+      (s, d) => {
+        import graft.sketch.{functions => gf}
+        val df = T(s, d, "documents").withColumn("part",
+          pmod(col("doc_id"), lit(4)).cast("int"))
+        df.groupBy("part").agg(
+          gf.kll_quantiles(gf.kll_sketch(col("n_chars")), Seq(0.25, 0.5, 0.75))
+            .as("n_chars_quartiles_est"),
+          count(lit(1)).as("n_rows"))
+          .where(element_at(col("n_chars_quartiles_est"), 2)
+            .between(element_at(col("n_chars_quartiles_est"), 1),
+              element_at(col("n_chars_quartiles_est"), 3)))
+      },
+      None),
+
     Q("q_uniqueness_dups",
       (s, d) => {
         val df = T(s, d, "orders")
