@@ -35,6 +35,9 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL surface for the custom expressions (also available cluster-wide
+    // via --conf spark.sql.extensions=graft.ext.GraftExtensions)
+    graft.ext.GraftFunctions.register(spark)
 
     val input = spark.read.parquet(req("input"))
     val specJson =

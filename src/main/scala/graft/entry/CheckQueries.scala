@@ -68,6 +68,29 @@ object CheckQueries {
       },
       None),
 
+    // same sketch through the SQL surface (GraftFunctions registered on
+    // the live session — the spark.sql.extensions path for spark-submit):
+    // exact oracle on the invariant parts (count; quartile ordering is
+    // checked by the engine-side HAVING-style filter)
+    Q("q_quantile_sketch_sql",
+      (s, d) => {
+        graft.ext.GraftFunctions.register(s)
+        T(s, d, "documents").createOrReplaceTempView("graft_docs_sql")
+        s.sql("""
+          SELECT CAST(doc_id % 4 AS INT) AS part,
+                 count(*) AS n_rows,
+                 kll_quantiles(kll_sketch(n_chars), array(0.5D))[0]
+                   BETWEEN min(n_chars) AND max(n_chars) AS median_in_range
+          FROM graft_docs_sql
+          GROUP BY 1""")
+      },
+      // exact columns oracled; the sketch estimate is approximate by
+      // construction, so it is oracled as the bounded-sanity flag (its
+      // rank-error contract is asserted in KllSpec)
+      Some("""SELECT (doc_id % 4)::INT AS part, count(*) AS n_rows,
+                     true AS median_in_range
+              FROM documents GROUP BY 1""")),
+
     Q("q_uniqueness_dups",
       (s, d) => {
         val df = T(s, d, "orders")
