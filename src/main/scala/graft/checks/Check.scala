@@ -28,6 +28,14 @@ trait Check extends Serializable {
     * a persisted mergeable key-count sketch per partition — keeps the
     * same Check interface; this flag is the contract either way.) */
   def isGlobal: Boolean = false
+
+  /** Inject the partition universe discovered by the pipeline. Standalone
+    * `run(df)` discovers partitions itself (a distinct scan of the
+    * partition column); inside the pipeline that scan would repeat once
+    * per check over the 10^12-row input, so the pipeline discovers once
+    * and hands every check the literal list. Default: ignore (checks that
+    * aggregate `groupBy(part)` directly never discover). */
+  def withKnownParts(parts: Seq[Int]): Check = this
 }
 
 object Check {
@@ -43,13 +51,25 @@ object Check {
     StructField("additional_properties", StringType),
     StructField("check", StringType)))
 
+  /** The partition universe: the pipeline-provided literal list when
+    * available (no input scan), else a distinct scan of the partition
+    * column. */
+  def partsDf(df: DataFrame, knownParts: Seq[Int],
+              partCol: String = PartCol): DataFrame =
+    if (knownParts.nonEmpty) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      knownParts.toDF(partCol)
+    } else df.select(col(partCol)).distinct()
+
   /** Verdict frame builder: every partition present in `df` gets a verdict
     * row even when it has zero violations (absent partitions must read as
     * passed, not as missing). `perPart` carries (part, violation_count
     * [, metric_value]). */
   def verdictsFromCounts(df: DataFrame, perPart: DataFrame, checkName: String,
-                         metricValue: Column = lit(null).cast(DoubleType)): DataFrame = {
-    val parts = df.select(col(PartCol)).distinct()
+                         metricValue: Column = lit(null).cast(DoubleType),
+                         knownParts: Seq[Int] = Nil): DataFrame = {
+    val parts = partsDf(df, knownParts)
     val counts = perPart.withColumnRenamed("part", "vpart")
     parts.join(counts, parts(PartCol) === counts("vpart"), "left")
       .select(

@@ -20,9 +20,11 @@ final case class KsDriftCheck(
     reference: DataFrame,
     threshold: Double = 0.05,
     bin: Column => Column = identity,
-    partCol: String = Check.PartCol) extends Check {
+    partCol: String = Check.PartCol,
+    knownParts: Seq[Int] = Nil) extends Check {
 
   val name = s"drift_ks:$column"
+  override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
 
   def run(df: DataFrame): CheckResult = {
     val spark = df.sparkSession
@@ -35,7 +37,7 @@ final case class KsDriftCheck(
 
     // replicate the (small) reference histogram per observed partition so
     // the CDF union is computed per part
-    val parts = df.select(col(partCol).as("part")).distinct()
+    val parts = Check.partsDf(df, knownParts, partCol).toDF("part")
     val refPerPart = parts.crossJoin(broadcast(ref))
 
     val joined = obs.join(refPerPart, Seq("part", "bin"), "full_outer")
@@ -80,9 +82,11 @@ final case class Chi2DriftCheck(
     refKeyExpr: Column,
     threshold: Double,
     keyTransform: Column => Column = identity,
-    partCol: String = Check.PartCol) extends Check {
+    partCol: String = Check.PartCol,
+    knownParts: Seq[Int] = Nil) extends Check {
 
   val name = s"drift_chi2:$keyName"
+  override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
 
   def run(df: DataFrame): CheckResult = {
     val spark = df.sparkSession
@@ -101,7 +105,7 @@ final case class Chi2DriftCheck(
     val refTotal = refHist.agg(sum("r_cnt")).head().getLong(0).toDouble
     val refFrac = refHist.select(col("key"), (col("r_cnt") / lit(refTotal)).as("p"))
 
-    val parts = df.select(col(partCol).as("part")).distinct()
+    val parts = Check.partsDf(df, knownParts, partCol).toDF("part")
     val refPerPart = parts.crossJoin(broadcast(refFrac))
 
     val joined = obs.join(refPerPart, Seq("part", "key"), "full_outer")

@@ -19,9 +19,11 @@ final case class ReferentialCheck(
     dimKeyCol: String,
     activeCol: Option[String] = Some("active"),
     partCol: String = Check.PartCol,
-    idCol: String = Check.IdCol) extends Check {
+    idCol: String = Check.IdCol,
+    knownParts: Seq[Int] = Nil) extends Check {
 
   val name = "referential"
+  override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
 
   def run(df: DataFrame): CheckResult = {
     val allowed0 = activeCol match {
@@ -42,6 +44,7 @@ final case class ReferentialCheck(
         lit(name).as("check"))
 
     val perPart = violations.groupBy("part").agg(count(lit(1)).as("violation_count"))
-    CheckResult(violations, Check.verdictsFromCounts(df, perPart, name))
+    CheckResult(violations,
+      Check.verdictsFromCounts(df, perPart, name, knownParts = knownParts))
   }
 }

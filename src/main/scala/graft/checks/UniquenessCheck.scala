@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
 final case class UniquenessCheck(
     keyCol: String = Check.IdCol,
     saltBuckets: Int = 64,
-    partCol: String = Check.PartCol) extends Check {
+    partCol: String = Check.PartCol,
+    knownParts: Seq[Int] = Nil) extends Check {
 
   val name = "uniqueness"
   override def isGlobal: Boolean = true
+  override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
 
   def run(df: DataFrame): CheckResult = {
     val keyed = df.where(col(keyCol).isNotNull)
@@ -57,6 +59,7 @@ final case class UniquenessCheck(
         lit(name).as("check"))
 
     val perPart = violations.groupBy("part").agg(count(lit(1)).as("violation_count"))
-    CheckResult(violations, Check.verdictsFromCounts(df, perPart, name))
+    CheckResult(violations,
+      Check.verdictsFromCounts(df, perPart, name, knownParts = knownParts))
   }
 }

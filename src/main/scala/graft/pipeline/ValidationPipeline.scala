@@ -56,8 +56,10 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
 
     val t0 = System.nanoTime()
     // global checks see the full input (cross-partition semantics) but
-    // report only for pending partitions; local checks scan pending only
-    val results: Seq[CheckResult] = checks.map { c =>
+    // report only for pending partitions; local checks scan pending only.
+    // The partition universe is injected so no check repeats the
+    // discovery scan this pipeline already did (withKnownParts).
+    val results: Seq[CheckResult] = checks.map(_.withKnownParts(pendingParts)).map { c =>
       if (c.isGlobal && committed.nonEmpty) {
         val r = c.run(input)
         CheckResult(

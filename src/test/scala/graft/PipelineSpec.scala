@@ -67,6 +67,23 @@ class PipelineSpec extends SparkSpec {
     assert(byKey.forall(_ >= 2))
   }
 
+  test("withKnownParts: identical verdicts without the discovery scan") {
+    // the pipeline injects the partition universe so checks skip their
+    // per-check distinct(part) scan of the input — outputs must not change
+    val parts = Seq(0, 1, 2, 3)
+    for (check <- Seq[Check](
+        UniquenessCheck("doc_id"),
+        ReferentialCheck("source", vocab, "source"),
+        KsDriftCheck("n_tok",
+          reference = TokenTable.generate(spark, cfg.copy(seed = 7L)),
+          threshold = 0.05))) {
+      val base = check.run(table).verdicts.orderBy("part", "check").collect()
+      val known = check.withKnownParts(parts).run(table)
+        .verdicts.orderBy("part", "check").collect()
+      assert(base.toSeq == known.toSeq, s"${check.name} diverged with knownParts")
+    }
+  }
+
   test("referential check flags rogue sources via broadcast anti-join") {
     val res = ReferentialCheck("source", vocab, "source").run(table)
     val rogue = res.violations.select("additional_properties").distinct()
