@@ -1,0 +1,58 @@
+package graft
+
+import graft.checks._
+import graft.compile.ValidatorOptions
+import graft.data.TokenTable
+import org.apache.spark.sql.functions._
+
+/** Dump `explain("formatted")` for the flagship physical plans — the
+  * evidence that each path has the shape it claims (shuffle-free
+  * validation, broadcast referential, partial-agg verdicts). Output is
+  * curated into PLANS.md. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = BenchCore.session(4)
+    BenchCore.ensureData(spark)
+    val df = spark.read.parquet(BenchCore.benchDataDir)
+    val validator = Validator(
+      TokenTable.constraintSpec(49152), ValidatorOptions(greedy = true))
+    val compiled = graft.compile.ConstraintCompiler
+      .compile(validator.spec, df.schema, validator.options)
+
+    def section(name: String)(plan: => Unit): Unit = {
+      println(s"\n######## $name ########")
+      plan
+    }
+
+    section("row_validation_fastpath (valid only)") {
+      df.select(compiled.valid.as("v")).where(!col("v"))
+        .explain("formatted")
+    }
+    section("verdicts_groupby (per-partition)") {
+      df.groupBy("part")
+        .agg(sum(compiled.valid.cast("long")).as("valid_rows"),
+          count(lit(1)).as("rows"))
+        .explain("formatted")
+    }
+    section("referential_broadcast_anti") {
+      val dim = TokenTable.vocabDim(spark, TokenTable.Config(rows = 100))
+      df.join(broadcast(dim.where(col("active")).select(col("source"))),
+        Seq("source"), "left_anti")
+        .explain("formatted")
+    }
+    section("uniqueness_salted_two_phase") {
+      val keyed = df.where(col("doc_id").isNotNull)
+      keyed.groupBy(col("doc_id"), pmod(spark_partition_id(), lit(64)).as("_salt"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id")).agg(sum("cnt").as("total"))
+        .where(col("total") > 1)
+        .explain("formatted")
+    }
+    section("kll_sketch_objhashagg") {
+      df.groupBy("part")
+        .agg(graft.sketch.functions.kll_sketch(col("n_tok")).as("sk"))
+        .explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -47,8 +47,8 @@ final case class SketchDriftCheck(
       StructField("passed", BooleanType),
       StructField("violation_count", LongType),
       StructField("metric_value", DoubleType)))
-    val verdicts = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    import scala.jdk.CollectionConverters._
+    val verdicts = spark.createDataFrame(rows.asJava, schema)
 
     CheckResult(Check.emptyViolations(spark), verdicts)
   }
