@@ -30,11 +30,16 @@ object OpsQueries {
       Some("""SELECT substr(text, 1, 30) AS key, count(*) AS occurrences
               FROM documents GROUP BY 1 HAVING count(*) > 1""")),
 
+    // O(block²) verification path: bounded to 1500 docs so the sf0.1
+    // bench isn't dominated by the quadratic oracle query (at scale this
+    // runs only on LSH-candidate pairs, never on raw blocks)
     Q("q_dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardDuplicates(T(s, d, "documents"),
+      (s, d) => Dedup.ngramJaccardDuplicates(
+        T(s, d, "documents").where(col("doc_id") < 1500),
         "doc_id", "text", blockCol = col("lang"), threshold = 0.12, shingleN = 2),
       Some(s"""WITH w AS (
-                 SELECT doc_id, lang, $duckWords AS w FROM documents),
+                 SELECT doc_id, lang, $duckWords AS w FROM documents
+                 WHERE doc_id < 1500),
                sh AS (
                  SELECT doc_id, lang,
                    CASE WHEN len(w) >= 2
