@@ -2,9 +2,18 @@ package graft
 
 import graft.compile.{ConstraintCompiler, ValidatorOptions}
 import graft.json.{JValue, Json}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+
+/** One error record, typed (mirrors ConstraintCompiler.errorSchema). */
+final case class ErrorRecord(
+    path: String, keyword: String,
+    message: Option[String], additionalProperties: Option[String])
+
+/** Typed validation result: the untouched input row (token-array byte
+  * identity by construction), the valid flag, and the error records. */
+final case class Validated[T](row: T, valid: Boolean, errors: Seq[ErrorRecord])
 
 /** Public API of the row-constraint engine — the table-level analog of
   * `jsen(schema)` → `validate(data)` (/root/reference/lib/jsen.js:1045-1089).
@@ -40,6 +49,19 @@ final class Validator(val spec: JValue, val options: ValidatorOptions) extends S
   def withValidation(df: DataFrame): DataFrame = {
     val compiled = ConstraintCompiler.compile(spec, df.schema, options)
     df.withColumn("valid", compiled.valid).withColumn("errors", compiled.errors)
+  }
+
+  /** Typed path (`Dataset[T]` in, `Dataset[Validated[T]]` out): the same
+    * compiled Catalyst expressions — no row-by-row closure, the Encoder
+    * only shapes the result. The input row travels as an untouched struct,
+    * so per-row invariants (token-array byte identity) hold by
+    * construction. */
+  def validateTyped[T](ds: Dataset[T])(implicit ev: Encoder[Validated[T]]): Dataset[Validated[T]] = {
+    val compiled = ConstraintCompiler.compile(spec, ds.schema, options)
+    ds.select(
+      struct(ds.columns.map(col).toSeq: _*).as("row"),
+      compiled.valid.as("valid"),
+      compiled.errors.as("errors")).as[Validated[T]]
   }
 
   /** One output row per violation: id columns + (path, keyword, message,

@@ -17,7 +17,20 @@ import org.apache.spark.sql.functions._
   * mismatches, duplicate doc_ids, unknown sources) so checks have a
   * ground truth to assert against.
   */
+/** Typed row of the input table (BASELINE.json input_hint). */
+final case class TokenRow(
+    doc_id: String, tokens: Array[Int], n_tok: Int, source: String, part: Int)
+
 object TokenTable {
+
+  import org.apache.spark.sql.Dataset
+
+  /** Typed view of the token table. */
+  def typed(df: DataFrame): Dataset[TokenRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[TokenRow]
+  }
 
   final case class Config(
       rows: Long,

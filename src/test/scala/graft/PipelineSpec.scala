@@ -67,6 +67,33 @@ class PipelineSpec extends SparkSpec {
     assert(byKey.forall(_ >= 2))
   }
 
+  test("typed Dataset path: same verdicts as the DataFrame path, rows untouched") {
+    import spark.implicits._
+    val ds = data.TokenTable.typed(table)
+    val typedOut = validator.validateTyped(ds).collect()
+    val dfOut = validator.withValidation(table)
+      .select(col("doc_id"), col("valid")).collect()
+      .map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+
+    assert(typedOut.length == cfg.rows)
+    typedOut.foreach { v =>
+      assert(v.valid == dfOut(Option(v.row.doc_id)),
+        s"typed/DF divergence for ${v.row.doc_id}")
+      // invalid rows carry jsen-style error records through the Encoder
+      if (!v.valid) assert(v.errors.nonEmpty && v.errors.forall(_.keyword.nonEmpty))
+      // token-array byte identity through the typed path
+      assert(v.row.n_tok >= 0 && v.row.tokens != null)
+    }
+    // spot-check byte identity against the untyped source (doc_ids can be
+    // duplicated by injection → compare against the id's candidate set)
+    val srcTokens = table.select("doc_id", "tokens").where(col("doc_id").isNotNull)
+      .as[(String, Array[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toSeq).toSet).toMap
+    typedOut.filter(_.row.doc_id != null).take(200).foreach { v =>
+      assert(srcTokens(v.row.doc_id).contains(v.row.tokens.toSeq))
+    }
+  }
+
   test("withKnownParts: identical verdicts without the discovery scan") {
     // the pipeline injects the partition universe so checks skip their
     // per-check distinct(part) scan of the input — outputs must not change
