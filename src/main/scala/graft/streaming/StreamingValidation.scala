@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Validator
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Continuous validation over Structured Streaming sources: the same
   * compiled constraint Columns applied to a stream (`readStream` →
@@ -33,6 +34,55 @@ object StreamingValidation {
         col("error.keyword").as("keyword"),
         col("error.message").as("message"),
         col("error.additionalProperties").as("additional_properties"))
+
+  /** A duplicate-key sighting emitted by [[streamingDuplicates]]. */
+  final case class DupEvent(key: String, occurrence: Long)
+
+  /** Stateful streaming uniqueness: the streaming twin of
+    * [[graft.checks.UniquenessCheck]] via `flatMapGroupsWithState` —
+    * per-key custom state (occurrence count) with an event-time timeout so
+    * state is bounded by the watermark, not by the key universe. Emits one
+    * [[DupEvent]] per re-occurrence of a key inside the retention window
+    * (occurrence = 2, 3, …; first sightings are silent).
+    *
+    * At 10^12-sequence scale the state store only ever holds keys seen
+    * within the watermark horizon; the shuffle is the standard
+    * groupByKey hash exchange on the key.
+    */
+  def streamingDuplicates(stream: DataFrame, keyCol: String, tsCol: String,
+                          watermarkDelay: String = "10 minutes"): Dataset[DupEvent] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      // the watermarked event-time column must reach the stateful operator
+      // for EventTimeTimeout to be legal
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).as("ts"))
+      .where(col("key").isNotNull)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DupEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(0L)
+            val batch = rows.size.toLong
+            val total = prior + batch
+            state.update(total)
+            // evict once the watermark passes this key's last sighting
+            if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            // occurrences prior+2 .. total are duplicates (the first
+            // sighting of the key is occurrence 1 and stays silent)
+            val firstDup = math.max(prior + 1, 2L)
+            (firstDup to total).iterator.map(DupEvent(key, _))
+          }
+      }(Encoders.scalaLong, Encoders.product[DupEvent])
+  }
 
   /** Watermarked per-window verdicts: (window, part, passed,
     * violation_count, rows). */

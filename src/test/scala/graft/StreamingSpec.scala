@@ -36,6 +36,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming uniqueness via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = StreamingValidation.streamingDuplicates(
+      source.toDF(), "doc_id", "ts", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sv_dups").outputMode("append").start()
+    try {
+      source.addData(
+        Ev("a", 1, Timestamp.valueOf("2026-01-01 00:00:01")),
+        Ev("b", 1, Timestamp.valueOf("2026-01-01 00:00:02")),
+        Ev("a", 1, Timestamp.valueOf("2026-01-01 00:00:03"))) // dup in-batch
+      q.processAllAvailable()
+      source.addData(
+        Ev("b", 1, Timestamp.valueOf("2026-01-01 00:00:10")), // dup cross-batch
+        Ev("c", 1, Timestamp.valueOf("2026-01-01 00:00:11"))) // first sighting
+      q.processAllAvailable()
+      val dups = spark.table("sv_dups").as[(String, Long)].collect().toSet
+      assert(dups == Set(("a", 2L), ("b", 2L)), dups.toString)
+    } finally q.stop()
+  }
+
   test("windowed verdicts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
