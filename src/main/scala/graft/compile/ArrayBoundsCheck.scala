@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   *  - NULL element → false when `failOnNull` (schema declares a type that
   *    excludes null), else skipped (keywords gate on the number type);
   *  - bounds compared per element, inclusive unless exclusive flags.
+  *
+  * `forallSemantics = true` switches to SQL `forall(arr, lambda)`
+  * three-valued logic instead (used by the [[graft.ext.FuseArrayBounds]]
+  * optimizer rule): NULL array → NULL, any out-of-bounds element → false,
+  * else NULL if any element was NULL, else true.
   */
 final case class ArrayBoundsCheck(
     child: Expression,
@@ -32,10 +37,11 @@ final case class ArrayBoundsCheck(
     hi: Option[Long],
     loExclusive: Boolean,
     hiExclusive: Boolean,
-    failOnNull: Boolean) extends UnaryExpression {
+    failOnNull: Boolean,
+    forallSemantics: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = forallSemantics
 
   // lazy: the child is unresolved (NullType) at construction time; the
   // element type is only known after analysis
@@ -53,13 +59,15 @@ final case class ArrayBoundsCheck(
 
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input)
-    if (arr == null) return true
+    if (arr == null) return if (forallSemantics) null else true
     val data = arr.asInstanceOf[ArrayData]
     val n = data.numElements()
+    var sawNull = false
     var i = 0
     while (i < n) {
       if (data.isNullAt(i)) {
         if (failOnNull) return false
+        if (forallSemantics) sawNull = true
       } else {
         val v: Long = elementType match {
           case IntegerType => data.getInt(i).toLong
@@ -72,7 +80,7 @@ final case class ArrayBoundsCheck(
       }
       i += 1
     }
-    true
+    if (forallSemantics && sawNull) null else true
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -81,6 +89,7 @@ final case class ArrayBoundsCheck(
     val i = ctx.freshName("i")
     val n = ctx.freshName("n")
     val v = ctx.freshName("v")
+    val sawNull = ctx.freshName("sawNull")
     val getter = elementType match {
       case IntegerType => s"(long) $data.getInt($i)"
       case LongType => s"$data.getLong($i)"
@@ -89,34 +98,61 @@ final case class ArrayBoundsCheck(
     }
     val nullCheck =
       if (failOnNull) s"if ($data.isNullAt($i)) { ${ev.value} = false; break; }"
+      else if (forallSemantics) s"if ($data.isNullAt($i)) { $sawNull = true; $i++; continue; }"
       else s"if ($data.isNullAt($i)) { $i++; continue; }"
     val loCheck = lo.map { l =>
       val op = if (loExclusive) "<=" else "<"
-      s"if ($v $op ${l}L) { ${ev.value} = false; break; }"
+      s"if ($v $op ${l}L) { ${ev.value} = false; $sawNull = false; break; }"
     }.getOrElse("")
     val hiCheck = hi.map { h =>
       val op = if (hiExclusive) ">=" else ">"
-      s"if ($v $op ${h}L) { ${ev.value} = false; break; }"
+      s"if ($v $op ${h}L) { ${ev.value} = false; $sawNull = false; break; }"
     }.getOrElse("")
 
-    ev.copy(
-      code = code"""
-        ${childGen.code}
-        boolean ${ev.value} = true;
-        if (!${childGen.isNull}) {
-          org.apache.spark.sql.catalyst.util.ArrayData $data = ${childGen.value};
-          int $n = $data.numElements();
-          int $i = 0;
-          while ($i < $n) {
-            $nullCheck
-            long $v = $getter;
-            $loCheck
-            $hiCheck
-            $i++;
+    if (!forallSemantics) {
+      ev.copy(
+        code = code"""
+          ${childGen.code}
+          boolean ${ev.value} = true;
+          boolean $sawNull = false;
+          if (!${childGen.isNull}) {
+            org.apache.spark.sql.catalyst.util.ArrayData $data = ${childGen.value};
+            int $n = $data.numElements();
+            int $i = 0;
+            while ($i < $n) {
+              $nullCheck
+              long $v = $getter;
+              $loCheck
+              $hiCheck
+              $i++;
+            }
           }
-        }
-      """,
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+        """,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    } else {
+      // three-valued forall: NULL array → NULL; out-of-bounds → false;
+      // else NULL if a NULL element was seen, else true
+      ev.copy(
+        code = code"""
+          ${childGen.code}
+          boolean ${ev.value} = true;
+          boolean $sawNull = false;
+          boolean ${ev.isNull} = ${childGen.isNull};
+          if (!${childGen.isNull}) {
+            org.apache.spark.sql.catalyst.util.ArrayData $data = ${childGen.value};
+            int $n = $data.numElements();
+            int $i = 0;
+            while ($i < $n) {
+              $nullCheck
+              long $v = $getter;
+              $loCheck
+              $hiCheck
+              $i++;
+            }
+            if ($sawNull) { ${ev.isNull} = true; }
+          }
+        """)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ArrayBoundsCheck =

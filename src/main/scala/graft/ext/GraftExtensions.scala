@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   *    bounds check (inclusive; NULL elements skipped)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // rewrite forall(arr, x -> bounds) into the fused codegen expression
+    ext.injectOptimizerRule(_ => FuseArrayBounds)
+  }
 }
 
 object GraftFunctions {

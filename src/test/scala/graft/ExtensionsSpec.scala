@@ -32,6 +32,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 9995, s"n=$n")
   }
 
+  test("FuseArrayBounds rule: forall(arr, bounds) → fused codegen, same 3-valued results") {
+    import graft.ext.FuseArrayBounds
+    // materialize through parquet so ConvertToLocalRelation can't fold the
+    // whole query into a LocalTableScan before the rule is observable
+    val dir = java.nio.file.Files.createTempDirectory("fuse_t").toString
+    spark.sql("""
+      SELECT id, CASE CAST(id AS INT)
+        WHEN 0 THEN array(1, 2, 3)
+        WHEN 1 THEN array(0, 5, 9)
+        WHEN 2 THEN array(-1, 2, 3)
+        WHEN 3 THEN array(1, CAST(NULL AS INT), 3)
+        WHEN 4 THEN array(-1, CAST(NULL AS INT))
+        WHEN 5 THEN array(10, 11)
+        WHEN 6 THEN CAST(NULL AS ARRAY<INT>)
+        ELSE array() END AS arr
+      FROM range(8)""").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).orderBy("id").createOrReplaceTempView("fuse_t")
+    val q = "SELECT forall(arr, x -> x >= 0 AND x <= 9) AS ok FROM fuse_t"
+
+    val unfused = spark.sql(q).collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    spark.experimental.extraOptimizations ++= Seq(FuseArrayBounds)
+    try {
+      val fusedDf = spark.sql(q)
+      val plan = fusedDf.queryExecution.executedPlan.toString
+      assert(plan.contains("arrayboundscheck"), plan.take(1500))
+      val fused = fusedDf.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+      assert(fused.toSeq == unfused.toSeq,
+        s"fused=${fused.mkString(",")} unfused=${unfused.mkString(",")}")
+      // expected: true, true, false, null, false, false, null, true
+      assert(fused.toSeq == Seq(true, true, false, null, false, false, null, true))
+
+      // exclusive + one-sided + literal-on-left shapes also fuse
+      for (expr <- Seq("x -> x > 0", "x -> x < 10", "x -> 0 <= x", "x -> x > 0 AND x < 10")) {
+        val p = spark.sql(s"SELECT forall(arr, $expr) FROM fuse_t")
+          .queryExecution.executedPlan.toString
+        assert(p.contains("arrayboundscheck"), s"$expr not fused:\n${p.take(800)}")
+      }
+      // non-bounds lambdas must NOT fuse
+      val notFused = spark.sql("SELECT forall(arr, x -> x % 2 = 0) FROM fuse_t")
+        .queryExecution.executedPlan.toString
+      assert(!notFused.contains("arrayboundscheck"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseArrayBounds)
+    }
+  }
+
   test("spark.sql.extensions path: fresh session with GraftExtensions") {
     val orig = spark // keep the shared session's context
     SparkSession.clearActiveSession()
