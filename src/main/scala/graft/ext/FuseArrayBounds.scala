@@ -46,23 +46,37 @@ object FuseArrayBounds extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The lambda variable, allowing an implicit widening cast around it
+  private def width(dt: DataType): Int = dt match {
+    case ByteType => 1; case ShortType => 2; case IntegerType => 4
+    case LongType => 8; case _ => 99
+  }
+
+  /** The lambda variable, allowing an implicit WIDENING cast around it
     * (int element compared to a long literal). Widening preserves the
-    * comparison, so the fused long-space compare is exact. */
+    * comparison, so the fused long-space compare is exact; a narrowing
+    * cast (user-written) would overflow-wrap and must not fuse. */
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
     case nv: NamedLambdaVariable => nv.exprId == v.exprId
-    case Cast(inner, LongType | IntegerType, _, _) => isVar(inner, v)
+    case Cast(inner, LongType | IntegerType | ShortType, _, _)
+        if width(inner.dataType) <= width(e.dataType) => isVar(inner, v)
     case _ => false
   }
 
-  private def intLit(e: Expression): Option[Long] = e match {
-    case Literal(x: Int, IntegerType) => Some(x.toLong)
-    case Literal(x: Long, LongType) => Some(x)
-    case Literal(x: Short, ShortType) => Some(x.toLong)
-    case Literal(x: Byte, ByteType) => Some(x.toLong)
-    case Cast(inner, LongType | IntegerType, _, _) => intLit(inner)
-    case _ => None
-  }
+  /** Evaluate a foldable integral operand — the post-cast value is what
+    * the original comparison used, so folding the whole expression is
+    * exact where peeking through casts would not be. */
+  private def intLit(e: Expression): Option[Long] =
+    if (!e.foldable) None
+    else e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Option(e.eval()).map {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+        }
+      case _ => None
+    }
 
   /** (lo, hi, loExclusive, hiExclusive) when the whole body is bounds. */
   private def extractBounds(body: Expression, v: NamedLambdaVariable)
