@@ -28,7 +28,13 @@ object SparkEntry {
                           "lang":{"enum":["en","de","fr","es","zh"]}}}""",
         ValidatorOptions(greedy = true))),
       UniquenessCheck("doc_id"),
-      ReferentialCheck("source", sourceDim, "source", activeCol = None))
+      ReferentialCheck("source", sourceDim, "source", activeCol = None),
+      StatsCheck(Seq(
+        ColumnStatsSpec("n_chars", maxNullRate = Some(0.5), quantiles = Seq(0.5)),
+        ColumnStatsSpec("doc_id", maxNullRate = Some(0.0)))),
+      SketchDriftCheck("n_chars",
+        SketchDriftCheck.buildProfile(docs.where(col("doc_id") % 2 === 0), "n_chars"),
+        threshold = 0.2))
     checks.map(_.run(docs).verdicts).reduce(_ unionAll _)
   }
 
