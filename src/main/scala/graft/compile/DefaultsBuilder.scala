@@ -9,9 +9,20 @@ import org.apache.spark.sql.types._
 /** The `validate.build(initial)` analog (/root/reference/lib/jsen.js:737-812,
   * README.md:433-560): merge schema `default` values over a document. On a
   * table this is a pure projection — `coalesce(col, default)` per declared
-  * property, recursing into struct properties, with `allOf` branches merged
-  * in order; `additionalProperties: false` build mode drops undeclared
-  * columns (jsen.js:764-782).
+  * property, recursing into struct properties.
+  *
+  * Reference-exact structure (jsen.js:752-812 is an else-if chain):
+  *  - a node with its own `properties` processes ONLY them — a sibling
+  *    `allOf` is ignored;
+  *  - a node without `properties` but with `allOf` applies branches in
+  *    order (first default wins via chained coalesce) and drops an
+  *    undeclared key only when MORE THAN ONE branch treats it as
+  *    additional (PropertyMarker, jsen.js:690-735 — the bug-#47 rule that
+  *    a key declared in one branch survives another branch's
+  *    `additionalProperties: false`);
+  *  - outside allOf, an undeclared key is dropped when the node says
+  *    `additionalProperties: false`, or when the caller passed
+  *    `keepAdditional = false` and the node is silent (jsen.js:764-782).
   */
 object DefaultsBuilder {
 
@@ -24,37 +35,76 @@ object DefaultsBuilder {
       case o: JObj => o
       case _ => return df
     }
-    val declared = collectProperties(schema, resolver)
-    val outCols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
-      declared.get(f.name) match {
-        case Some(sub) =>
-          Some(buildValue(col(f.name), f.dataType, sub, resolver).as(f.name))
-        case None =>
-          if (keepAdditional) Some(col(f.name)) else None
-      }
+    val outCols: Seq[Column] = topLevel(schema, resolver, keepAdditional) match {
+      case None => df.schema.fieldNames.toSeq.map(col)
+      case Some((declared, dropSet)) =>
+        df.schema.fields.toSeq.flatMap { f =>
+          declared.get(f.name) match {
+            case Some(subs) =>
+              val value = subs.foldLeft(col(f.name)) { (c, sub) =>
+                buildValue(c, f.dataType, sub, resolver)
+              }
+              Some(value.as(f.name))
+            case None =>
+              if (dropSet(f.name)) None else Some(col(f.name))
+          }
+        }
     }
     df.select(outCols: _*)
   }
 
-  /** properties maps of the node and its allOf branches, merged in order —
-    * later branches do not override earlier keys (PropertyMarker dedup,
-    * jsen.js:690-735). */
-  private def collectProperties(schema: JObj, resolver: SchemaResolver): Map[String, JObj] = {
-    val own: Vector[(String, JObj)] =
-      schema.obj("properties").map(_.fields.collect {
-        case (k, o: JObj) => k -> (resolver.resolve(o) match {
-          case r: JObj => r
-          case _ => o
-        })
-      }).getOrElse(Vector.empty)
-    val fromAllOf = schema.arr("allOf").getOrElse(Vector.empty).flatMap {
-      case o: JObj => collectProperties(resolver.resolve(o) match {
-        case r: JObj => r
-        case _ => o
-      }, resolver).toVector
-      case _ => Vector.empty
+  private def resolved(v: JValue, resolver: SchemaResolver): Option[JObj] =
+    v match {
+      case o: JObj => resolver.resolve(o) match {
+        case r: JObj => Some(r)
+        case _ => Some(o)
+      }
+      case _ => None
     }
-    (fromAllOf ++ own).toMap // own wins over allOf, first-seen per source
+
+  private def ownProps(schema: JObj, resolver: SchemaResolver): Option[Map[String, JObj]] =
+    schema.obj("properties").map(_.fields.flatMap {
+      case (k, v) => resolved(v, resolver).map(k -> _)
+    }.toMap)
+
+  /** Does this node drop additional keys? (jsen.js:770-773) */
+  private def dropsAdditional(schema: JObj, keepAdditional: Boolean): Boolean =
+    schema.get("additionalProperties") match {
+      case Some(JBool(false)) => true
+      case Some(_) => false
+      case None => !keepAdditional
+    }
+
+  /** (column → sub-schemas to apply in order, column-drop predicate), or
+    * None when the node declares nothing build-relevant. */
+  private def topLevel(schema: JObj, resolver: SchemaResolver,
+                       keepAdditional: Boolean)
+      : Option[(Map[String, Seq[JObj]], String => Boolean)] = {
+    ownProps(schema, resolver) match {
+      case Some(props) =>
+        val drop = dropsAdditional(schema, keepAdditional)
+        Some((props.view.mapValues(Seq(_)).toMap,
+          name => drop && !props.contains(name)))
+      case None =>
+        val branches = schema.arr("allOf").getOrElse(Vector.empty)
+          .flatMap(resolved(_, resolver))
+        if (branches.isEmpty) None
+        else {
+          val branchProps = branches.map(b => ownProps(b, resolver))
+          val declared: Map[String, Seq[JObj]] = branchProps.flatten
+            .flatMap(_.toSeq).groupBy(_._1).view
+            .mapValues(_.map(_._2).toSeq).toMap
+          // PropertyMarker: a key is dropped only when >1 branch marks it
+          // (branch has properties, drops additionals, doesn't declare it)
+          def markCount(name: String): Int =
+            branches.zip(branchProps).count {
+              case (b, Some(props)) =>
+                dropsAdditional(b, keepAdditional) && !props.contains(name)
+              case _ => false
+            }
+          Some((declared, name => !declared.contains(name) && markCount(name) > 1))
+        }
+    }
   }
 
   private def buildValue(c: Column, dt: DataType, schema: JObj,
@@ -65,16 +115,24 @@ object DefaultsBuilder {
     }
     dt match {
       case st: StructType =>
-        val props = collectProperties(schema, resolver)
+        // nested recursion applies defaults only (a struct column's shape
+        // is fixed — "dropping" a nested field would mean nulling it, which
+        // build never does to populated values)
+        val props: Map[String, Seq[JObj]] =
+          topLevel(schema, resolver, keepAdditional = true).map(_._1)
+            .getOrElse(Map.empty)
         if (props.isEmpty) withDefault
         else {
           val rebuilt = struct(st.fields.toSeq.map { f =>
             props.get(f.name) match {
-              case Some(sub) => buildValue(withDefault.getField(f.name), f.dataType, sub, resolver).as(f.name)
+              case Some(subs) =>
+                subs.foldLeft(withDefault.getField(f.name)) { (c, sub) =>
+                  buildValue(c, f.dataType, sub, resolver)
+                }.as(f.name)
               case None => withDefault.getField(f.name).as(f.name)
             }
           }: _*)
-        when(withDefault.isNull, withDefault).otherwise(rebuilt)
+          when(withDefault.isNull, withDefault).otherwise(rebuilt)
         }
       case ArrayType(et, _) =>
         schema.get("items") match {

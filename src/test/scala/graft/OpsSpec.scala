@@ -163,13 +163,44 @@ class OpsSpec extends SparkSpec {
 
   // ---- defaults builder ----
 
-  test("defaults builder: coalesce semantics incl. allOf merge") {
-    val df = Seq((1L, null.asInstanceOf[String], 5), (2L, "x", 7))
-      .toDF("id", "name", "n")
+  test("defaults builder: own properties suppress sibling allOf (else-if chain)") {
+    // jsen.js:752-812: `properties` and `allOf` are an else-if — a node
+    // with its own properties never descends into its allOf for defaults
+    val df = Seq((1L, null.asInstanceOf[String], null.asInstanceOf[Integer]),
+      (2L, "x", Integer.valueOf(7))).toDF("id", "name", "n")
     val built = graft.compile.DefaultsBuilder.build(df,
       """{"allOf":[{"properties":{"name":{"default":"anon"}}}],
           "properties":{"n":{"default":0}}}""")
     val rows = built.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
-    assert(rows.toSet == Set((1L, "anon", 5), (2L, "x", 7)))
+    assert(rows.toSet == Set((1L, null, 0), (2L, "x", 7)))
+  }
+
+  test("defaults builder: allOf branches apply in order, first default wins") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("id", "name")
+    val built = graft.compile.DefaultsBuilder.build(df,
+      """{"allOf":[{"properties":{"name":{"default":"first"}}},
+                   {"properties":{"name":{"default":"second"}}}]}""")
+    val rows = built.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == Set((1L, "first"), (2L, "x")))
+  }
+
+  test("defaults builder: PropertyMarker — drop only keys additional to >1 allOf branch") {
+    // fixes.js:123-175 (#47): a key declared by one branch survives
+    // another branch's additionalProperties:false; a key declared by no
+    // branch (marked twice) is dropped
+    val df = Seq((1L, "a", "b")).toDF("id", "declared_once", "rogue")
+    val built = graft.compile.DefaultsBuilder.build(df,
+      """{"allOf":[
+           {"properties":{"id":{},"declared_once":{}},"additionalProperties":false},
+           {"properties":{"id":{}},"additionalProperties":false}]}""")
+    assert(built.columns.toSeq == Seq("id", "declared_once"))
+    // single branch marking (count 1) keeps the key under allOf...
+    val single = graft.compile.DefaultsBuilder.build(df,
+      """{"allOf":[{"properties":{"id":{}},"additionalProperties":false}]}""")
+    assert(single.columns.toSeq == Seq("id", "declared_once", "rogue"))
+    // ...but a plain (non-allOf) node deletes immediately
+    val plain = graft.compile.DefaultsBuilder.build(df,
+      """{"properties":{"id":{}},"additionalProperties":false}""")
+    assert(plain.columns.toSeq == Seq("id"))
   }
 }
