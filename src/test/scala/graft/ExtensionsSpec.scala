@@ -2,6 +2,8 @@ package graft
 
 import graft.ext.{GraftExtensions, GraftFunctions}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
 
 /** SQL surface: custom expressions registered via SparkSessionExtensions /
   * a live-session FunctionRegistry. */
@@ -76,6 +78,44 @@ class ExtensionsSpec extends SparkSpec {
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == FuseArrayBounds)
+    }
+  }
+
+  test("ArrayBoundsCheck: interpreted eval ≡ codegen, both modes") {
+    import graft.compile.ArrayBoundsCheck
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+
+    val arrays: Seq[Any] = Seq(
+      Seq(1, 2, 3), Seq(0, 9), Seq(-1), Seq(10), Seq(1, null, 3),
+      Seq(-1, null), Seq(null, null), Seq.empty[Integer], null)
+    val schema = StructType(Seq(StructField("arr", ArrayType(IntegerType, true))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        arrays.map(a => org.apache.spark.sql.Row(a)).asJava), schema)
+
+    for (forallMode <- Seq(false, true); failOnNull <- Seq(false, true)) {
+      if (!(forallMode && failOnNull)) { // forall mode never fails on null
+        val expr = ColumnBridge.column(ArrayBoundsCheck(
+          ColumnBridge.expression(col("arr")),
+          Some(0L), Some(9L), loExclusive = false, hiExclusive = false,
+          failOnNull = failOnNull, forallSemantics = forallMode))
+        def results(codegen: Boolean): Seq[Any] = {
+          spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+          spark.conf.set("spark.sql.codegen.factoryMode",
+            if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+          try df.select(expr.as("ok")).collect()
+            .map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
+          finally {
+            spark.conf.unset("spark.sql.codegen.wholeStage")
+            spark.conf.unset("spark.sql.codegen.factoryMode")
+          }
+        }
+        val gen = results(codegen = true)
+        val interp = results(codegen = false)
+        assert(gen == interp,
+          s"forall=$forallMode failOnNull=$failOnNull gen=$gen interp=$interp")
+      }
     }
   }
 
