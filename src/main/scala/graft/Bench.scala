@@ -77,7 +77,10 @@ object BenchCore {
     // warm-up: JIT + codegen + file footers (not measured)
     df.select(compiled.valid.as("v")).where(!col("v")).count()
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // best-of-5: this VM shows up to 10x one-shot variance under
+    // hypervisor steal (BENCH.md) — more draws, better odds of a clean
+    // window, a few seconds of extra wall-clock
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     def best(f: => Unit): Double =
       (0 until iters).map(_ => time(f)._2).min
 
