@@ -90,6 +90,16 @@ class KeywordSpec extends SparkSpec {
       false, Seq(("", "exclusiveMaximum")))
   }
 
+  test("type: date (non-standard extension, test/date.js)") {
+    // jsen.js:79-81: `x instanceof Date` → Timestamp/Date columns
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05")
+    checkValue("""{"type":"date"}""", ts, TimestampType, true)
+    checkValue("""{"type":"date"}""", java.sql.Date.valueOf("2026-01-02"), DateType, true)
+    checkValue("""{"type":"date"}""", "2026-01-02", StringType, false, Seq(("", "type")))
+    checkValue("""{"type":"date"}""", null, TimestampType, false, Seq(("", "type")))
+    checkValue("""{"type":["date","null"]}""", null, TimestampType, true)
+  }
+
   test("keyword with malformed operand is ignored (schema never validated)") {
     // README.md:87-99: {minimum:'abc'} compiles to an always-true validator
     checkValue("""{"minimum":"abc"}""", -100, IntegerType, true)
