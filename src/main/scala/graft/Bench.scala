@@ -165,7 +165,7 @@ object Bench {
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val levels = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt)
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "16000000").toLong
     val cfg = TokenTable.Config(rows = rows, parts = 32, maxLen = 128)
     val dir = s"/tmp/graft_bench/rows_$rows"

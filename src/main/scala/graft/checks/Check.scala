@@ -68,8 +68,12 @@ object Check {
     * [, metric_value]). */
   def verdictsFromCounts(df: DataFrame, perPart: DataFrame, checkName: String,
                          metricValue: Column = lit(null).cast(DoubleType),
-                         knownParts: Seq[Int] = Nil): DataFrame = {
-    val parts = partsDf(df, knownParts)
+                         knownParts: Seq[Int] = Nil,
+                         partCol: String = PartCol): DataFrame = {
+    // normalize the caller's partition column to the canonical name so a
+    // check configured with partCol="day" builds the right universe
+    val parts = partsDf(df, knownParts, partCol)
+      .select(col(partCol).as(PartCol))
     val counts = perPart.withColumnRenamed("part", "vpart")
     parts.join(counts, parts(PartCol) === counts("vpart"), "left")
       .select(

@@ -45,6 +45,7 @@ final case class ReferentialCheck(
 
     val perPart = violations.groupBy("part").agg(count(lit(1)).as("violation_count"))
     CheckResult(violations,
-      Check.verdictsFromCounts(df, perPart, name, knownParts = knownParts))
+      Check.verdictsFromCounts(df, perPart, name,
+        knownParts = knownParts, partCol = partCol))
   }
 }

@@ -29,6 +29,10 @@ final case class StatsCheck(
   def run(df: DataFrame): CheckResult = {
     val spark = df.sparkSession
 
+    def wantsQuantiles(s: ColumnStatsSpec): Boolean =
+      s.quantiles.nonEmpty &&
+        df.schema(s.column).dataType.isInstanceOf[NumericType]
+
     val aggs: Seq[Column] = columns.flatMap { s =>
       val c = col(s.column)
       val isNum = df.schema(s.column).dataType.isInstanceOf[NumericType]
@@ -39,13 +43,35 @@ final case class StatsCheck(
           .as(s"${s.column}__min"),
         (if (isNum) max(c).cast(DoubleType) else lit(null).cast(DoubleType))
           .as(s"${s.column}__max"),
-        approx_count_distinct(c).as(s"${s.column}__distinct"))
+        approx_count_distinct(c).as(s"${s.column}__distinct")) ++
+        (if (wantsQuantiles(s))
+          Seq(graft.sketch.functions.kll_quantiles(
+            graft.sketch.functions.kll_sketch(c), s.quantiles)
+            .as(s"${s.column}__quantiles"))
+         else Seq.empty)
     }
 
     val agg = df.groupBy(col(partCol).as("part")).agg(aggs.head, aggs.tail: _*)
 
-    // one verdict row per (part, column): passed = every assertion holds
-    val verdicts = columns.map { s =>
+    // one verdict row per (part, column): passed = every assertion holds.
+    // Columns with quantiles configured emit one extra informational row
+    // per quantile (KLL estimate as metric_value, sanity-passed when it
+    // sits inside [min, max]).
+    val quantileVerdicts: Seq[DataFrame] = columns.filter(wantsQuantiles).flatMap { s =>
+      s.quantiles.zipWithIndex.map { case (p, i) =>
+        val est = element_at(col(s"${s.column}__quantiles"), i + 1)
+        val inRange = est.isNull ||
+          (est >= col(s"${s.column}__min") && est <= col(s"${s.column}__max"))
+        agg.select(
+          col("part"),
+          lit(s"$name:${s.column}:q$p").as("check"),
+          inRange.as("passed"),
+          lit(0L).as("violation_count"),
+          est.as("metric_value"))
+      }
+    }
+
+    val verdicts = (columns.map { s =>
       val nullRate = col(s"${s.column}__nulls").cast(DoubleType) / col(s"${s.column}__rows")
       val assertions = Seq(
         s.maxNullRate.map(r => nullRate <= lit(r)),
@@ -59,7 +85,7 @@ final case class StatsCheck(
         passed.as("passed"),
         when(passed, lit(0L)).otherwise(col(s"${s.column}__nulls")).as("violation_count"),
         nullRate.as("metric_value"))
-    }.reduce(_ unionAll _)
+    } ++ quantileVerdicts).reduce(_ unionAll _)
 
     CheckResult(Check.emptyViolations(spark), verdicts)
   }

@@ -60,6 +60,7 @@ final case class UniquenessCheck(
 
     val perPart = violations.groupBy("part").agg(count(lit(1)).as("violation_count"))
     CheckResult(violations,
-      Check.verdictsFromCounts(df, perPart, name, knownParts = knownParts))
+      Check.verdictsFromCounts(df, perPart, name,
+        knownParts = knownParts, partCol = partCol))
   }
 }

@@ -35,20 +35,19 @@ object DefaultsBuilder {
       case o: JObj => o
       case _ => return df
     }
-    val outCols: Seq[Column] = topLevel(schema, resolver, keepAdditional) match {
-      case None => df.schema.fieldNames.toSeq.map(col)
-      case Some((declared, dropSet)) =>
-        df.schema.fields.toSeq.flatMap { f =>
-          declared.get(f.name) match {
-            case Some(subs) =>
-              val value = subs.foldLeft(col(f.name)) { (c, sub) =>
-                buildValue(c, f.dataType, sub, resolver)
-              }
-              Some(value.as(f.name))
-            case None =>
-              if (dropSet(f.name)) None else Some(col(f.name))
-          }
-        }
+    val (surviving, defaults) =
+      plan(schema, resolver, keepAdditional, df.schema.fieldNames.toVector)
+    val declared: Map[String, Seq[JObj]] =
+      defaults.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val outCols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
+      if (!surviving.contains(f.name)) None
+      else declared.get(f.name) match {
+        case Some(subs) =>
+          Some(subs.foldLeft(col(f.name)) { (c, sub) =>
+            buildValue(c, f.dataType, sub, resolver)
+          }.as(f.name))
+        case None => Some(col(f.name))
+      }
     }
     df.select(outCols: _*)
   }
@@ -62,10 +61,11 @@ object DefaultsBuilder {
       case _ => None
     }
 
-  private def ownProps(schema: JObj, resolver: SchemaResolver): Option[Map[String, JObj]] =
+  /** Own `properties` of a node, in declaration order. */
+  private def ownProps(schema: JObj, resolver: SchemaResolver): Option[Vector[(String, JObj)]] =
     schema.obj("properties").map(_.fields.flatMap {
       case (k, v) => resolved(v, resolver).map(k -> _)
-    }.toMap)
+    })
 
   /** Does this node drop additional keys? (jsen.js:770-773) */
   private def dropsAdditional(schema: JObj, keepAdditional: Boolean): Boolean =
@@ -75,34 +75,52 @@ object DefaultsBuilder {
       case None => !keepAdditional
     }
 
-  /** (column → sub-schemas to apply in order, column-drop predicate), or
-    * None when the node declares nothing build-relevant. */
-  private def topLevel(schema: JObj, resolver: SchemaResolver,
-                       keepAdditional: Boolean)
-      : Option[(Map[String, Seq[JObj]], String => Boolean)] = {
-    ownProps(schema, resolver) match {
+  /** Replicates build()'s recursion level-by-level over the column set:
+    * returns (surviving columns, (column, default-schema) pairs in
+    * traversal order). A node with own `properties` drops undeclared
+    * columns immediately (when the drop rule holds); an allOf node gets
+    * its OWN PropertyMarker — branches with properties only MARK
+    * undeclared columns, a column marked by more than one branch is
+    * dropped after the loop, and a nested allOf branch recurses with its
+    * own marker whose deletions apply immediately (jsen.js:690-812). */
+  private def plan(node: JObj, resolver: SchemaResolver, keepAdditional: Boolean,
+                   cols: Vector[String])
+      : (Vector[String], Vector[(String, JObj)]) = {
+    ownProps(node, resolver) match {
       case Some(props) =>
-        val drop = dropsAdditional(schema, keepAdditional)
-        Some((props.view.mapValues(Seq(_)).toMap,
-          name => drop && !props.contains(name)))
+        val declared = props.map(_._1).toSet
+        val surviving =
+          if (dropsAdditional(node, keepAdditional)) cols.filter(declared)
+          else cols
+        (surviving, props)
       case None =>
-        val branches = schema.arr("allOf").getOrElse(Vector.empty)
+        val branches = node.arr("allOf").getOrElse(Vector.empty)
           .flatMap(resolved(_, resolver))
-        if (branches.isEmpty) None
+        if (branches.isEmpty) (cols, Vector.empty)
         else {
-          val branchProps = branches.map(b => ownProps(b, resolver))
-          val declared: Map[String, Seq[JObj]] = branchProps.flatten
-            .flatMap(_.toSeq).groupBy(_._1).view
-            .mapValues(_.map(_._2).toSeq).toMap
-          // PropertyMarker: a key is dropped only when >1 branch marks it
-          // (branch has properties, drops additionals, doesn't declare it)
-          def markCount(name: String): Int =
-            branches.zip(branchProps).count {
-              case (b, Some(props)) =>
-                dropsAdditional(b, keepAdditional) && !props.contains(name)
-              case _ => false
+          var surviving = cols
+          val marks = scala.collection.mutable.Map.empty[String, Int]
+          val defaults = Vector.newBuilder[(String, JObj)]
+          branches.foreach { b =>
+            ownProps(b, resolver) match {
+              case Some(props) =>
+                defaults ++= props
+                if (dropsAdditional(b, keepAdditional)) {
+                  val declared = props.map(_._1).toSet
+                  surviving.foreach { c =>
+                    if (!declared(c))
+                      marks(c) = marks.getOrElse(c, 0) + 1
+                  }
+                }
+              case None =>
+                // nested allOf: its own marker, deletions apply now
+                val (s2, d2) = plan(b, resolver, keepAdditional, surviving)
+                surviving = s2
+                defaults ++= d2
             }
-          Some((declared, name => !declared.contains(name) && markCount(name) > 1))
+          }
+          (surviving.filterNot(c => marks.getOrElse(c, 0) > 1),
+            defaults.result())
         }
     }
   }
@@ -119,8 +137,9 @@ object DefaultsBuilder {
         // is fixed — "dropping" a nested field would mean nulling it, which
         // build never does to populated values)
         val props: Map[String, Seq[JObj]] =
-          topLevel(schema, resolver, keepAdditional = true).map(_._1)
-            .getOrElse(Map.empty)
+          plan(schema, resolver, keepAdditional = true,
+            st.fieldNames.toVector)._2
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
         if (props.isEmpty) withDefault
         else {
           val rebuilt = struct(st.fields.toSeq.map { f =>

@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", name)
+    new ExpressionInfo("graft", null, name, usage, "")
 
   /** Evaluate a foldable array-of-numeric argument at analysis time. */
   private def foldDoubles(e: Expression, arg: String, fn: String): Seq[Double] = {

@@ -101,6 +101,13 @@ final case class KllCdf(child: Expression, points: Seq[Double])
   override def nullable: Boolean = true
   override def prettyName: String = "kll_cdf"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_cdf requires binary sketch, got ${other.simpleString(10)}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val sketch = KllSketch.deserialize(input.asInstanceOf[Array[Byte]])
     if (sketch.isEmpty) null

@@ -59,6 +59,7 @@ final class KllSketch private (
 
   def update(v: Double): Unit = {
     if (v.isNaN) return // NaN has no rank; mirror SQL aggregate NULL-skip
+    invalidate()
     if (n == 0) { minV = v; maxV = v }
     else { if (v < minV) minV = v; if (v > maxV) maxV = v }
     levels(0) += v
@@ -102,6 +103,7 @@ final class KllSketch private (
 
   def merge(other: KllSketch): Unit = {
     if (other.isEmpty) return
+    invalidate()
     if (isEmpty) { minV = other.minV; maxV = other.maxV }
     else { minV = math.min(minV, other.minV); maxV = math.max(maxV, other.maxV) }
     while (numLevels < other.numLevels) levels += ArrayBuffer.empty[Double]
@@ -111,8 +113,16 @@ final class KllSketch private (
     if (totalSize > totalCapacity) compress()
   }
 
-  /** (value, weight) support points sorted by value. */
+  /** (value, weight) support points sorted by value — computed lazily and
+    * cached: multi-probe reads (a quantile per probability, a CDF per
+    * support point in ksDistance) would otherwise re-sort per call. The
+    * cache is invalidated by every mutation (update/merge). */
+  @transient private var weightedCache: (Array[Double], Array[Long]) = _
+
+  private def invalidate(): Unit = weightedCache = null
+
   private def weighted(): (Array[Double], Array[Long]) = {
+    if (weightedCache != null) return weightedCache
     val m = totalSize
     val vs = new Array[Double](m)
     val ws = new Array[Long](m)
@@ -127,7 +137,8 @@ final class KllSketch private (
     }
     // co-sort by value
     val order = (0 until m).sortBy(vs(_))
-    (order.map(vs(_)).toArray, order.map(ws(_)).toArray)
+    weightedCache = (order.map(vs(_)).toArray, order.map(ws(_)).toArray)
+    weightedCache
   }
 
   /** Smallest tracked value whose estimated rank covers `p*n` (p in [0,1]).

@@ -62,26 +62,40 @@ object StreamingValidation {
       .where(col("key").isNotNull)
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, DupEvent](
+      .flatMapGroupsWithState[(Long, Long), DupEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val prior = state.getOption.getOrElse(0L)
-            val batch = rows.size.toLong
+            val (prior, priorMaxTs) = state.getOption.getOrElse((0L, 0L))
+            var batch = 0L
+            var maxTs = priorMaxTs
+            rows.foreach { case (_, ts) =>
+              batch += 1
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
             val total = prior + batch
-            state.update(total)
-            // evict once the watermark passes this key's last sighting
-            if (state.getCurrentWatermarkMs() > 0)
+            state.update((total, maxTs))
+            // evict when the watermark passes this key's LAST sighting plus
+            // the retention delay — anchored to the key's own event time,
+            // not the current watermark, so duplicates anywhere inside the
+            // retention window are caught and first-batch keys (watermark
+            // still 0) get a timeout too
+            try state.setTimeoutTimestamp(maxTs, watermarkDelay)
+            catch { case _: IllegalArgumentException =>
+              // key's horizon already behind the watermark → evict ASAP
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            }
             // occurrences prior+2 .. total are duplicates (the first
             // sighting of the key is occurrence 1 and stays silent)
             val firstDup = math.max(prior + 1, 2L)
             (firstDup to total).iterator.map(DupEvent(key, _))
           }
-      }(Encoders.scalaLong, Encoders.product[DupEvent])
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        Encoders.product[DupEvent])
   }
 
   /** Watermarked per-window verdicts: (window, part, passed,

@@ -203,4 +203,23 @@ class OpsSpec extends SparkSpec {
       """{"properties":{"id":{}},"additionalProperties":false}""")
     assert(plain.columns.toSeq == Seq("id"))
   }
+
+  test("defaults builder: nested allOf recurses; declaration doesn't shield from >1 marks") {
+    // jsen build() recurses into a branch that is itself an allOf
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "name")
+    val nested = graft.compile.DefaultsBuilder.build(df,
+      """{"allOf":[{"allOf":[{"properties":{"name":{"default":"anon"}}}]}]}""")
+    assert(nested.collect().head.getString(1) == "anon")
+
+    // a key declared (with default) by one branch is still deleted when
+    // TWO other branches mark it additional (reference: marking checks
+    // only the marking branch's own properties)
+    val df2 = Seq((1L, "v")).toDF("id", "x")
+    val dropped = graft.compile.DefaultsBuilder.build(df2,
+      """{"allOf":[
+           {"properties":{"x":{"default":"d"}}},
+           {"properties":{"id":{}},"additionalProperties":false},
+           {"properties":{"id":{}},"additionalProperties":false}]}""")
+    assert(dropped.columns.toSeq == Seq("id"))
+  }
 }

@@ -54,6 +54,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val dups = spark.table("sv_dups").as[(String, Long)].collect().toSet
       assert(dups == Set(("a", 2L), ("b", 2L)), dups.toString)
+
+      // duplicate inside the retention window must be caught even after an
+      // unrelated event advanced the watermark past the key's first
+      // sighting (the eviction timeout anchors to the key's own event
+      // time + delay, not to the current watermark)
+      source.addData(Ev("z", 1, Timestamp.valueOf("2026-01-01 00:05:00")))
+      q.processAllAvailable() // watermark → ~00:00:01 (> a/b sightings)
+      source.addData(Ev("a", 1, Timestamp.valueOf("2026-01-01 00:06:00")))
+      q.processAllAvailable()
+      val dups2 = spark.table("sv_dups").as[(String, Long)].collect().toSet
+      assert(dups2.contains(("a", 3L)), dups2.toString)
     } finally q.stop()
   }
 
