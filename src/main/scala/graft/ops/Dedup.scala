@@ -47,16 +47,22 @@ object Dedup {
                  rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature (k values) of a text column's n-gram shingle set. */
+  /** MinHash signature (k values) of a text column's n-gram shingle set.
+    * Single pass: one fold over the shingle ids updating all k slots per
+    * element (`zip_with` against the (a,b) coefficient table), instead of
+    * k separate `array_min(transform(...))` traversals — HOF lambdas are
+    * interpreted, so pass count is the dominant cost. */
   def minhashSignature(text: Column, shingleN: Int = 3, k: Int = 64,
                        seed: Long = 42L): Column = {
     // 32-bit shingle ids keep the affine hash inside Long range
     val ids = transform(shingles(text, shingleN),
       s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
-    val fam = hashFamily(k, seed)
-    array(fam.map { case (a, b) =>
-      array_min(transform(ids, x => pmod(x * lit(a) + lit(b), lit(HashPrime))))
-    }: _*)
+    val ab = typedlit(hashFamily(k, seed))
+    aggregate(
+      ids,
+      typedlit(Seq.fill(k)(HashPrime)),
+      (acc, x) => zip_with(acc, ab, (cur, c) =>
+        least(cur, pmod(x * c.getField("_1") + c.getField("_2"), lit(HashPrime)))))
   }
 
   /** LSH candidate pairs from MinHash signatures, verified with exact
@@ -114,15 +120,27 @@ object Dedup {
     verifyJaccard(a.join(b, Seq("block")).where(col("id_a") < col("id_b")), threshold)
   }
 
+  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
+
   /** 64-bit SimHash of the shingle set: sign of the per-bit weighted sum
-    * of shingle hashes. */
+    * of shingle hashes. Single pass: fold over the hashes once
+    * accumulating all 64 bit-counts (`zip_with` against a mask table),
+    * then one reduction of counts → sign bits — instead of 64 separate
+    * `filter` traversals of the hash array. */
   def simhash(text: Column, shingleN: Int = 3): Column = {
     val ids = transform(shingles(text, shingleN), s => xxhash64(s))
-    // bit b of the signature: 1 iff #(hashes with bit b set) > #hashes/2
-    (0 until 64).map { b =>
-      when(size(filter(ids, h => shiftright(h, b).bitwiseAND(1L) === 1L)) * 2 > size(ids),
-        shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+    val masks = typedlit(BitMasks)
+    // counts(b) = #(hashes with bit b set)
+    val counts = aggregate(
+      ids,
+      typedlit(Seq.fill(64)(0L)),
+      (acc, h) => zip_with(acc, masks, (cnt, m) =>
+        cnt + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(0L)))
+    // bit b of the signature: 1 iff counts(b) > #hashes/2
+    aggregate(
+      zip_with(counts, masks, (cnt, m) =>
+        when(cnt * 2 > size(ids), m).otherwise(lit(0L))),
+      lit(0L), (a, c) => a.bitwiseOR(c))
   }
 
   /** SimHash near-duplicate candidates: Hamming(sig_a, sig_b) <= maxDist,

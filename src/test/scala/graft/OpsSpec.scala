@@ -161,6 +161,31 @@ class OpsSpec extends SparkSpec {
     assert(lens.toSeq == Seq(8, 8, 8, 8))
   }
 
+  test("single-pass minhash/simhash equal the per-slot reference formulations") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80)
+    // reference (multi-pass) formulations, as originally implemented
+    val ids32 = transform(Dedup.shingles(col("text"), 2),
+      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    val rnd = new scala.util.Random(42L)
+    val fam = Seq.fill(16)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+    val refMinhash = array(fam.map { case (a, b) =>
+      array_min(transform(ids32, x => pmod(x * lit(a) + lit(b), lit(2305843009213693951L))))
+    }: _*)
+    val ids = transform(Dedup.shingles(col("text"), 2), s => xxhash64(s))
+    val refSimhash = (0 until 64).map { b =>
+      when(size(filter(ids, h => shiftright(h, b).bitwiseAND(1L) === 1L)) * 2 > size(ids),
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+
+    val cmp = docs.select(
+      (Dedup.minhashSignature(col("text"), 2, 16) === refMinhash).as("mh_eq"),
+      (Dedup.simhash(col("text"), 2) === refSimhash).as("sh_eq")).collect()
+    assert(cmp.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   // ---- defaults builder ----
 
   test("defaults builder: own properties suppress sibling allOf (else-if chain)") {
