@@ -78,11 +78,14 @@ object Dedup {
       shingles(col(textCol), shingleN).as("sh"),
       minhashSignature(col(textCol), shingleN, k, seed).as("sig"))
 
-    // band hash = xxhash64 of the band's signature slice
+    // band hash = xxhash64 of the band's signature slice; cached — the
+    // bucket SELF-join below would otherwise recompute every signature
+    // once per side
     val banded = withSig.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
       }: _*)).as(Seq("band", "bucket")))
+      .cache()
 
     // bucket self-join: only docs agreeing on a full band collide
     val a = banded.select(col("band"), col("bucket"),
@@ -120,27 +123,15 @@ object Dedup {
     verifyJaccard(a.join(b, Seq("block")).where(col("id_a") < col("id_b")), threshold)
   }
 
-  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
-
-  /** 64-bit SimHash of the shingle set: sign of the per-bit weighted sum
-    * of shingle hashes. Single pass: fold over the hashes once
-    * accumulating all 64 bit-counts (`zip_with` against a mask table),
-    * then one reduction of counts → sign bits — instead of 64 separate
-    * `filter` traversals of the hash array. */
+  /** 64-bit SimHash of the shingle set: sign of the per-bit majority vote
+    * of shingle hashes, computed by the custom [[graft.compile.SimHash64]]
+    * expression — a single plain-JVM loop per row. The equivalent
+    * Catalyst-HOF fold runs interpreted with a 64-slot allocation per
+    * element and is ~n×64 boxed ops per row. */
   def simhash(text: Column, shingleN: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val ids = transform(shingles(text, shingleN), s => xxhash64(s))
-    val masks = typedlit(BitMasks)
-    // counts(b) = #(hashes with bit b set)
-    val counts = aggregate(
-      ids,
-      typedlit(Seq.fill(64)(0L)),
-      (acc, h) => zip_with(acc, masks, (cnt, m) =>
-        cnt + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(0L)))
-    // bit b of the signature: 1 iff counts(b) > #hashes/2
-    aggregate(
-      zip_with(counts, masks, (cnt, m) =>
-        when(cnt * 2 > size(ids), m).otherwise(lit(0L))),
-      lit(0L), (a, c) => a.bitwiseOR(c))
+    ColumnBridge.column(graft.compile.SimHash64(ColumnBridge.expression(ids)))
   }
 
   /** SimHash near-duplicate candidates: Hamming(sig_a, sig_b) <= maxDist,
@@ -148,8 +139,11 @@ object Dedup {
     * Output: (id_a, id_b, hamming). */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 3, shingleN: Int = 3): DataFrame = {
+    // cached: the chunk self-join recomputes each side's projection, and
+    // the signature fold is the expensive part
     val sigs = df.select(col(idCol).as("id"),
       simhash(col(textCol), shingleN).as("sig"))
+      .cache()
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)
