@@ -213,7 +213,10 @@ object ScalingBench {
       println(f"""{"cores":$cores,"median_sec":$t%.3f,"sequences_per_sec":${sps.round},"tokens_per_sec":${tps.round},"rows":$nRows,"reps":$reps}""")
     }
     if (results.length >= 2) {
-      val lo = results.head; val hi = results.last
+      // sort by core count so descending args (`ScalingBench 4 1`) can't
+      // invert the lo/hi efficiency pair against the north rule
+      val ordered = results.sortBy(_._1)
+      val lo = ordered.head; val hi = ordered.last
       val ratio = hi._1.toDouble / lo._1
       val eff = (hi._2 / lo._2) / ratio
       println(f"""{"scaling":"${lo._1}->${hi._1}","throughput_ratio":${hi._2 / lo._2}%.3f,"efficiency":$eff%.3f}""")

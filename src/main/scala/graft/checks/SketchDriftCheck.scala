@@ -29,16 +29,20 @@ final case class SketchDriftCheck(
     val spark = df.sparkSession
     val ref = KllSketch.deserialize(referenceSketch)
 
+    // null partitions are filtered (a NULL group would null-unbox to a
+    // fabricated part-0 verdict) and the partition column is cast to int
+    // explicitly so non-Int partition columns fail at analysis, not with a
+    // runtime ClassCastException
     val perPart = df
-      .groupBy(col(partCol).as("part"))
+      .where(col(partCol).isNotNull)
+      .groupBy(col(partCol).cast(IntegerType).as("part"))
       .agg(gf.kll_sketch(col(column).cast(DoubleType), k).as("sketch"))
       .collect()
 
     val rows = perPart.toSeq.map { r =>
-      val part = r.get(0)
       val obs = KllSketch.deserialize(r.getAs[Array[Byte]]("sketch"))
       val d = KllSketch.ksDistance(obs, ref)
-      Row(part.asInstanceOf[Int], name, d <= threshold, 0L, d)
+      Row(r.getInt(0), name, d <= threshold, 0L, d)
     }
 
     val schema = StructType(Seq(

@@ -35,38 +35,47 @@ object CheckQueries {
     // quantile_cont, both rank = p*(n-1) with linear interpolation); at
     // 10^12 rows the same query runs on the KLL sketch instead — see
     // q_quantile_sketch for the sketch path
+    // scalar columns (q25/q50/q75), not an array column — the driver's
+    // comparator sorts with pandas, which cannot sort list-typed cells
     Q("q_stats_quantiles",
       (s, d) => {
         val df = T(s, d, "orders").withColumn("part",
           pmod(col("o_orderkey"), lit(4)).cast("int"))
         df.groupBy("part").agg(
-          transform(
-            expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"),
-            x => round(x, 2)).as("price_quartiles"))
+          round(expr("percentile(o_totalprice, 0.25D)"), 2).as("price_q25"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 2).as("price_q50"),
+          round(expr("percentile(o_totalprice, 0.75D)"), 2).as("price_q75"))
       },
       Some("""SELECT (o_orderkey % 4)::INT AS part,
-                list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                               x -> round(x, 2)) AS price_quartiles
+                round(quantile_cont(o_totalprice, 0.25), 2) AS price_q25,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS price_q50,
+                round(quantile_cont(o_totalprice, 0.75), 2) AS price_q75
               FROM orders GROUP BY 1""")),
 
     // KLL-sketch quantiles (mergeable, persistable — the 10^12-row path).
-    // Approximate by construction → no SQL oracle; correctness vs exact
-    // quantiles is bounded in KllSpec. Sanity-pinned here: the estimated
-    // median must sit within the true [p25, p75].
+    // Approximate by construction, so the oracled columns are the
+    // invariants: row count per part, and the estimated median landing
+    // inside the true rank band [p40, p60] (KLL rank error « 0.1 at this
+    // k; the exact-error contract is asserted in KllSpec). Scalar columns
+    // only — the driver's pandas comparator cannot sort array cells.
     Q("q_quantile_sketch",
       (s, d) => {
         import graft.sketch.{functions => gf}
         val df = T(s, d, "documents").withColumn("part",
           pmod(col("doc_id"), lit(4)).cast("int"))
         df.groupBy("part").agg(
-          gf.kll_quantiles(gf.kll_sketch(col("n_chars")), Seq(0.25, 0.5, 0.75))
-            .as("n_chars_quartiles_est"),
+          gf.kll_quantiles(gf.kll_sketch(col("n_chars")), Seq(0.5))
+            .getItem(0).as("est_median"),
+          expr("percentile(n_chars, 0.4D)").as("lo"),
+          expr("percentile(n_chars, 0.6D)").as("hi"),
           count(lit(1)).as("n_rows"))
-          .where(element_at(col("n_chars_quartiles_est"), 2)
-            .between(element_at(col("n_chars_quartiles_est"), 1),
-              element_at(col("n_chars_quartiles_est"), 3)))
+          .select(col("part"), col("n_rows"),
+            (col("est_median") >= col("lo") && col("est_median") <= col("hi"))
+              .as("median_in_band"))
       },
-      None),
+      Some("""SELECT (doc_id % 4)::INT AS part, count(*) AS n_rows,
+                     true AS median_in_band
+              FROM documents GROUP BY 1""")),
 
     // same sketch through the SQL surface (GraftFunctions registered on
     // the live session — the spark.sql.extensions path for spark-submit):

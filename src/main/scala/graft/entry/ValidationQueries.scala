@@ -74,14 +74,18 @@ object ValidationQueries {
       (s, d) => validate(T(s, d, "lineitem"),
         """{"properties":{
              "l_quantity":{"minimum":1,"maximum":25},
-             "l_discount":{"minimum":0,"exclusiveMinimum":true}}}""",
+             "l_discount":{"minimum":0,"exclusiveMinimum":true},
+             "l_extendedprice":{"maximum":60000,"exclusiveMaximum":true}}}""",
         Seq("l_orderkey", "l_linenumber")),
       Some("""SELECT l_orderkey, l_linenumber,
-             (l_quantity >= 1 AND l_quantity <= 25 AND l_discount > 0) AS valid,
+             (l_quantity >= 1 AND l_quantity <= 25 AND l_discount > 0
+              AND l_extendedprice < 60000) AS valid,
              (CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END
             + CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
             + CASE WHEN l_discount < 0 THEN 1 ELSE 0 END
-            + CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+            + CASE WHEN l_discount = 0 THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice > 60000 THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice = 60000 THEN 1 ELSE 0 END)::BIGINT AS nviol
              FROM lineitem""")),
 
     Q("q_multiple_of",
@@ -107,7 +111,7 @@ object ValidationQueries {
               when(pmod(col("l_orderkey"), lit(89)) === 0 && i === 0, 500).otherwise(0))
               .cast("int")).as("tokens"))
         validate(df,
-          """{"properties":{"tokens":{"type":"array","minItems":1,
+          """{"properties":{"tokens":{"type":"array","minItems":1,"maxItems":4,
                "items":{"type":"integer","minimum":0,"maximum":99}}}}""",
           Seq("l_orderkey", "l_linenumber"))
       },
@@ -118,8 +122,10 @@ object ValidationQueries {
                         - (CASE WHEN l_orderkey % 89 = 0 AND i = 0 THEN 500 ELSE 0 END)) AS tokens
                FROM lineitem)
              SELECT l_orderkey, l_linenumber,
-               (len(tokens) >= 1 AND len(list_filter(tokens, x -> x < 0 OR x > 99)) = 0) AS valid,
+               (len(tokens) >= 1 AND len(tokens) <= 4
+                AND len(list_filter(tokens, x -> x < 0 OR x > 99)) = 0) AS valid,
                (CASE WHEN len(tokens) < 1 THEN 1 ELSE 0 END
+                + CASE WHEN len(tokens) > 4 THEN 1 ELSE 0 END
                 + len(list_filter(tokens, x -> x < 0 OR x > 99)))::BIGINT AS nviol
              FROM t""")),
 
@@ -173,38 +179,54 @@ object ValidationQueries {
               + CASE WHEN len(pair) > 2 THEN 1 ELSE 0 END)::BIGINT AS nviol
              FROM t""")),
 
-    // anyOf + oneOf + not in one spec; greedy error counts follow the
-    // reference's rollback arithmetic (branch errors survive only on
-    // combinator failure)
+    // allOf + anyOf + oneOf + not in one spec; greedy error counts follow
+    // the reference's rollback arithmetic (branch errors survive only on
+    // combinator failure; allOf branch errors always surface directly,
+    // with no allOf record of its own — jsen.js:412-420, README.md:388)
     Q("q_combinators",
       (s, d) => validate(T(s, d, "orders"),
         """{"properties":{
              "o_totalprice":{"anyOf":[{"maximum":50000},{"minimum":150000}]},
              "o_custkey":{"oneOf":[{"maximum":700},{"minimum":300}]},
-             "o_orderkey":{"not":{"multipleOf":5}}}}""",
+             "o_orderkey":{"not":{"multipleOf":5}},
+             "o_orderpriority":{"allOf":[{"minLength":6},{"maxLength":8}]}}}""",
         Seq("o_orderkey")),
       Some("""SELECT o_orderkey,
              ((o_totalprice <= 50000 OR o_totalprice >= 150000)
               AND NOT (o_custkey <= 700 AND o_custkey >= 300)
-              AND o_orderkey % 5 <> 0) AS valid,
+              AND o_orderkey % 5 <> 0
+              AND length(o_orderpriority) >= 6 AND length(o_orderpriority) <= 8) AS valid,
              (CASE WHEN NOT (o_totalprice <= 50000 OR o_totalprice >= 150000) THEN 3 ELSE 0 END
             + CASE WHEN (o_custkey <= 700 AND o_custkey >= 300) THEN 1
                    WHEN NOT (o_custkey <= 700 OR o_custkey >= 300) THEN 3 ELSE 0 END
-            + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+            + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN length(o_orderpriority) < 6 THEN 1 ELSE 0 END
+            + CASE WHEN length(o_orderpriority) > 8 THEN 1 ELSE 0 END)::BIGINT AS nviol
              FROM orders""")),
 
+    // property form (discount → tax must be present) AND schema form
+    // (tax present → whole instance re-validated against a sub-schema,
+    // jsen.js:393-398)
     Q("q_dependencies",
       (s, d) => validate(
         T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           expr("nullif(l_discount, 0.0)").as("discount"),
           expr("nullif(l_tax, 0.02)").as("tax")),
-        """{"dependencies":{"discount":["tax"]}}""",
+        """{"dependencies":{
+             "discount":["tax"],
+             "tax":{"properties":{"discount":{"minimum":0.02}}}}}""",
         Seq("l_orderkey", "l_linenumber")),
-      Some("""SELECT l_orderkey, l_linenumber,
-             (nullif(l_discount, 0.0) IS NULL OR nullif(l_tax, 0.02) IS NOT NULL) AS valid,
-             (CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
-                    AND nullif(l_tax, 0.02) IS NULL THEN 1 ELSE 0 END)::BIGINT AS nviol
-             FROM lineitem""")),
+      Some("""WITH t AS (
+               SELECT l_orderkey, l_linenumber,
+                 nullif(l_discount, 0.0) AS discount, nullif(l_tax, 0.02) AS tax
+               FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+             ((discount IS NULL OR tax IS NOT NULL)
+              AND (tax IS NULL OR discount IS NULL OR discount >= 0.02)) AS valid,
+             (CASE WHEN discount IS NOT NULL AND tax IS NULL THEN 1 ELSE 0 END
+            + CASE WHEN tax IS NOT NULL AND discount IS NOT NULL
+                    AND discount < 0.02 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM t""")),
 
     // the error contract itself: one row per violation with jsen paths
     Q("q_violation_rows",
@@ -233,6 +255,120 @@ object ValidationQueries {
         """{"definitions":{"charRange":{"minimum":100,"maximum":450}},
             "properties":{"n_chars":{"$ref":"#/definitions/charRange"}}}""",
         Seq("doc_id")),
+      Some("""SELECT doc_id, (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS valid,
+             (CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    // built-in formats (email, ipv4 — strings only) + one custom format
+    // (runs last, for all types — jsen.js:1015-1035). Columns synthesized
+    // from doc_id so the oracle can restate the expected match outcome
+    // arithmetically; the regexes themselves are conformance-tested against
+    // the reference's vectors in KeywordSpec.
+    Q("q_format",
+      (s, d) => {
+        val df = T(s, d, "documents").select(
+          col("doc_id"),
+          concat(lit("u"), col("doc_id").cast("string"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("@example.com"))
+              .otherwise(lit(""))).as("email"),
+          concat(pmod(col("doc_id"), lit(300)).cast("string"), lit(".0.0.1")).as("ip"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("EN")).otherwise(lit("en")).as("code"))
+        val v = Validator(
+          """{"properties":{"email":{"format":"email"},
+                            "ip":{"format":"ipv4"},
+                            "code":{"format":"lang-code"}}}""",
+          ValidatorOptions(greedy = true,
+            formats = Map("lang-code" -> Left("^[a-z]{2}$"))))
+          .withValidation(df)
+        v.select(col("doc_id"), col("valid"),
+          size(col("errors")).cast("long").as("nviol"))
+      },
+      Some("""SELECT doc_id,
+             (doc_id % 3 = 0 AND doc_id % 300 < 256 AND doc_id % 5 <> 0) AS valid,
+             (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 300 >= 256 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    // open-object semantics over a MapType column: minProperties /
+    // maxProperties / properties descent / patternProperties /
+    // additionalProperties=false with key reporting, all in one fused
+    // entry pass (reference generator: jsen.js:239-253, 303-378).
+    // Key universe per row: 'lang' always; 'src' unless doc_id%11=0;
+    // 'extra' when doc_id%7=0.
+    Q("q_object_open",
+      (s, d) => {
+        val m = map_filter(
+          map(lit("lang"), col("lang"),
+              lit("src"), col("source"),
+              lit("extra"), lit("x")),
+          (k, _) => when(k === "extra", pmod(col("doc_id"), lit(7)) === 0)
+            .when(k === "src", pmod(col("doc_id"), lit(11)) =!= 0)
+            .otherwise(lit(true)))
+        val df = T(s, d, "documents").select(col("doc_id"), m.as("m"))
+        validate(df,
+          """{"properties":{"m":{"type":"object",
+               "minProperties":2,"maxProperties":2,
+               "properties":{"src":{"pattern":"^src[0-9]+$"}},
+               "patternProperties":{"^la":{"enum":["en","de","fr"]}},
+               "additionalProperties":false}}}""",
+          Seq("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             (NOT (doc_id % 11 = 0 AND doc_id % 7 <> 0)
+              AND NOT (doc_id % 11 <> 0 AND doc_id % 7 = 0)
+              AND (doc_id % 11 = 0 OR regexp_matches(source, '^src[0-9]+$'))
+              AND (lang IS NOT NULL AND lang IN ('en','de','fr'))
+              AND doc_id % 7 <> 0) AS valid,
+             (CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 11 <> 0
+                    AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END
+            + CASE WHEN lang IS NULL OR lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    // additionalItems SCHEMA form: positional sub-schema for element 0,
+    // the rest-schema for every later element (jsen.js:220-236)
+    Q("q_items_rest",
+      (s, d) => {
+        val df = T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          array((col("l_linenumber") - 1).cast("int"),
+            pmod(col("l_orderkey"), lit(60)).cast("int"),
+            pmod(col("l_orderkey"), lit(75)).cast("int")).as("xs"))
+        validate(df,
+          """{"properties":{"xs":{
+               "items":[{"minimum":1}],
+               "additionalItems":{"maximum":50}}}}""",
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH t AS (
+               SELECT l_orderkey, l_linenumber,
+                 [l_linenumber - 1, l_orderkey % 60, l_orderkey % 75] AS xs
+               FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+               (xs[1] >= 1 AND xs[2] <= 50 AND xs[3] <= 50) AS valid,
+               (CASE WHEN xs[1] < 1 THEN 1 ELSE 0 END
+              + CASE WHEN xs[2] > 50 THEN 1 ELSE 0 END
+              + CASE WHEN xs[3] > 50 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM t""")),
+
+    // external schema registry (options.schemas, README.md:205-215):
+    // a cross-document "$ref": "chars#/definitions/range"
+    Q("q_ref_external",
+      (s, d) => {
+        val v = Validator(
+          """{"properties":{"n_chars":{"$ref":"chars#/definitions/range"}}}""",
+          ValidatorOptions(greedy = true,
+            schemas = graft.json.Json.parse(
+              """{"chars":{"definitions":{"range":{"minimum":100,"maximum":450}}}}""")
+              match { case o: graft.json.JObj => Some(o); case _ => None }))
+          .withValidation(T(s, d, "documents"))
+        v.select(col("doc_id"), col("valid"),
+          size(col("errors")).cast("long").as("nviol"))
+      },
       Some("""SELECT doc_id, (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS valid,
              (CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
             + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT AS nviol

@@ -59,7 +59,10 @@ object StreamingValidation {
       // for EventTimeTimeout to be legal
       .select(col(keyCol).cast("string").as("key"),
         col(tsCol).as("ts"))
-      .where(col("key").isNotNull)
+      // drop null keys AND null event times: a NULL ts reaching the
+      // stateful operator would NPE on ts.getTime and kill the whole
+      // streaming query on one malformed record
+      .where(col("key").isNotNull && col("ts").isNotNull)
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), DupEvent](

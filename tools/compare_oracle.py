@@ -37,8 +37,15 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     if sc != dc:
         fails.append((name, f"schema mismatch: spark={sc} duck={dc}"))
         continue
-    s = spark_df[sc].sort_values(sc).reset_index(drop=True)
-    d = duck_df[dc].sort_values(dc).reset_index(drop=True)
+    # defense: pandas cannot sort list/ndarray cells — tuple-ize them
+    def tupleize(df):
+        for c in df.columns:
+            if df[c].map(lambda x: hasattr(x, "__len__") and not isinstance(x, (str, bytes))).any():
+                df[c] = df[c].map(lambda x: tuple(x.tolist()) if hasattr(x, "tolist")
+                                  else (tuple(x) if isinstance(x, list) else x))
+        return df
+    s = tupleize(spark_df[sc].copy()).sort_values(sc).reset_index(drop=True)
+    d = tupleize(duck_df[dc].copy()).sort_values(dc).reset_index(drop=True)
     if len(s) != len(d):
         fails.append((name, f"row count: spark={len(s)} duck={len(d)}"))
         continue
