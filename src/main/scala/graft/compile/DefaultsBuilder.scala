@@ -22,13 +22,33 @@ import org.apache.spark.sql.types._
   *    `additionalProperties: false`);
   *  - outside allOf, an undeclared key is dropped when the node says
   *    `additionalProperties: false`, or when the caller passed
-  *    `keepAdditional = false` and the node is silent (jsen.js:764-782).
+  *    `Additional.Drop` and the node is silent (jsen.js:764-782);
+  *  - `Additional.Always` keeps undeclared keys unconditionally, even when
+  *    a node says `additionalProperties: false` — the reference's
+  *    `options.additionalProperties === 'always'` mode (jsen.js:764-767,
+  *    test/build.js:588-735).
   */
 object DefaultsBuilder {
 
+  /** The reference's tri-state `options.additionalProperties`
+    * (undefined / false / 'always', jsen.js:764-782). */
+  sealed trait Additional
+  object Additional {
+    /** Option unset: follow the schema; a silent node keeps extras. */
+    case object Keep extends Additional
+    /** Option false: a silent node drops extras too. */
+    case object Drop extends Additional
+    /** Option 'always': extras survive even `additionalProperties:false`. */
+    case object Always extends Additional
+  }
+
   /** Apply spec defaults to a DataFrame's columns. */
   def build(df: DataFrame, specJson: String,
-            keepAdditional: Boolean = true): DataFrame = {
+            keepAdditional: Boolean = true): DataFrame =
+    build(df, specJson,
+      if (keepAdditional) Additional.Keep else Additional.Drop)
+
+  def build(df: DataFrame, specJson: String, additional: Additional): DataFrame = {
     val spec = Json.parse(specJson)
     val resolver = new SchemaResolver(spec)
     val schema = resolver.resolve(spec) match {
@@ -36,7 +56,7 @@ object DefaultsBuilder {
       case _ => return df
     }
     val (surviving, defaults) =
-      plan(schema, resolver, keepAdditional, df.schema.fieldNames.toVector)
+      plan(schema, resolver, additional, df.schema.fieldNames.toVector)
     val declared: Map[String, Seq[JObj]] =
       defaults.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val outCols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
@@ -67,12 +87,15 @@ object DefaultsBuilder {
       case (k, v) => resolved(v, resolver).map(k -> _)
     })
 
-  /** Does this node drop additional keys? (jsen.js:770-773) */
-  private def dropsAdditional(schema: JObj, keepAdditional: Boolean): Boolean =
-    schema.get("additionalProperties") match {
-      case Some(JBool(false)) => true
-      case Some(_) => false
-      case None => !keepAdditional
+  /** Does this node drop additional keys? (jsen.js:764-782) */
+  private def dropsAdditional(schema: JObj, additional: Additional): Boolean =
+    additional match {
+      case Additional.Always => false
+      case _ => schema.get("additionalProperties") match {
+        case Some(JBool(false)) => true
+        case Some(_) => false
+        case None => additional == Additional.Drop
+      }
     }
 
   /** Replicates build()'s recursion level-by-level over the column set:
@@ -83,14 +106,14 @@ object DefaultsBuilder {
     * undeclared columns, a column marked by more than one branch is
     * dropped after the loop, and a nested allOf branch recurses with its
     * own marker whose deletions apply immediately (jsen.js:690-812). */
-  private def plan(node: JObj, resolver: SchemaResolver, keepAdditional: Boolean,
+  private def plan(node: JObj, resolver: SchemaResolver, additional: Additional,
                    cols: Vector[String])
       : (Vector[String], Vector[(String, JObj)]) = {
     ownProps(node, resolver) match {
       case Some(props) =>
         val declared = props.map(_._1).toSet
         val surviving =
-          if (dropsAdditional(node, keepAdditional)) cols.filter(declared)
+          if (dropsAdditional(node, additional)) cols.filter(declared)
           else cols
         (surviving, props)
       case None =>
@@ -105,7 +128,7 @@ object DefaultsBuilder {
             ownProps(b, resolver) match {
               case Some(props) =>
                 defaults ++= props
-                if (dropsAdditional(b, keepAdditional)) {
+                if (dropsAdditional(b, additional)) {
                   val declared = props.map(_._1).toSet
                   surviving.foreach { c =>
                     if (!declared(c))
@@ -114,7 +137,7 @@ object DefaultsBuilder {
                 }
               case None =>
                 // nested allOf: its own marker, deletions apply now
-                val (s2, d2) = plan(b, resolver, keepAdditional, surviving)
+                val (s2, d2) = plan(b, resolver, additional, surviving)
                 surviving = s2
                 defaults ++= d2
             }
@@ -137,7 +160,7 @@ object DefaultsBuilder {
         // is fixed — "dropping" a nested field would mean nulling it, which
         // build never does to populated values)
         val props: Map[String, Seq[JObj]] =
-          plan(schema, resolver, keepAdditional = true,
+          plan(schema, resolver, Additional.Keep,
             st.fieldNames.toVector)._2
             .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
         if (props.isEmpty) withDefault

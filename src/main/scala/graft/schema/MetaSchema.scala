@@ -1,0 +1,165 @@
+package graft.schema
+
+import graft.json.{JObj, Json}
+
+/** The JSON-Schema draft-4 core meta-schema (the public document published
+  * at http://json-schema.org/draft-04/schema). The reference ships it
+  * in-repo and special-cases the URI during resolution
+  * (/root/reference/lib/resolver.js:162-164 + lib/metaschema.json), so a
+  * self-describing spec — `{"$ref": "http://json-schema.org/draft-04/schema#"}`
+  * — compiles without the caller registering anything. We register it as an
+  * always-present external schema so its internal `#`-scoped refs resolve
+  * inside its own id scope.
+  */
+object MetaSchema {
+
+  val Uri = "http://json-schema.org/draft-04/schema#"
+
+  /** URI with and without the empty fragment both refer to the metaschema
+    * (the reference strips the trailing '#' before comparing). */
+  def matches(ref: String): Boolean =
+    ref == Uri || ref + "#" == Uri
+
+  lazy val schema: JObj = Json.parse(text) match {
+    case o: JObj => o
+    case _ => throw new IllegalStateException("graft: metaschema must parse to an object")
+  }
+
+  private val text: String =
+    """{
+      "id": "http://json-schema.org/draft-04/schema#",
+      "$schema": "http://json-schema.org/draft-04/schema#",
+      "description": "Core schema meta-schema",
+      "definitions": {
+        "schemaArray": {
+          "type": "array",
+          "minItems": 1,
+          "items": { "$ref": "#" }
+        },
+        "positiveInteger": {
+          "type": "integer",
+          "minimum": 0
+        },
+        "positiveIntegerDefault0": {
+          "allOf": [ { "$ref": "#/definitions/positiveInteger" }, { "default": 0 } ]
+        },
+        "simpleTypes": {
+          "enum": [ "array", "boolean", "integer", "null", "number", "object", "string" ]
+        },
+        "stringArray": {
+          "type": "array",
+          "items": { "type": "string" },
+          "minItems": 1,
+          "uniqueItems": true
+        }
+      },
+      "type": "object",
+      "properties": {
+        "id": { "type": "string" },
+        "$schema": { "type": "string" },
+        "title": { "type": "string" },
+        "description": { "type": "string" },
+        "default": {},
+        "multipleOf": {
+          "type": "number",
+          "minimum": 0,
+          "exclusiveMinimum": true
+        },
+        "maximum": { "type": "number" },
+        "exclusiveMaximum": {
+          "type": "boolean",
+          "default": false
+        },
+        "minimum": { "type": "number" },
+        "exclusiveMinimum": {
+          "type": "boolean",
+          "default": false
+        },
+        "maxLength": { "$ref": "#/definitions/positiveInteger" },
+        "minLength": { "$ref": "#/definitions/positiveIntegerDefault0" },
+        "pattern": {
+          "type": "string",
+          "format": "regex"
+        },
+        "additionalItems": {
+          "anyOf": [
+            { "type": "boolean" },
+            { "$ref": "#" }
+          ],
+          "default": {}
+        },
+        "items": {
+          "anyOf": [
+            { "$ref": "#" },
+            { "$ref": "#/definitions/schemaArray" }
+          ],
+          "default": {}
+        },
+        "maxItems": { "$ref": "#/definitions/positiveInteger" },
+        "minItems": { "$ref": "#/definitions/positiveIntegerDefault0" },
+        "uniqueItems": {
+          "type": "boolean",
+          "default": false
+        },
+        "maxProperties": { "$ref": "#/definitions/positiveInteger" },
+        "minProperties": { "$ref": "#/definitions/positiveIntegerDefault0" },
+        "required": { "$ref": "#/definitions/stringArray" },
+        "additionalProperties": {
+          "anyOf": [
+            { "type": "boolean" },
+            { "$ref": "#" }
+          ],
+          "default": {}
+        },
+        "definitions": {
+          "type": "object",
+          "additionalProperties": { "$ref": "#" },
+          "default": {}
+        },
+        "properties": {
+          "type": "object",
+          "additionalProperties": { "$ref": "#" },
+          "default": {}
+        },
+        "patternProperties": {
+          "type": "object",
+          "additionalProperties": { "$ref": "#" },
+          "default": {}
+        },
+        "dependencies": {
+          "type": "object",
+          "additionalProperties": {
+            "anyOf": [
+              { "$ref": "#" },
+              { "$ref": "#/definitions/stringArray" }
+            ]
+          }
+        },
+        "enum": {
+          "type": "array",
+          "minItems": 1,
+          "uniqueItems": true
+        },
+        "type": {
+          "anyOf": [
+            { "$ref": "#/definitions/simpleTypes" },
+            {
+              "type": "array",
+              "items": { "$ref": "#/definitions/simpleTypes" },
+              "minItems": 1,
+              "uniqueItems": true
+            }
+          ]
+        },
+        "allOf": { "$ref": "#/definitions/schemaArray" },
+        "anyOf": { "$ref": "#/definitions/schemaArray" },
+        "oneOf": { "$ref": "#/definitions/schemaArray" },
+        "not": { "$ref": "#" }
+      },
+      "dependencies": {
+        "exclusiveMaximum": [ "maximum" ],
+        "exclusiveMinimum": [ "minimum" ]
+      },
+      "default": {}
+    }"""
+}

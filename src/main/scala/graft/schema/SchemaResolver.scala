@@ -55,6 +55,19 @@ final class SchemaResolver private (
         key -> child
       }.toMap
     }
+    // the draft-4 metaschema is an always-present external scope
+    // (resolver.js:162-164 + lib/metaschema.json): a self-describing
+    // `$ref: "http://json-schema.org/draft-04/schema#"` resolves without
+    // the caller registering anything. A user schema that declares the
+    // same id wins (the merge is skipped).
+    if (!(rootSchema eq MetaSchema.schema) && !idCache.contains(MetaSchema.Uri)) {
+      val meta = SchemaResolver.metaschemaResolver
+      idCache(MetaSchema.Uri) = (meta, meta.rootSchema)
+      // the metaschema's internal `#`-scoped refs must normalize inside its
+      // own id scope even when this resolver follows them (node-identity
+      // keyed, and MetaSchema.schema is a singleton, so the keys are stable)
+      refCache.putAll(meta.refCache)
+    }
   }
 
   private def cacheId(id: String, schema: JValue, resolver: SchemaResolver): Unit = {
@@ -164,6 +177,11 @@ final class SchemaResolver private (
 }
 
 object SchemaResolver {
+
+  /** Shared resolver over the draft-4 metaschema singleton: pre-walked
+    * once, merged into every resolver's caches at construction. */
+  lazy val metaschemaResolver: SchemaResolver =
+    new SchemaResolver(MetaSchema.schema, None, false)
 
   final case class RefPath(base: String, path: List[String])
 

@@ -135,6 +135,36 @@ class CombinatorSpec extends SparkSpec {
     assert(ex.getMessage.contains("circular"))
   }
 
+  test("$ref: draft-4 metaschema URI resolves without registration (resolver.js:162-164)") {
+    // a schema-shaped struct validated against the self-describing
+    // metaschema: `type` must be one of the seven simpleTypes (or an
+    // array of them) and `minimum` must be a number
+    val dt = StructType(Seq(
+      StructField("type", StringType),
+      StructField("minimum", DoubleType)))
+    val spec = """{"$ref":"http://json-schema.org/draft-04/schema#"}"""
+    checkValue(spec, Row("integer", 3.0), dt, true)
+    checkValue(spec, Row("bogus", null), dt, false)
+    // URI without the empty fragment resolves too
+    checkValue("""{"$ref":"http://json-schema.org/draft-04/schema"}""",
+      Row("string", null), dt, true)
+  }
+
+  test("$ref: JSON-Pointer into the metaschema") {
+    val spec = """{"$ref":"http://json-schema.org/draft-04/schema#/definitions/positiveInteger"}"""
+    checkValue(spec, 3, IntegerType, true)
+    checkValue(spec, -1, IntegerType, false, Seq(("", "minimum")))
+  }
+
+  test("$ref: a user schema declaring the metaschema id wins over the built-in") {
+    val spec = """{"id":"http://json-schema.org/draft-04/schema#",
+                   "properties":{"a":{"$ref":"http://json-schema.org/draft-04/schema#"}}}"""
+    // the self-id makes the ref point at THIS schema, whose `properties.a`
+    // only applies to objects — an int field passes
+    checkValue(spec, Row(5),
+      StructType(Seq(StructField("a", IntegerType))), true)
+  }
+
   test("missing$Ref option substitutes always-pass (test/missing.js)") {
     val opts = compile.ValidatorOptions(missingRef = true)
     checkValue("""{"properties":{"a":{"$ref":"nowhere"}}}""",

@@ -247,4 +247,31 @@ class OpsSpec extends SparkSpec {
            {"properties":{"id":{}},"additionalProperties":false}]}""")
     assert(dropped.columns.toSeq == Seq("id"))
   }
+
+  test("defaults builder: additionalProperties modes (default/false/'always')") {
+    import graft.compile.DefaultsBuilder
+    import graft.compile.DefaultsBuilder.Additional
+    val df = Seq((1L, "v")).toDF("id", "extra")
+    val spec = """{"properties":{"id":{}},"additionalProperties":false}"""
+    val silent = """{"properties":{"id":{}}}"""
+    // schema says false → dropped under default and Drop...
+    assert(DefaultsBuilder.build(df, spec).columns.toSeq == Seq("id"))
+    assert(DefaultsBuilder.build(df, spec, Additional.Drop).columns.toSeq == Seq("id"))
+    // ...but 'always' keeps extras even then (jsen.js:764-767,
+    // test/build.js:588-735)
+    assert(DefaultsBuilder.build(df, spec, Additional.Always)
+      .columns.toSeq == Seq("id", "extra"))
+    // silent schema: default keeps, Drop drops, Always keeps
+    assert(DefaultsBuilder.build(df, silent).columns.toSeq == Seq("id", "extra"))
+    assert(DefaultsBuilder.build(df, silent, Additional.Drop).columns.toSeq == Seq("id"))
+    assert(DefaultsBuilder.build(df, silent, Additional.Always)
+      .columns.toSeq == Seq("id", "extra"))
+    // 'always' suppresses allOf PropertyMarker deletions too
+    val marked = DefaultsBuilder.build(df,
+      """{"allOf":[
+           {"properties":{"id":{}},"additionalProperties":false},
+           {"properties":{"id":{}},"additionalProperties":false}]}""",
+      Additional.Always)
+    assert(marked.columns.toSeq == Seq("id", "extra"))
+  }
 }
