@@ -22,6 +22,27 @@ object OpsQueries {
     s"(CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN ($sw)))::DOUBLE / len(w) ELSE 0.0 END)"
   }
 
+  // DuckDB restatement of graft.compile.Fingerprint32 (the portable
+  // shingle-id hash): polynomial rolling hash over code points mod 2^31-1.
+  // list_reduce seeds with the first element, which equals folding from 0
+  // because (0*m + cp0) % M = cp0.
+  private def duckFp(s: String, mult: Int = 31): String =
+    s"""(CASE WHEN length($s) = 0 THEN 0
+         ELSE list_reduce(list_transform(string_split($s, ''), c -> ascii(c)::BIGINT),
+                          (a, b) -> (a*$mult + b) % 2147483647) END)"""
+
+  // shared CTE prefix: word-bigram shingle sets of documents with
+  // doc_id < 200 (mirrors Dedup.shingles(text, 2))
+  private val duckShingles200 =
+    s"""w AS (SELECT doc_id, $duckWords AS w FROM documents WHERE doc_id < 200),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 2
+                 THEN list_distinct(list_transform(range(0, len(w)-1),
+                        i -> w[i+1] || ' ' || w[i+2]))
+                 ELSE [list_aggregate(w, 'string_agg', ' ')] END AS sh
+          FROM w)"""
+
   val all: Seq[Q] = Seq(
 
     Q("q_dedup_exact",
@@ -54,18 +75,70 @@ object OpsQueries {
                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.12""")),
 
-    // LSH/SimHash: rows-only smoke (recall properties proven in DedupSpec)
+    // MinHash LSH with an EXACT DuckDB oracle: the gate variant swaps the
+    // shingle-id hash for the portable polynomial hash (xxhash64 is not
+    // SQL-restateable; the affine family, banding, bucket join, pair
+    // dedup, and Jaccard verification — the parts that matter at scale —
+    // are identical to the production path and are restated verbatim).
     Q("q_dedup_minhash_lsh",
       (s, d) => Dedup.minhashDuplicates(
-        T(s, d, "documents").limit(200), "doc_id", "text",
-        threshold = 0.10, shingleN = 2, bands = 16, rowsPerBand = 2),
-      None),
+        T(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
+        threshold = 0.10, shingleN = 2, bands = 16, rowsPerBand = 2,
+        shingleId = Dedup.portableShingleId),
+      Some {
+        val fam = Dedup.hashFamily(16 * 2, 42L)
+        val slots = fam.map { case (a, b) =>
+          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+        }.mkString("[", ",\n                 ", "]")
+        s"""WITH $duckShingles200,
+            ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM sh),
+            sig AS (SELECT doc_id, $slots AS sig FROM ids),
+            banded AS (
+              SELECT doc_id, t.b AS band, sig[t.b*2 + 1 : t.b*2 + 2] AS bucket
+              FROM sig, unnest(range(0, 16)) AS t(b)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT p.id_a, p.id_b,
+                round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b)
+            SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.10"""
+      }),
 
+    // SimHash near-dup with an EXACT DuckDB oracle: the gate variant packs
+    // two portable polynomial hashes into a 62-bit shingle hash; the
+    // majority-vote signature, 16-bit chunk blocking, pair dedup, and
+    // Hamming filter are restated verbatim.
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhashDuplicates(
-        T(s, d, "documents").limit(200), "doc_id", "text",
-        maxDist = 16, shingleN = 2),
-      None),
+        T(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
+        maxDist = 16, shingleN = 2,
+        shingleId = Dedup.portableShingleId62),
+      Some(
+        s"""WITH $duckShingles200,
+            hs AS (SELECT doc_id,
+                     list_transform(sh, s -> ${duckFp("s")} + ${duckFp("s", 37)} * 2147483648) AS hs
+                   FROM sh),
+            sig AS (SELECT doc_id,
+                     list_sum(list_transform(range(0, 62), b ->
+                       CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sig
+                   FROM hs),
+            chunked AS (
+              SELECT doc_id, sig, t.c AS chunk, (sig >> (t.c*16)::INT) & 65535 AS ckey
+              FROM sig, unnest(range(0, 4)) AS t(c)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM chunked a JOIN chunked b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+            FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 16""")),
 
     Q("q_embed_cosine_pairs",
       (s, d) => {

@@ -40,63 +40,95 @@ object Dedup {
   /** Deterministic affine hash family h_i(x) = (a_i * x + b_i) mod p with
     * a,b < 2^31 over 32-bit shingle ids, so a*x+b < 2^63 never overflows a
     * Long (ANSI-safe — no 128-bit arithmetic needed). Seeded driver-side,
-    * so every run and every executor agrees. */
-  private def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
+    * so every run and every executor agrees. Exposed (package-private) so
+    * oracle harnesses can restate the exact family in SQL. */
+  private[graft] def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
                  rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature (k values) of a text column's n-gram shingle set.
-    * Single pass: one fold over the shingle ids updating all k slots per
-    * element (`zip_with` against the (a,b) coefficient table), instead of
-    * k separate `array_min(transform(...))` traversals — HOF lambdas are
-    * interpreted, so pass count is the dominant cost. */
+  /** Default shingle-id hash: xxhash64 masked to 32 bits. */
+  val xxhashShingleId: Column => Column =
+    s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))
+
+  /** Portable shingle-id hash: a 31-bit polynomial rolling hash over code
+    * points — weaker mixing than xxhash64 but restateable verbatim in any
+    * SQL engine (one `list_reduce`), which is what lets the LSH gate
+    * queries carry an exact independent DuckDB oracle. */
+  val portableShingleId: Column => Column =
+    s => TextAnalysis.fingerprint(s)
+
+  /** Portable 62-bit shingle hash for SimHash: two independent polynomial
+    * hashes (multipliers 31 and 37) packed as lo | hi<<31. Bits 62-63 are
+    * always zero; the majority vote just leaves them unset. */
+  val portableShingleId62: Column => Column =
+    s => TextAnalysis.fingerprint(s) +
+      TextAnalysis.fingerprint(s, 37L) * lit(2147483648L)
+
+  /** MinHash signature (k values) of a text column's n-gram shingle set,
+    * computed by the custom [[graft.compile.MinHashSignature]] expression:
+    * one JVM loop per row updating all k slots per shingle. The equivalent
+    * Catalyst-HOF fold (`aggregate` + k-wide `zip_with`) runs interpreted
+    * with a fresh boxed k-array per element. */
   def minhashSignature(text: Column, shingleN: Int = 3, k: Int = 64,
-                       seed: Long = 42L): Column = {
-    // 32-bit shingle ids keep the affine hash inside Long range
-    val ids = transform(shingles(text, shingleN),
-      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
-    val ab = typedlit(hashFamily(k, seed))
-    aggregate(
-      ids,
-      typedlit(Seq.fill(k)(HashPrime)),
-      (acc, x) => zip_with(acc, ab, (cur, c) =>
-        least(cur, pmod(x * c.getField("_1") + c.getField("_2"), lit(HashPrime)))))
+                       seed: Long = 42L,
+                       shingleId: Column => Column = xxhashShingleId): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // ≤32-bit shingle ids keep the affine hash inside Long range
+    val ids = transform(shingles(text, shingleN), shingleId)
+    val fam = hashFamily(k, seed)
+    ColumnBridge.column(graft.compile.MinHashSignature(
+      ColumnBridge.expression(ids), fam.map(_._1), fam.map(_._2)))
   }
 
   /** LSH candidate pairs from MinHash signatures, verified with exact
     * n-gram Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold. Input df must have (idCol, textCol). */
+    * jaccard >= threshold. Input df must have (idCol, textCol).
+    *
+    * Scale shape: the band self-join carries ONLY (id, band, bucket) — no
+    * shingle arrays cross the band shuffle or sit in the cache. The bucket
+    * key is the band's raw signature slice (exact, no hash-bucket
+    * collisions, and restateable by a SQL oracle). Candidate id pairs are
+    * deduped, eagerly materialized (they are the smallest intermediate in
+    * the pipeline — bounded by LSH collisions), and only then re-joined to
+    * the per-doc shingle sets for exact Jaccard verification; with pairs
+    * small, that re-join broadcasts the pairs and the shingles never
+    * shuffle. Materializing the pairs also bounds the band cache's
+    * lifetime to this call (no unbounded executor-storage growth across
+    * repeated dedup calls). */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3,
                         bands: Int = 16, rowsPerBand: Int = 4,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L,
+                        shingleId: Column => Column = xxhashShingleId): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df.select(
+    // narrow banded frame, cached so the self-join doesn't recompute every
+    // signature once per side
+    val banded = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"),
-      minhashSignature(col(textCol), shingleN, k, seed).as("sig"))
-
-    // band hash = xxhash64 of the band's signature slice; cached — the
-    // bucket SELF-join below would otherwise recompute every signature
-    // once per side
-    val banded = withSig.select(col("id"), col("sh"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
-      .cache()
+      minhashSignature(col(textCol), shingleN, k, seed, shingleId).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+        }: _*)).as(Seq("band", "bucket")))
+      .persist()
 
     // bucket self-join: only docs agreeing on a full band collide
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairIds = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // eager: bounds the band cache's lifetime
+    banded.unpersist(false)
 
+    // re-join shingles by id for the exact verification pass
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val candidates = pairIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     verifyJaccard(candidates, threshold)
   }
 
@@ -128,22 +160,26 @@ object Dedup {
     * expression — a single plain-JVM loop per row. The equivalent
     * Catalyst-HOF fold runs interpreted with a 64-slot allocation per
     * element and is ~n×64 boxed ops per row. */
-  def simhash(text: Column, shingleN: Int = 3): Column = {
+  def simhash(text: Column, shingleN: Int = 3,
+              shingleId: Column => Column = xxhash64(_)): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val ids = transform(shingles(text, shingleN), s => xxhash64(s))
+    val ids = transform(shingles(text, shingleN), shingleId)
     ColumnBridge.column(graft.compile.SimHash64(ColumnBridge.expression(ids)))
   }
 
   /** SimHash near-duplicate candidates: Hamming(sig_a, sig_b) <= maxDist,
     * blocked on 16-bit chunks (pigeonhole: dist<=3 ⇒ ≥1 of 4 chunks equal).
-    * Output: (id_a, id_b, hamming). */
+    * Output: (id_a, id_b, hamming). The chunk self-join carries only one
+    * long signature per side; the output is eagerly materialized so the
+    * signature cache's lifetime is bounded to this call. */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = 3, shingleN: Int = 3): DataFrame = {
+                        maxDist: Int = 3, shingleN: Int = 3,
+                        shingleId: Column => Column = xxhash64(_)): DataFrame = {
     // cached: the chunk self-join recomputes each side's projection, and
     // the signature fold is the expensive part
     val sigs = df.select(col(idCol).as("id"),
-      simhash(col(textCol), shingleN).as("sig"))
-      .cache()
+      simhash(col(textCol), shingleN, shingleId).as("sig"))
+      .persist()
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)
@@ -152,11 +188,14 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    val out = a.join(b, Seq("chunk", "ckey"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+      .localCheckpoint(true) // eager: bounds the sig cache's lifetime
+    sigs.unpersist(false)
+    out
   }
 }

@@ -72,10 +72,12 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling-hash fingerprint over code points, mod 2^31-1 —
-    * deterministic across engines and platforms (no float, no JVM hash). */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, c) => pmod(acc * 31 + c, lit(2147483647L)))
+    * deterministic across engines and platforms (no float, no JVM hash).
+    * Computed by the custom [[graft.compile.Fingerprint32]] expression:
+    * one JVM loop over code points instead of the interpreted HOF fold
+    * over a one-string-per-character `split` array. */
+  def fingerprint(text: Column, mult: Long = 31L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.Fingerprint32(ColumnBridge.expression(text), mult))
+  }
 }
