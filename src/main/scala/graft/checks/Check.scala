@@ -36,6 +36,13 @@ trait Check extends Serializable {
     * and hands every check the literal list. Default: ignore (checks that
     * aggregate `groupBy(part)` directly never discover). */
   def withKnownParts(parts: Seq[Int]): Check = this
+
+  /** Inject the partition universe as a LAZY (typically cached) DataFrame
+    * instead of a literal list: the pipeline folds discovery into the
+    * verdict write job — one shared subtree, zero dedicated upfront jobs —
+    * rather than running an eager discovery scan before any check starts.
+    * Default: ignore. */
+  def withPartsUniverse(parts: DataFrame): Check = this
 }
 
 object Check {
@@ -52,15 +59,17 @@ object Check {
     StructField("check", StringType)))
 
   /** The partition universe: the pipeline-provided literal list when
-    * available (no input scan), else a distinct scan of the partition
-    * column. */
+    * available (no input scan), else the pipeline's shared lazy universe
+    * frame, else a distinct scan of the partition column. */
   def partsDf(df: DataFrame, knownParts: Seq[Int],
-              partCol: String = PartCol): DataFrame =
+              partCol: String = PartCol,
+              universe: Option[DataFrame] = None): DataFrame =
     if (knownParts.nonEmpty) {
       val spark = df.sparkSession
       import spark.implicits._
       knownParts.toDF(partCol)
-    } else df.select(col(partCol)).distinct()
+    } else universe.map(_.toDF(partCol))
+      .getOrElse(df.select(col(partCol)).distinct())
 
   /** Verdict frame builder: every partition present in `df` gets a verdict
     * row even when it has zero violations (absent partitions must read as
@@ -69,10 +78,11 @@ object Check {
   def verdictsFromCounts(df: DataFrame, perPart: DataFrame, checkName: String,
                          metricValue: Column = lit(null).cast(DoubleType),
                          knownParts: Seq[Int] = Nil,
-                         partCol: String = PartCol): DataFrame = {
+                         partCol: String = PartCol,
+                         universe: Option[DataFrame] = None): DataFrame = {
     // normalize the caller's partition column to the canonical name so a
     // check configured with partCol="day" builds the right universe
-    val parts = partsDf(df, knownParts, partCol)
+    val parts = partsDf(df, knownParts, partCol, universe)
       .select(col(partCol).as(PartCol))
     val counts = perPart.withColumnRenamed("part", "vpart")
     parts.join(counts, parts(PartCol) === counts("vpart"), "left")

@@ -21,10 +21,13 @@ final case class KsDriftCheck(
     threshold: Double = 0.05,
     bin: Column => Column = identity,
     partCol: String = Check.PartCol,
-    knownParts: Seq[Int] = Nil) extends Check {
+    knownParts: Seq[Int] = Nil,
+    partsUniverse: Option[DataFrame] = None) extends Check {
 
   val name = s"drift_ks:$column"
   override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
+  override def withPartsUniverse(parts: DataFrame): Check =
+    copy(partsUniverse = Some(parts))
 
   def run(df: DataFrame): CheckResult = {
     val spark = df.sparkSession
@@ -37,7 +40,7 @@ final case class KsDriftCheck(
 
     // replicate the (small) reference histogram per observed partition so
     // the CDF union is computed per part
-    val parts = Check.partsDf(df, knownParts, partCol).toDF("part")
+    val parts = Check.partsDf(df, knownParts, partCol, partsUniverse).toDF("part")
     val refPerPart = parts.crossJoin(broadcast(ref))
 
     val joined = obs.join(refPerPart, Seq("part", "bin"), "full_outer")
@@ -83,10 +86,13 @@ final case class Chi2DriftCheck(
     threshold: Double,
     keyTransform: Column => Column = identity,
     partCol: String = Check.PartCol,
-    knownParts: Seq[Int] = Nil) extends Check {
+    knownParts: Seq[Int] = Nil,
+    partsUniverse: Option[DataFrame] = None) extends Check {
 
   val name = s"drift_chi2:$keyName"
   override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
+  override def withPartsUniverse(parts: DataFrame): Check =
+    copy(partsUniverse = Some(parts))
 
   def run(df: DataFrame): CheckResult = {
     val spark = df.sparkSession
@@ -102,10 +108,13 @@ final case class Chi2DriftCheck(
       .select(keyTransform(col("key0")).as("key"))
       .where(col("key").isNotNull)
       .groupBy("key").agg(count(lit(1)).as("r_cnt"))
-    val refTotal = refHist.agg(sum("r_cnt")).head().getLong(0).toDouble
-    val refFrac = refHist.select(col("key"), (col("r_cnt") / lit(refTotal)).as("p"))
+    // the reference total stays a lazy 1-row cross-join (a `.head()` here
+    // would serialize an extra driver-side job per check mid-plan)
+    val refTotal = refHist.agg(sum("r_cnt").cast(DoubleType).as("_rt"))
+    val refFrac = refHist.crossJoin(broadcast(refTotal))
+      .select(col("key"), (col("r_cnt") / col("_rt")).as("p"))
 
-    val parts = Check.partsDf(df, knownParts, partCol).toDF("part")
+    val parts = Check.partsDf(df, knownParts, partCol, partsUniverse).toDF("part")
     val refPerPart = parts.crossJoin(broadcast(refFrac))
 
     val joined = obs.join(refPerPart, Seq("part", "key"), "full_outer")

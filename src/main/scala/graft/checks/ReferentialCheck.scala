@@ -20,10 +20,13 @@ final case class ReferentialCheck(
     activeCol: Option[String] = Some("active"),
     partCol: String = Check.PartCol,
     idCol: String = Check.IdCol,
-    knownParts: Seq[Int] = Nil) extends Check {
+    knownParts: Seq[Int] = Nil,
+    partsUniverse: Option[DataFrame] = None) extends Check {
 
   val name = "referential"
   override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
+  override def withPartsUniverse(parts: DataFrame): Check =
+    copy(partsUniverse = Some(parts))
 
   def run(df: DataFrame): CheckResult = {
     val allowed0 = activeCol match {
@@ -46,6 +49,6 @@ final case class ReferentialCheck(
     val perPart = violations.groupBy("part").agg(count(lit(1)).as("violation_count"))
     CheckResult(violations,
       Check.verdictsFromCounts(df, perPart, name,
-        knownParts = knownParts, partCol = partCol))
+        knownParts = knownParts, partCol = partCol, universe = partsUniverse))
   }
 }

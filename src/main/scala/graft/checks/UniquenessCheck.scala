@@ -21,11 +21,14 @@ final case class UniquenessCheck(
     keyCol: String = Check.IdCol,
     saltBuckets: Int = 64,
     partCol: String = Check.PartCol,
-    knownParts: Seq[Int] = Nil) extends Check {
+    knownParts: Seq[Int] = Nil,
+    partsUniverse: Option[DataFrame] = None) extends Check {
 
   val name = "uniqueness"
   override def isGlobal: Boolean = true
   override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
+  override def withPartsUniverse(parts: DataFrame): Check =
+    copy(partsUniverse = Some(parts))
 
   def run(df: DataFrame): CheckResult = {
     val keyed = df.where(col(keyCol).isNotNull)
@@ -61,6 +64,6 @@ final case class UniquenessCheck(
     val perPart = violations.groupBy("part").agg(count(lit(1)).as("violation_count"))
     CheckResult(violations,
       Check.verdictsFromCounts(df, perPart, name,
-        knownParts = knownParts, partCol = partCol))
+        knownParts = knownParts, partCol = partCol, universe = partsUniverse))
   }
 }

@@ -33,6 +33,7 @@ final case class PipelineResult(
     rowsValidated: Long)
 
 final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
+  import org.apache.spark.sql.types.DoubleType
 
   def run(input: DataFrame): PipelineResult = {
     val spark = input.sparkSession
@@ -43,32 +44,50 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
       if (committed.isEmpty) input
       else input.where(!col(cfg.partCol).isin(committed.toSeq: _*))
 
-    val partCounts = pending.groupBy(col(cfg.partCol)).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (partCounts.isEmpty) {
+    // Resume fast path: when everything is already committed, learn it
+    // from a first-row probe (stops at the first pending row) instead of
+    // scanning anything further. Fresh runs skip even the probe.
+    if (committed.nonEmpty && pending.isEmpty) {
       return PipelineResult(
         Check.emptyViolations(spark),
         spark.emptyDataFrame,
         Seq.empty, committed.toSeq.sorted, 0L)
     }
 
-    val pendingParts = partCounts.keys.toSeq.sorted
+    // Per-partition row counts, LAZY and cached: the aggregation runs
+    // inside the verdict write job (one shared subtree, cached for the
+    // other consumers below) instead of a dedicated eager full-input
+    // pre-count job — at 10^12 rows that job was a whole extra pass made
+    // solely for commit metadata. The same frame doubles as (a) the
+    // `row_count` verdict rows, (b) the partition universe injected into
+    // every check, and (c) the commit metadata collected from cache after
+    // the writes.
+    val rowCounts = pending
+      .groupBy(col(cfg.partCol).cast("int").as("part"))
+      .agg(count(lit(1)).as("n_rows"))
+      .persist()
+    val universe = rowCounts.select(col("part"))
+    val rowCountVerdicts = rowCounts.select(
+      col("part"),
+      lit("row_count").as("check"),
+      lit(true).as("passed"),
+      lit(0L).as("violation_count"),
+      col("n_rows").cast(DoubleType).as("metric_value"))
 
     val t0 = System.nanoTime()
     // global checks see the full input (cross-partition semantics) but
-    // report only for pending partitions; local checks scan pending only.
-    // The partition universe is injected so no check repeats the
-    // discovery scan this pipeline already did (withKnownParts).
-    val results: Seq[CheckResult] = checks.map(_.withKnownParts(pendingParts)).map { c =>
+    // report only for uncommitted partitions; local checks scan pending
+    // only. The universe frame is injected so no check repeats discovery.
+    val results: Seq[CheckResult] = checks.map(_.withPartsUniverse(universe)).map { c =>
       if (c.isGlobal && committed.nonEmpty) {
         val r = c.run(input)
         CheckResult(
-          r.violations.where(col("part").isin(pendingParts: _*)),
-          r.verdicts.where(col("part").isin(pendingParts: _*)))
+          r.violations.where(!col("part").isin(committed.toSeq: _*)),
+          r.verdicts.where(!col("part").isin(committed.toSeq: _*)))
       } else c.run(pending)
     }
     val violations = results.map(_.violations).reduce(_ unionAll _)
-    val verdicts = results.map(_.verdicts).reduce(_ unionAll _)
+    val verdicts = (results.map(_.verdicts) :+ rowCountVerdicts).reduce(_ unionAll _)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     violations.write.mode("overwrite").partitionBy("part")
@@ -77,6 +96,12 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
       .parquet(s"${cfg.outputDir}/verdicts")
 
     val elapsed = (System.nanoTime() - t0) / 1e9
+    // commit metadata comes from the cache the verdict write populated —
+    // a KB-sized read, not another input scan
+    val partCounts = rowCounts.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rowCounts.unpersist(false)
+    val pendingParts = partCounts.keys.toSeq.sorted
     val totalRows = partCounts.values.sum
     val rate = if (elapsed > 0) totalRows / elapsed else 0.0
 

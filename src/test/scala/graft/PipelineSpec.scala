@@ -183,6 +183,23 @@ class PipelineSpec extends SparkSpec {
     assert(partViolations.count() == fullCount)
   }
 
+  test("no dedicated pre-count pass: the input is scanned only by the checks") {
+    // TEST-ONLY instrumentation: a row-counting UDF filter measures how
+    // many times the pipeline scans its input (engine code has no UDFs)
+    val dir = Files.createTempDirectory("graft-pipe-scan").toString
+    val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out")
+    val acc = spark.sparkContext.longAccumulator("graft-scan-rows")
+    val countRows = udf { () => acc.add(1); true }.asNondeterministic()
+    val instrumented = table.filter(countRows())
+    new ValidationPipeline(Seq(RowConstraintCheck(validator)), pcfg).run(instrumented)
+    // RowConstraintCheck scans the input twice (violations write + verdict
+    // aggregation) and the folded row_count aggregation adds one; commit
+    // metadata is then served from the row_count cache. The old pipeline's
+    // dedicated eager pre-count job made this 4x.
+    assert(acc.value == 3 * cfg.rows,
+      s"input scanned ${acc.value.toDouble / cfg.rows}x — expected exactly 3x")
+  }
+
   test("tokens remain byte-identical through validation") {
     val validated = validator.withValidation(table)
     val diff = validated.select(col("doc_id"), col("tokens"))
