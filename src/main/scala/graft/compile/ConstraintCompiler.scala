@@ -21,7 +21,12 @@ final case class ValidatorOptions(
     greedy: Boolean = false,
     formats: Map[String, Either[String, Column => Column]] = Map.empty,
     schemas: Option[JObj] = None,
-    missingRef: Boolean = false)
+    missingRef: Boolean = false,
+    /** Use the fused v2 error kernel ([[KernelCompiler]]) for the error
+      * array when the spec supports it; false pins the v1 Column tree
+      * (kept as the oracle — KernelParitySpec compares the two). The
+      * `valid` fast path is v1 whole-stage-codegen either way. */
+    useFusedErrors: Boolean = true)
 
 /** Compiles a draft-4 constraint spec into Catalyst expression trees.
   *
@@ -149,13 +154,29 @@ object ConstraintCompiler {
     val ctx = new Ctx(resolver, opts)
     val comp = ctx.generate(spec, Val(value, dt, JPath.root), Nil)
     // Hot-path gate: `valid == errors.isEmpty` by construction, and
-    // CaseWhen short-circuits per row, so the (expensive, HOF-laden) error
-    // tree is only evaluated for invalid rows — on mostly-valid data the
-    // greedy path runs at fast-path speed, mirroring jsen's design where
-    // the happy path never touches the error buffer (jsen.js:900-902).
-    val errs = when(comp.valid, emptyErrors)
-      .otherwise(if (opts.greedy) comp.greedyErrs else comp.firstErrs)
-    val greedyGated = when(comp.valid, emptyErrors).otherwise(comp.greedyErrs)
+    // CaseWhen short-circuits per row, so the error path is only evaluated
+    // for invalid rows — on mostly-valid data the greedy path runs at
+    // fast-path speed, mirroring jsen's design where the happy path never
+    // touches the error buffer (jsen.js:900-902).
+    //
+    // Error path: the fused v2 kernel (one JVM pass, KernelCompiler) when
+    // the spec supports it, else the v1 interpreted-HOF Column tree.
+    val kcfg = KernelCompiler.cfgOf(opts)
+    val fused: Option[String] =
+      if (opts.useFusedErrors &&
+          KernelCompiler.compile(spec, dt, kcfg).isDefined)
+        Some(Json.render(spec))
+      else None
+    def errPath(greedy: Boolean): Column = fused match {
+      case Some(json) =>
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(FusedErrors(
+          ColumnBridge.expression(value), json, greedy, kcfg))
+      case None =>
+        if (greedy) comp.greedyErrs else comp.firstErrs
+    }
+    val errs = when(comp.valid, emptyErrors).otherwise(errPath(opts.greedy))
+    val greedyGated = when(comp.valid, emptyErrors).otherwise(errPath(greedy = true))
     Compiled(comp.valid, errs, greedyGated)
   }
 

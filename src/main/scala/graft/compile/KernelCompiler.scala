@@ -1,0 +1,831 @@
+package graft.compile
+
+import graft.json._
+import graft.schema.SchemaResolver
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The v2 fused error-path compiler (SURVEY.md §7.1 step 7): compiles a
+  * constraint spec + static Spark type into ONE JVM evaluator that walks a
+  * row and appends jsen-style error records — the honest analog of the
+  * reference's single generated validator function
+  * (/root/reference/lib/jsen.js:932-1036), where v1
+  * ([[ConstraintCompiler]]) composes interpreted Catalyst HOF trees.
+  *
+  * Division of labor: the VALID column stays v1's whole-stage-codegen
+  * boolean (the fast path); the error array is `when(valid, empty)
+  * .otherwise(kernel)`, so this evaluator runs only for violating rows —
+  * but unlike the v1 error tree (interpreted `transform`/`filter`/`concat`
+  * per keyword) it is one JIT-compiled pass with no per-keyword
+  * allocations.
+  *
+  * Semantics are v1's exactly — same traversal order, same error groups,
+  * same greedy/non-greedy contract — enforced by KernelParitySpec and by
+  * every expectation-based suite running through this path. Unsupported
+  * constructs (MapType objects, composite enum literals, DecimalType
+  * values, Column-function custom formats) return None and the caller
+  * falls back to the v1 tree.
+  */
+object KernelCompiler {
+
+  /** Serializable subset of [[ValidatorOptions]] a kernel can honor. */
+  final case class KernelCfg(
+      leftFormats: Map[String, String],
+      customNames: Set[String],
+      schemasJson: Option[String],
+      missingRef: Boolean) extends Serializable
+
+  def cfgOf(opts: ValidatorOptions): KernelCfg = KernelCfg(
+    opts.formats.collect { case (k, Left(re)) => k -> re },
+    opts.formats.keySet,
+    opts.schemas.map(Json.render),
+    opts.missingRef)
+
+  final case class Err(path: String, keyword: String,
+                       message: String, additional: AnyRef)
+
+  /** Error sink. Non-greedy mode stops after the first pushed GROUP
+    * (jsen.js:900-902 — `return` after the first errors.push); combinator
+    * branches always run greedily into scratch buffers and roll back
+    * (jsen.js:433-456). */
+  final class ErrBuf(val greedy: Boolean) {
+    val buf = new scala.collection.mutable.ArrayBuffer[Err](4)
+    var stopped = false
+    def push(path: String, keyword: String, message: String,
+             additional: AnyRef = null): Unit = {
+      buf += Err(path, keyword, message, additional)
+      if (!greedy) stopped = true
+    }
+    def pushAll(errs: scala.collection.Seq[Err]): Unit = {
+      buf ++= errs
+      if (!greedy && errs.nonEmpty) stopped = true
+    }
+  }
+
+  /** One compiled validation site: type dispatch, literals, regexes, and
+    * field offsets are all resolved at compile time. */
+  trait Ev extends Serializable {
+    def eval(value: Any, path: String, out: ErrBuf): Unit
+  }
+
+  private object PassEv extends Ev {
+    def eval(value: Any, path: String, out: ErrBuf): Unit = ()
+  }
+
+  private final class SeqEv(parts: Array[Ev]) extends Ev {
+    def eval(value: Any, path: String, out: ErrBuf): Unit = {
+      var i = 0
+      while (i < parts.length && !out.stopped) {
+        parts(i).eval(value, path, out); i += 1
+      }
+    }
+  }
+  private def seq(parts: Seq[Ev]): Ev = parts match {
+    case Seq()  => PassEv
+    case Seq(p) => p
+    case ps     => new SeqEv(ps.toArray)
+  }
+
+  private case class Unsupported(what: String)
+    extends RuntimeException(what, null, false, false)
+
+  /** Compile, or None when the spec/type needs a v1 fallback. */
+  def compile(spec: JValue, dt: DataType, cfg: KernelCfg): Option[Ev] =
+    try Some(compileOrThrow(spec, dt, cfg))
+    catch { case Unsupported(_) => None }
+
+  def compileOrThrow(spec: JValue, dt: DataType, cfg: KernelCfg): Ev = {
+    spec match {
+      case _: JObj => ()
+      case _ => throw new IllegalArgumentException("graft: invalid schema object")
+    }
+    val schemas = cfg.schemasJson.map(Json.parse).collect { case o: JObj => o }
+    val resolver = new SchemaResolver(spec, schemas, cfg.missingRef)
+    new KCtx(resolver, cfg).generate(spec, dt, knownNonNull = false, Nil)
+  }
+
+  // ----------------------------------------------------------------------
+
+  private val keywordType: Map[String, String] = Map(
+    "minimum" -> "number", "exclusiveMinimum" -> "number",
+    "maximum" -> "number", "exclusiveMaximum" -> "number",
+    "multipleOf" -> "number",
+    "minLength" -> "string", "maxLength" -> "string",
+    "pattern" -> "string", "format" -> "string",
+    "minItems" -> "array", "maxItems" -> "array",
+    "additionalItems" -> "array", "uniqueItems" -> "array", "items" -> "array",
+    "maxProperties" -> "object", "minProperties" -> "object",
+    "required" -> "object", "properties" -> "object",
+    "patternProperties" -> "object", "additionalProperties" -> "object",
+    "dependencies" -> "object")
+
+  private val combinators = Set("allOf", "anyOf", "oneOf", "not")
+
+  private def childPath(parent: String, seg: String): String =
+    if (parent.isEmpty) seg else parent + "." + seg
+
+  private final class KCtx(resolver: SchemaResolver, cfg: KernelCfg) {
+
+    type Stack = List[(JValue, DataType)]
+
+    def generate(schemaV: JValue, dt: DataType, knownNonNull: Boolean,
+                 stack: Stack): Ev = {
+      val schema0 = schemaV match {
+        case o: JObj => o
+        case _       => return PassEv
+      }
+      val schema = if (schema0.has("$ref")) {
+        val resolved = resolver.resolve(schema0)
+        if (stack.exists { case (s, d) =>
+          (s.asInstanceOf[AnyRef] eq resolved.asInstanceOf[AnyRef]) && d == dt })
+          throw new IllegalArgumentException(
+            "graft: unbounded recursive $ref cannot be compiled over a finite row schema")
+        resolved match {
+          case o: JObj => o
+          case _       => return PassEv
+        }
+      } else schema0
+      val stack2 = (schema: JValue, dt) :: stack
+
+      schema.arr("enum") match {
+        case Some(lits) if lits.nonEmpty => return kEnum(schema, lits, dt, knownNonNull)
+        case _ => ()
+      }
+
+      val declaredTypes: Option[List[String]] = schema.get("type") match {
+        case Some(JStr(t)) => Some(List(t))
+        case Some(JArr(items)) if items.nonEmpty =>
+          Some(items.collect { case JStr(t) => t }.toList)
+        case _ => None
+      }
+
+      val hasPatternProps = schema.obj("patternProperties").isDefined
+      val perType = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+      schema.keys.foreach { key =>
+        if (key != "enum" && key != "type" && !combinators(key)) {
+          keywordType.get(key).foreach { t =>
+            if (!(key == "additionalProperties" && hasPatternProps))
+              perType(t) = perType.getOrElse(t, Vector.empty) :+ key
+          }
+        }
+      }
+
+      val parts = Vector.newBuilder[Ev]
+
+      val typePreds: Option[Array[Any => Boolean]] =
+        declaredTypes.map(_.map(t => typePred(t, dt, knownNonNull)).toArray)
+      typePreds.foreach { preds =>
+        val msg = messageFor(schema, "type", None).orNull
+        parts += new Ev {
+          def eval(v: Any, path: String, out: ErrBuf): Unit = {
+            var ok = false; var i = 0
+            while (!ok && i < preds.length) { ok = preds(i)(v); i += 1 }
+            if (!ok) out.push(path, "type", msg)
+          }
+        }
+      }
+
+      perType.foreach { case (t, kws) =>
+        if (!staticFalse(t, dt)) {
+          val gate = typePred(t, dt, knownNonNull)
+          val unionGate: Any => Boolean = typePreds match {
+            case Some(preds) => v => preds.exists(_(v)) && gate(v)
+            case None        => gate
+          }
+          val groupParts = kws.flatMap(k => keywordEv(k, schema, dt, knownNonNull, stack2))
+          if (groupParts.nonEmpty) {
+            val grouped = seq(groupParts)
+            parts += new Ev {
+              def eval(v: Any, path: String, out: ErrBuf): Unit =
+                if (unionGate(v)) grouped.eval(v, path, out)
+            }
+          }
+        }
+      }
+
+      schema.keys.foreach {
+        case "allOf" => schema.arr("allOf").foreach { subs =>
+          subs.foreach(sub => parts += generate(sub, dt, knownNonNull, stack2))
+        }
+        case "anyOf" => schema.arr("anyOf").foreach { subs =>
+          parts += kAnyOf(schema, subs, dt, knownNonNull, stack2)
+        }
+        case "oneOf" => schema.arr("oneOf").foreach { subs =>
+          parts += kOneOf(schema, subs, dt, knownNonNull, stack2)
+        }
+        case "not" => schema.obj("not").foreach { sub =>
+          parts += kNot(schema, sub, dt, knownNonNull, stack2)
+        }
+        case _ => ()
+      }
+
+      // custom formats run last, for all value types (jsen.js:1015-1035)
+      schema.str("format").foreach { name =>
+        if (cfg.customNames.contains(name)) {
+          val re = cfg.leftFormats.getOrElse(name,
+            throw Unsupported(s"custom Column-function format $name"))
+          if (dt != StringType)
+            throw Unsupported(s"custom format on non-string ${dt.simpleString}")
+          val p = java.util.regex.Pattern.compile(JsRegex.toJava(re))
+          val msg = messageFor(schema, "format", None).orNull
+          parts += new Ev {
+            def eval(v: Any, path: String, out: ErrBuf): Unit = {
+              val ok = v != null && p.matcher(v.toString).find()
+              if (!ok) out.push(path, "format", msg)
+            }
+          }
+        }
+      }
+
+      seq(parts.result())
+    }
+
+    // ---- type predicates (jsen.js:51-81) --------------------------------
+
+    private def isNumeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    private def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => throw Unsupported("decimal value")
+      case _ => false
+    }
+
+    private def asDouble(dt: DataType): Any => Double = dt match {
+      case ByteType    => v => v.asInstanceOf[Byte].toDouble
+      case ShortType   => v => v.asInstanceOf[Short].toDouble
+      case IntegerType => v => v.asInstanceOf[Int].toDouble
+      case LongType    => v => v.asInstanceOf[Long].toDouble
+      case FloatType   => v => v.asInstanceOf[Float].toDouble
+      case DoubleType  => v => v.asInstanceOf[Double]
+      case other       => throw Unsupported(s"numeric ${other.simpleString}")
+    }
+    private def asLong(dt: DataType): Any => Long = dt match {
+      case ByteType    => v => v.asInstanceOf[Byte].toLong
+      case ShortType   => v => v.asInstanceOf[Short].toLong
+      case IntegerType => v => v.asInstanceOf[Int].toLong
+      case LongType    => v => v.asInstanceOf[Long]
+      case other       => throw Unsupported(s"integral ${other.simpleString}")
+    }
+    private def isFloating(dt: DataType): Boolean = dt == FloatType || dt == DoubleType
+
+    def typePred(t: String, dt: DataType, knownNonNull: Boolean): Any => Boolean = {
+      def nn: Any => Boolean = if (knownNonNull) _ => true else v => v != null
+      t match {
+        case "null"    => if (knownNonNull) _ => false else v => v == null
+        case "boolean" => if (dt == BooleanType) nn else _ => false
+        case "string"  => if (dt == StringType) nn else _ => false
+        case "number"  => if (isNumeric(dt)) nn else _ => false
+        case "integer" =>
+          if (!isNumeric(dt)) _ => false
+          else if (isIntegral(dt)) nn
+          else {
+            // value test on a float (jsen.js:67-69): 7.0 is an integer;
+            // NaN passes too (Spark NaN = NaN is true through `floor`)
+            val d = asDouble(dt)
+            v => v != null && { val x = d(v); x.isNaN || x == math.floor(x) }
+          }
+        case "array"  => dt match { case _: ArrayType => nn; case _ => _ => false }
+        case "object" => dt match {
+          case _: StructType => nn
+          case _: MapType    => throw Unsupported("map-typed object")
+          case _             => _ => false
+        }
+        case "date" => dt match {
+          case DateType | TimestampType | TimestampNTZType => nn
+          case _ => _ => false
+        }
+        case _ => _ => true // unknown type names are always-pass
+      }
+    }
+
+    private def staticFalse(t: String, dt: DataType): Boolean = t match {
+      case "boolean" => dt != BooleanType
+      case "string"  => dt != StringType
+      case "number" | "integer" => !isNumeric(dt)
+      case "array"   => !dt.isInstanceOf[ArrayType]
+      case "object"  => !(dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType])
+      case "date"    => !(dt == DateType || dt == TimestampType || dt == TimestampNTZType)
+      case _ => false
+    }
+
+    // ---- messages (mirrors ConstraintCompiler.messageFor) ---------------
+
+    def messageFor(schema: JObj, keyword: String, key: Option[String]): Option[String] = {
+      val res: Option[JObj] = key.flatMap { k =>
+        schema.obj("properties").flatMap(_.get(k)).map(resolver.resolve).collect {
+          case o: JObj => o
+        }
+      }
+      val primary =
+        if (res.isDefined) res.flatMap(_.str("requiredMessage"))
+        else schema.str("invalidMessage")
+      primary.orElse {
+        res.flatMap(_.obj("messages")).flatMap(_.str(keyword))
+          .orElse(schema.obj("messages").flatMap(_.str(keyword)))
+      }
+    }
+
+    // ---- scalar keywords -------------------------------------------------
+
+    private def check(ok: Any => Boolean, path0: Option[String], keyword: String,
+                      msg: String, additional: Any => AnyRef = null): Ev =
+      new Ev {
+        def eval(v: Any, path: String, out: ErrBuf): Unit =
+          if (!ok(v)) out.push(path0.getOrElse(path), keyword, msg,
+            if (additional == null) null else additional(v))
+      }
+
+    def keywordEv(keyword: String, schema: JObj, dt: DataType,
+                  knownNonNull: Boolean, stack: Stack): Option[Ev] = {
+      def msg(kw: String, key: Option[String] = None): String =
+        messageFor(schema, kw, key).orNull
+      keyword match {
+        case "minimum" => schema.num("minimum").map { m =>
+          numCompare(dt, m, "minimum", msg("minimum"), lt = true)
+        }
+        case "exclusiveMinimum" =>
+          (schema.bool("exclusiveMinimum"), schema.num("minimum")) match {
+            case (Some(true), Some(m)) =>
+              Some(numEquals(dt, m, "exclusiveMinimum", msg("exclusiveMinimum")))
+            case _ => None
+          }
+        case "maximum" => schema.num("maximum").map { m =>
+          numCompare(dt, m, "maximum", msg("maximum"), lt = false)
+        }
+        case "exclusiveMaximum" =>
+          (schema.bool("exclusiveMaximum"), schema.num("maximum")) match {
+            case (Some(true), Some(m)) =>
+              Some(numEquals(dt, m, "exclusiveMaximum", msg("exclusiveMaximum")))
+            case _ => None
+          }
+        case "multipleOf" => schema.num("multipleOf").map { m =>
+          kMultipleOf(m, dt, msg("multipleOf"))
+        }
+
+        case "minLength" => schema.int("minLength").map { n =>
+          check(v => v.asInstanceOf[UTF8String].numChars() >= n, None, "minLength", msg("minLength"))
+        }
+        case "maxLength" => schema.int("maxLength").map { n =>
+          check(v => v.asInstanceOf[UTF8String].numChars() <= n, None, "maxLength", msg("maxLength"))
+        }
+        case "pattern" => schema.str("pattern").map { p =>
+          val pat = java.util.regex.Pattern.compile(JsRegex.toJava(p))
+          check(v => pat.matcher(v.toString).find(), None, "pattern", msg("pattern"))
+        }
+        case "format" => schema.str("format").flatMap { name =>
+          if (cfg.customNames.contains(name)) None
+          else Formats.builtin.get(name).map { re =>
+            val pat = java.util.regex.Pattern.compile(re)
+            check(v => pat.matcher(v.toString).find(), None, "format", msg("format"))
+          }
+        }
+
+        case "minItems" => schema.int("minItems").map { n =>
+          check(v => v.asInstanceOf[ArrayData].numElements() >= n, None, "minItems", msg("minItems"))
+        }
+        case "maxItems" => schema.int("maxItems").map { n =>
+          check(v => v.asInstanceOf[ArrayData].numElements() <= n, None, "maxItems", msg("maxItems"))
+        }
+        case "additionalItems" =>
+          (schema.bool("additionalItems"), schema.arr("items")) match {
+            case (Some(false), Some(tuple)) =>
+              Some(check(v => v.asInstanceOf[ArrayData].numElements() <= tuple.length,
+                None, "additionalItems", msg("additionalItems")))
+            case _ => None
+          }
+        case "uniqueItems" => schema.bool("uniqueItems").collect { case true =>
+          kUniqueItems(dt, msg("uniqueItems"))
+        }
+        case "items" => kItems(schema, dt, stack)
+
+        case "maxProperties" => schema.int("maxProperties").map { n =>
+          val cnt = propertyCount(dt)
+          check(v => cnt(v) <= n, None, "maxProperties", msg("maxProperties"))
+        }
+        case "minProperties" => schema.int("minProperties").map { n =>
+          val cnt = propertyCount(dt)
+          check(v => cnt(v) >= n, None, "minProperties", msg("minProperties"))
+        }
+        case "required" => kRequired(schema, dt)
+        case "properties" => kProperties(schema, dt, stack)
+        case "patternProperties" | "additionalProperties" =>
+          kPatternAndAdditional(schema, dt, stack)
+        case "dependencies" => kDependencies(schema, dt, stack)
+
+        case _ => None
+      }
+    }
+
+    /** minimum/maximum: fail iff x < min (resp. x > max). Plain JVM float
+      * comparison already gives jsen's NaN-passes semantics that v1
+      * reproduces with an isnan escape. Mirrors v1's literal typing: a
+      * whole literal compares as long against integral columns. */
+    private def numCompare(dt: DataType, m: BigDecimal, kw: String, msg: String,
+                           lt: Boolean): Ev = {
+      if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+        val lit = m.toLongExact; val get = asLong(dt)
+        if (lt) check(v => !(get(v) < lit), None, kw, msg)
+        else    check(v => !(get(v) > lit), None, kw, msg)
+      } else {
+        val lit = m.toDouble; val get = asDouble(dt)
+        if (lt) check(v => !(get(v) < lit), None, kw, msg)
+        else    check(v => !(get(v) > lit), None, kw, msg)
+      }
+    }
+
+    /** exclusiveMin/Max modifier: additionally fail x == bound. */
+    private def numEquals(dt: DataType, m: BigDecimal, kw: String, msg: String): Ev = {
+      if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+        val lit = m.toLongExact; val get = asLong(dt)
+        check(v => get(v) != lit, None, kw, msg)
+      } else {
+        val lit = m.toDouble; val get = asDouble(dt)
+        check(v => get(v) != lit, None, kw, msg)
+      }
+    }
+
+    /** multipleOf with the decimal-scaling fix (jsen.js:123-139), matching
+      * v1's DecimalType arithmetic digit for digit. */
+    private def kMultipleOf(mul: BigDecimal, dt: DataType, msg: String): Ev = {
+      val m = BigDecimal(mul.underlying.stripTrailingZeros())
+      val decimals = math.max(0, m.scale)
+      if (decimals == 0) {
+        val lit = m.toLongExact
+        if (isIntegral(dt)) {
+          val get = asLong(dt)
+          check(v => get(v) % lit == 0L, None, "multipleOf", msg)
+        } else {
+          val get = asDouble(dt)
+          check(v => get(v) % lit == 0.0, None, "multipleOf", msg)
+        }
+      } else {
+        val scale = math.min(2 * decimals, 18)
+        val mScaled = m.underlying.setScale(scale)
+        val maxPrecision = 38
+        val get: Any => java.math.BigDecimal = dt match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val g = asLong(dt); v => java.math.BigDecimal.valueOf(g(v)).setScale(scale)
+          case FloatType | DoubleType =>
+            val g = asDouble(dt)
+            v => {
+              val x = g(v)
+              if (x.isNaN || x.isInfinite) null
+              else java.math.BigDecimal.valueOf(x)
+                .setScale(scale, java.math.RoundingMode.HALF_UP)
+            }
+          case other => throw Unsupported(s"multipleOf on ${other.simpleString}")
+        }
+        check(v => {
+          val bd = get(v)
+          // null ≡ v1's try_cast overflow/NaN → error branch
+          bd != null && bd.precision - bd.scale <= maxPrecision - scale &&
+            bd.remainder(mScaled).compareTo(java.math.BigDecimal.ZERO) == 0
+        }, None, "multipleOf", msg)
+      }
+    }
+
+    // ---- enum ------------------------------------------------------------
+
+    private def kEnum(schema: JObj, lits: Vector[JValue], dt: DataType,
+                      knownNonNull: Boolean): Ev = {
+      val tests: Vector[Any => Boolean] = lits.map(litEquals(_, dt))
+      val msg = messageFor(schema, "enum", None).orNull
+      new Ev {
+        def eval(v: Any, path: String, out: ErrBuf): Unit = {
+          var ok = false; var i = 0
+          while (!ok && i < tests.length) { ok = tests(i)(v); i += 1 }
+          if (!ok) out.push(path, "enum", msg)
+        }
+      }
+    }
+
+    private def litEquals(l: JValue, dt: DataType): Any => Boolean = (l, dt) match {
+      case (JNull, _) => v => v == null
+      case (JBool(b), BooleanType) => v => v != null && v.asInstanceOf[Boolean] == b
+      case (JNum(n), t) if isNumeric(t) =>
+        if (isIntegral(t) && n.isWhole && n.abs <= BigDecimal(Long.MaxValue)) {
+          val lit = n.toLongExact; val get = asLong(t)
+          v => v != null && get(v) == lit
+        } else {
+          val lit = n.toDouble; val get = asDouble(t)
+          v => v != null && get(v) == lit
+        }
+      case (JStr(s), StringType) =>
+        val lit = UTF8String.fromString(s)
+        v => v != null && v.asInstanceOf[UTF8String].equals(lit)
+      case (_: JArr | _: JObj, _) => throw Unsupported("composite enum literal")
+      case _ => _ => false
+    }
+
+    // ---- arrays ------------------------------------------------------------
+
+    private def kUniqueItems(dt: DataType, msg: String): Ev = {
+      val et = dt match {
+        case ArrayType(t, _) => t
+        case _ => return PassEv
+      }
+      et match {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType | StringType => ()
+        case _ => throw Unsupported(s"uniqueItems over ${et.simpleString}")
+      }
+      check(v => {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        val seen = new java.util.HashSet[Any](n * 2)
+        var i = 0; var distinct = 0
+        while (i < n) {
+          val e = if (arr.isNullAt(i)) null else arr.get(i, et)
+          if (seen.add(e)) distinct += 1
+          i += 1
+        }
+        distinct == n
+      }, None, "uniqueItems", msg)
+    }
+
+    private def kItems(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
+      val (et, elemNullable) = dt match {
+        case ArrayType(t, n) => (t, n)
+        case _ => return None
+      }
+      schema.get("items") match {
+        case Some(sub: JObj) =>
+          val elem = generate(sub, et, knownNonNull = !elemNullable, stack)
+          Some(arrayEv(et, elem, from = 0))
+        case Some(JArr(tuple)) =>
+          val positional: Vector[Ev] = tuple.zipWithIndex.map { case (sub, i) =>
+            val elem = generate(sub, et, knownNonNull = false, stack)
+            new Ev {
+              def eval(v: Any, path: String, out: ErrBuf): Unit = {
+                val arr = v.asInstanceOf[ArrayData]
+                if (arr.numElements() - 1 >= i) {
+                  val e = if (arr.isNullAt(i)) null else arr.get(i, et)
+                  elem.eval(e, childPath(path, i.toString), out)
+                }
+              }
+            }
+          }
+          val rest: Vector[Ev] = schema.get("additionalItems") match {
+            case Some(restSub: JObj) =>
+              val elem = generate(restSub, et, knownNonNull = !elemNullable, stack)
+              Vector(arrayEv(et, elem, from = tuple.length))
+            case _ => Vector.empty
+          }
+          Some(seq(positional ++ rest))
+        case _ => None
+      }
+    }
+
+    private def arrayEv(et: DataType, elem: Ev, from: Int): Ev = new Ev {
+      def eval(v: Any, path: String, out: ErrBuf): Unit = {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        var i = from
+        while (i < n && !out.stopped) {
+          val e = if (arr.isNullAt(i)) null else arr.get(i, et)
+          elem.eval(e, childPath(path, i.toString), out)
+          i += 1
+        }
+      }
+    }
+
+    // ---- objects (closed StructType only; MapType falls back to v1) -------
+
+    private def structOf(dt: DataType): StructType = dt match {
+      case st: StructType => st
+      case _: MapType     => throw Unsupported("map-typed object keywords")
+      case _              => null
+    }
+
+    private def propertyCount(dt: DataType): Any => Int = {
+      val st = structOf(dt)
+      if (st == null) return _ => 0
+      val n = st.length
+      v => {
+        val row = v.asInstanceOf[InternalRow]
+        var c = 0; var i = 0
+        while (i < n) { if (!row.isNullAt(i)) c += 1; i += 1 }
+        c
+      }
+    }
+
+    /** Presence of a field: missing ≡ NULL for closed structs
+      * (SURVEY.md §7.4.1); a statically-absent column is always undefined. */
+    private def presence(st: StructType, name: String): Any => Boolean =
+      st.fieldNames.indexOf(name) match {
+        case -1 => _ => false
+        case i  => v => !v.asInstanceOf[InternalRow].isNullAt(i)
+      }
+
+    private def kRequired(schema: JObj, dt: DataType): Option[Ev] = {
+      val st = structOf(dt)
+      if (st == null) return None
+      val required = schema.arr("required").getOrElse(return None)
+        .collect { case JStr(s) => s }
+      val props = schema.obj("properties")
+      def hasObjectSubSchema(name: String): Boolean =
+        props.flatMap(_.get(name)).exists(_.isInstanceOf[JObj])
+      val checks = required.filterNot(hasObjectSubSchema).map { name =>
+        val present = presence(st, name)
+        val m = messageFor(schema, "required", Some(name)).orNull
+        new Ev {
+          def eval(v: Any, path: String, out: ErrBuf): Unit =
+            if (!present(v)) out.push(childPath(path, name), "required", m)
+        }
+      }
+      if (checks.isEmpty) None else Some(seq(checks))
+    }
+
+    private def fieldGetter(st: StructType, name: String): (Int, DataType) = {
+      val i = st.fieldNames.indexOf(name)
+      (i, if (i >= 0) st.fields(i).dataType else NullType)
+    }
+
+    private def kProperties(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
+      val st = structOf(dt)
+      if (st == null) return None
+      val props = schema.obj("properties").getOrElse(return None)
+      if (props.fields.isEmpty) return None
+      val required = schema.arr("required").getOrElse(Vector.empty)
+        .collect { case JStr(s) => s }.toSet
+
+      val parts = props.fields.map { case (name, sub) =>
+        val requiredMsg =
+          if (required.contains(name)) Some(messageFor(schema, "required", Some(name)).orNull)
+          else None
+        val (idx, fdt) = fieldGetter(st, name)
+        if (idx < 0) {
+          // column absent from the row schema: always undefined
+          requiredMsg match {
+            case Some(m) => new Ev {
+              def eval(v: Any, path: String, out: ErrBuf): Unit =
+                out.push(childPath(path, name), "required", m)
+            }
+            case None => PassEv
+          }
+        } else {
+          val sub2 = generate(sub, fdt, knownNonNull = true, stack)
+          new Ev {
+            def eval(v: Any, path: String, out: ErrBuf): Unit = {
+              val row = v.asInstanceOf[InternalRow]
+              if (!row.isNullAt(idx))
+                sub2.eval(row.get(idx, fdt), childPath(path, name), out)
+              else requiredMsg.foreach(m =>
+                out.push(childPath(path, name), "required", m))
+            }
+          }
+        }
+      }
+      Some(seq(parts))
+    }
+
+    private def kPatternAndAdditional(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
+      val st = structOf(dt)
+      if (st == null) return None
+      val patterns: Vector[(String, JValue)] =
+        schema.obj("patternProperties").map(_.fields).getOrElse(Vector.empty)
+      val addProps: Option[Either[Boolean, JObj]] = schema.get("additionalProperties") match {
+        case Some(JBool(b)) => Some(Left(b))
+        case Some(o: JObj)  => Some(Right(o))
+        case _              => None
+      }
+      val addPropsCheck = addProps.exists {
+        case Left(allow) => !allow
+        case Right(_)    => true
+      }
+      if (patterns.isEmpty && !addPropsCheck) return None
+      val declared: Set[String] =
+        schema.obj("properties").map(_.keys.toSet).getOrElse(Set.empty)
+
+      val parts = st.fields.toVector.zipWithIndex.flatMap { case (f, idx) =>
+        val key = f.name
+        val matched = patterns.filter { case (p, _) =>
+          java.util.regex.Pattern.compile(JsRegex.toJava(p)).matcher(key).find()
+        }
+        val patParts: Vector[Ev] = matched.map { case (_, sub) =>
+          val sub2 = generate(sub, f.dataType, knownNonNull = false, stack)
+          new Ev {
+            def eval(v: Any, path: String, out: ErrBuf): Unit = {
+              val row = v.asInstanceOf[InternalRow]
+              if (!row.isNullAt(idx))
+                sub2.eval(row.get(idx, f.dataType), childPath(path, key), out)
+            }
+          }
+        }
+        val addPart: Vector[Ev] =
+          if (!addPropsCheck || declared.contains(key) || matched.nonEmpty) Vector.empty
+          else addProps match {
+            case Some(Left(false)) =>
+              val m = messageFor(schema, "additionalProperties", None).orNull
+              Vector(new Ev {
+                def eval(v: Any, path: String, out: ErrBuf): Unit =
+                  if (!v.asInstanceOf[InternalRow].isNullAt(idx))
+                    out.push(path, "additionalProperties", m, UTF8String.fromString(key))
+              })
+            case Some(Right(sub)) =>
+              val sub2 = generate(sub, f.dataType, knownNonNull = false, stack)
+              Vector(new Ev {
+                def eval(v: Any, path: String, out: ErrBuf): Unit = {
+                  val row = v.asInstanceOf[InternalRow]
+                  if (!row.isNullAt(idx))
+                    sub2.eval(row.get(idx, f.dataType), childPath(path, key), out)
+                }
+              })
+            case _ => Vector.empty
+          }
+        patParts ++ addPart
+      }
+      if (parts.isEmpty) None else Some(seq(parts))
+    }
+
+    private def kDependencies(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
+      val st = structOf(dt)
+      if (st == null) return None
+      val deps = schema.obj("dependencies").getOrElse(return None)
+      val parts = deps.fields.map {
+        case (key, depSchema: JObj) =>
+          val present = presence(st, key)
+          val sub = generate(depSchema, dt, knownNonNull = false, stack)
+          new Ev {
+            def eval(v: Any, path: String, out: ErrBuf): Unit =
+              if (present(v)) sub.eval(v, path, out)
+          }
+        case (key, JArr(names)) =>
+          val present = presence(st, key)
+          val checks = names.collect { case JStr(d) =>
+            val dp = presence(st, d)
+            val m = messageFor(schema, "dependencies", Some(d)).orNull
+            new Ev {
+              def eval(v: Any, path: String, out: ErrBuf): Unit =
+                if (!dp(v)) out.push(childPath(path, d), "dependencies", m)
+            }
+          }
+          val inner = seq(checks)
+          new Ev {
+            def eval(v: Any, path: String, out: ErrBuf): Unit =
+              if (present(v)) inner.eval(v, path, out)
+          }
+        case _ => PassEv
+      }
+      Some(seq(parts))
+    }
+
+    // ---- combinators (speculative validation + rollback) ------------------
+
+    private def branchErrs(b: Ev, v: Any, path: String): ErrBuf = {
+      val scratch = new ErrBuf(greedy = true)
+      b.eval(v, path, scratch)
+      scratch
+    }
+
+    private def kAnyOf(schema: JObj, subs: Vector[JValue], dt: DataType,
+                       knownNonNull: Boolean, stack: Stack): Ev = {
+      val branches = subs.map(generate(_, dt, knownNonNull, stack)).toArray
+      val msg = messageFor(schema, "anyOf", None).orNull
+      new Ev {
+        def eval(v: Any, path: String, out: ErrBuf): Unit = {
+          val scratches = new Array[ErrBuf](branches.length)
+          var i = 0
+          while (i < branches.length) {
+            val s = branchErrs(branches(i), v, path)
+            if (s.buf.isEmpty) return // success: roll back every branch error
+            scratches(i) = s
+            i += 1
+          }
+          // failure keeps ALL branch errors plus {keyword:'anyOf'}
+          scratches.foreach(s => out.buf ++= s.buf)
+          out.push(path, "anyOf", msg)
+        }
+      }
+    }
+
+    private def kOneOf(schema: JObj, subs: Vector[JValue], dt: DataType,
+                       knownNonNull: Boolean, stack: Stack): Ev = {
+      val branches = subs.map(generate(_, dt, knownNonNull, stack)).toArray
+      val msg = messageFor(schema, "oneOf", None).orNull
+      new Ev {
+        def eval(v: Any, path: String, out: ErrBuf): Unit = {
+          val scratches = branches.map(branchErrs(_, v, path))
+          val matching = scratches.count(_.buf.isEmpty)
+          if (matching != 1) {
+            scratches.foreach(s => out.buf ++= s.buf)
+            out.push(path, "oneOf", msg)
+          }
+        }
+      }
+    }
+
+    private def kNot(schema: JObj, sub: JObj, dt: DataType,
+                     knownNonNull: Boolean, stack: Stack): Ev = {
+      val branch = generate(sub, dt, knownNonNull, stack)
+      val msg = messageFor(schema, "not", None).orNull
+      new Ev {
+        def eval(v: Any, path: String, out: ErrBuf): Unit =
+          if (branchErrs(branch, v, path).buf.isEmpty) out.push(path, "not", msg)
+      }
+    }
+  }
+}

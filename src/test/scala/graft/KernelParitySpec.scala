@@ -1,0 +1,114 @@
+package graft
+
+import graft.compile.ValidatorOptions
+import graft.data.TokenTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** v1 (Column-tree) vs v2 (fused kernel) parity: identical `valid` flags
+  * and byte-identical error arrays — order, paths, keywords, messages,
+  * additionalProperties — across the token table and targeted specs, in
+  * both greedy and non-greedy modes. v1 is the oracle (VERDICT r1 #3). */
+class KernelParitySpec extends SparkSpec {
+
+  private def bothModes(specJson: String, df: org.apache.spark.sql.DataFrame,
+                        formats: Map[String, Either[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column]] = Map.empty): Unit = {
+    for (greedy <- Seq(true, false)) {
+      val v1 = Validator(specJson,
+        ValidatorOptions(greedy = greedy, formats = formats, useFusedErrors = false))
+      val v2 = Validator(specJson,
+        ValidatorOptions(greedy = greedy, formats = formats, useFusedErrors = true))
+      // the kernel must actually be engaged, or this spec tests nothing
+      val engaged = org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(v2.errors(df.schema)).toString
+      assert(engaged.contains("graft_validate_errors"),
+        s"kernel did not engage for spec=$specJson (greedy=$greedy)")
+      val out1 = v1.withValidation(df).select(col("valid"), col("errors")).collect()
+      val out2 = v2.withValidation(df).select(col("valid"), col("errors")).collect()
+      out1.zip(out2).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.getBoolean(0) == b.getBoolean(0), s"valid diverged at row $i (greedy=$greedy)")
+        val e1 = a.getSeq[Row](1).map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        val e2 = b.getSeq[Row](1).map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        assert(e1 == e2,
+          s"errors diverged at row $i (greedy=$greedy):\n  v1=$e1\n  v2=$e2")
+      }
+    }
+  }
+
+  test("token table: flagship spec, byte-identical errors in both modes") {
+    val cfg = TokenTable.Config(rows = 6000L, parts = 4, maxLen = 24)
+    val table = TokenTable.generate(spark, cfg)
+    bothModes(TokenTable.constraintSpec(cfg.vocabSize), table)
+  }
+
+  test("combinator rollback arithmetic matches v1 exactly") {
+    val df = spark.range(200).select(
+      col("id"),
+      (col("id") % 97).cast("double").as("price"),
+      (col("id") % 13).cast("int").as("bucket"))
+    bothModes(
+      """{"properties":{
+           "price":{"anyOf":[{"maximum":20},{"minimum":70}]},
+           "bucket":{"oneOf":[{"maximum":4},{"minimum":2}]},
+           "id":{"not":{"multipleOf":7}}}}""",
+      df)
+  }
+
+  test("nested arrays, tuple items, messages, additionalProperties keys") {
+    val schema = StructType(Seq(
+      StructField("xs", ArrayType(IntegerType), nullable = true),
+      StructField("pair", ArrayType(IntegerType), nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("rogue", StringType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1, 2, 3), Seq(1, 2), "ok", null),
+      Row(Seq(-5, 200), Seq(9, 9, 9), "x", "extra"),
+      Row(null, null, null, "boo"),
+      Row(Seq[Int](), Seq(0), "toolongname!", "y"))
+    val df = spark.createDataFrame(rows, schema)
+    bothModes(
+      """{"required":["name"],
+          "properties":{
+            "xs":{"type":"array","minItems":1,
+                  "items":{"minimum":0,"maximum":99},
+                  "invalidMessage":"bad xs"},
+            "pair":{"items":[{"minimum":1},{"maximum":5}],"additionalItems":false},
+            "name":{"type":"string","maxLength":8,
+                    "messages":{"maxLength":"name too long"}}},
+          "patternProperties":{"^ro":{"maxLength":3}},
+          "additionalProperties":false}""",
+      df)
+  }
+
+  test("enum, multipleOf decimal trick, formats, dependencies") {
+    val df = spark.range(150).select(
+      (col("id") % 7 * 3.3 - 1.2).as("amount"),
+      concat(lit("u"), col("id")).as("code"),
+      when(col("id") % 3 === 0, concat(lit("a"), col("id"), lit("@x.io")))
+        .otherwise(lit("nope")).as("mail"),
+      when(col("id") % 5 === 0, lit(null).cast("string")).otherwise(lit("en")).as("lang"))
+    bothModes(
+      """{"required":["lang"],
+          "properties":{
+            "amount":{"multipleOf":0.01,"minimum":0,"exclusiveMinimum":true},
+            "mail":{"format":"email"},
+            "code":{"format":"digitsuffix"},
+            "lang":{"enum":["en","de",null]}},
+          "dependencies":{"mail":["lang"],
+                          "lang":{"properties":{"code":{"minLength":2}}}}}""",
+      df,
+      formats = Map("digitsuffix" -> Left("\\d$")))
+  }
+
+  test("kernel falls back to v1 for unsupported constructs") {
+    // MapType object keywords are v1-only; the plan must NOT contain the
+    // kernel expression and must still validate correctly
+    val df = spark.range(5).select(
+      map(lit("k"), concat(lit("v"), col("id"))).as("m"))
+    val v = Validator("""{"properties":{"m":{"minProperties":1}}}""")
+    assert(!org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(v.errors(df.schema)).toString.contains("graft_validate_errors"))
+    assert(v.withValidation(df).where(!col("valid")).count() == 0)
+  }
+}
