@@ -181,6 +181,11 @@ object OpsQueries {
               SELECT query_id, neighbor_id, sim, rank::INT AS rank
               FROM ranked WHERE rank <= 5""")),
 
+    // multi-table hyperplane LSH with an EXACT DuckDB oracle: the ±1
+    // planes are seeded and injected as literals; both engines compute
+    // the projections as the same left-fold double sum, so the sign
+    // pattern (bucket) is bit-identical, and the exact cosine re-rank is
+    // the same computation q_ann_topk already oracles.
     Q("q_ann_lsh",
       (s, d) => {
         val e = T(s, d, "embeddings")
@@ -189,7 +194,45 @@ object OpsQueries {
           queries = e.where(col("vec_id") < 8), queryId = "vec_id",
           queryVec = "embedding", k = 5, dim = 64, planes = 8)
       },
-      None),
+      Some {
+        val tables = 4; val planes = 8; val dim = 64; val seed = 42L
+        // one bucket expression per table: sign bits of the 8 projections
+        val bucketExprs = (0 until tables).map { t =>
+          val hp = Similarity.hyperplanes(planes, dim, seed + 7919L * t)
+          val bits = hp.zipWithIndex.map { case (plane, i) =>
+            val w = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+            s"""(CASE WHEN list_reduce(
+                  list_transform(range(1, ${dim + 1}),
+                    j -> CAST(embedding[j] AS DOUBLE) * ($w)[j]),
+                  (a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END)"""
+          }.mkString(" + ")
+          s"($bits) AS b$t"
+        }.mkString(",\n                 ")
+        s"""WITH sig AS (SELECT vec_id, $bucketExprs FROM embeddings),
+            banded AS (
+              SELECT vec_id, u.tbl,
+                CASE u.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bucket
+              FROM sig, unnest(range(0, $tables)) AS u(tbl)),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM banded q JOIN banded c
+                ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+              WHERE q.vec_id < 8),
+            ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+              FROM cand
+              JOIN ev qe ON qe.vec_id = cand.query_id
+              JOIN ev ce ON ce.vec_id = cand.neighbor_id),
+            ranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 5"""
+      }),
 
     Q("q_lang_id",
       (s, d) => T(s, d, "documents")

@@ -46,8 +46,9 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `planes` vectors of `dim`
-    * components in {-1, +1}, from a seeded driver-side RNG. */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    * components in {-1, +1}, from a seeded driver-side RNG.
+    * Package-visible so oracle harnesses can restate the exact planes. */
+  private[graft] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
