@@ -51,16 +51,16 @@ object OpsQueries {
       Some("""SELECT substr(text, 1, 30) AS key, count(*) AS occurrences
               FROM documents GROUP BY 1 HAVING count(*) > 1""")),
 
-    // O(block²) verification path: bounded to 1500 docs so the sf0.1
-    // bench isn't dominated by the quadratic oracle query (at scale this
-    // runs only on LSH-candidate pairs, never on raw blocks)
+    // O(block²) verification path: bounded to 800 docs so the sf0.1 bench
+    // isn't dominated by the quadratic oracle query (at scale this runs
+    // only on LSH-candidate pairs, never on raw blocks)
     Q("q_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardDuplicates(
-        T(s, d, "documents").where(col("doc_id") < 1500),
+        T(s, d, "documents").where(col("doc_id") < 800),
         "doc_id", "text", blockCol = col("lang"), threshold = 0.12, shingleN = 2),
       Some(s"""WITH w AS (
                  SELECT doc_id, lang, $duckWords AS w FROM documents
-                 WHERE doc_id < 1500),
+                 WHERE doc_id < 800),
                sh AS (
                  SELECT doc_id, lang,
                    CASE WHEN len(w) >= 2
@@ -234,9 +234,13 @@ object OpsQueries {
             FROM ranked WHERE rank <= 5"""
       }),
 
+    // words() is bound in its own projection: CollapseProject keeps a
+    // non-cheap multiply-referenced alias un-inlined, so the tokenization
+    // HOF runs once per row instead of once per language
     Q("q_lang_id",
       (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang")),
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("_w"))
+        .select(col("doc_id"), TextAnalysis.langIdFromWords(col("_w")).as("pred_lang")),
       Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
                scored AS (
                  SELECT doc_id, list_aggregate([

@@ -23,25 +23,34 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "para"),
   )
 
-  /** Per-language stopword hit-rate. */
-  def stopwordRatio(text: Column, lang: String): Column = {
+  /** Per-language stopword hit-rate over a precomputed word list. */
+  def stopwordRatioFromWords(ws: Column, lang: String): Column = {
     val sw = stopwords(lang)
-    val ws = words(text)
     when(size(ws) > 0,
       size(filter(ws, w => w.isin(sw: _*))).cast("double") / size(ws))
       .otherwise(lit(0.0))
   }
 
-  /** n-gram-free language ID: argmax of stopword hit-rate, 'und'
-    * (undetermined) when every rate is 0. Deterministic tie-break by
-    * language code order. */
-  def langId(text: Column): Column = {
+  /** Per-language stopword hit-rate. */
+  def stopwordRatio(text: Column, lang: String): Column =
+    stopwordRatioFromWords(words(text), lang)
+
+  /** Language ID over a precomputed word list: argmax of stopword
+    * hit-rate, 'und' (undetermined) when every rate is 0. Deterministic
+    * tie-break by language code order. Prefer binding `words(text)` in its
+    * own projection and calling this — the tokenization HOF is the
+    * dominant cost and interpreted HOFs get no codegen CSE, so the inlined
+    * [[langId]] recomputes it once per language. */
+  def langIdFromWords(ws: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordRatio(text, l).as("score"),
+    val scored = langs.map(l => struct(stopwordRatioFromWords(ws, l).as("score"),
       lit(l).as("lang")))
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** n-gram-free language ID (single-expression convenience form). */
+  def langId(text: Column): Column = langIdFromWords(words(text))
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(words(text))
