@@ -1,0 +1,125 @@
+package graft.compile
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity operators: one JVM loop per row in
+  * place of interpreted `aggregate`/`zip_with` folds (HOF lambdas are
+  * CodegenFallback and allocate boxed pairs per element — for the LSH
+  * bucketing that was 32 folds × 64 elements per row).
+  *
+  * Arithmetic is the EXACT left-fold the Column formulations perform
+  * (`0.0 + x₀·w₀ + x₁·w₁ + …`, double precision), so results are
+  * bit-identical and the DuckDB gate oracles (which restate the same
+  * fold) keep matching.
+  */
+private[graft] object VectorKernels {
+  def elemGetter(dt: DataType): Either[String, (ArrayData, Int) => Double] = dt match {
+    case ArrayType(FloatType, _)  => Right((a, i) => a.getFloat(i).toDouble)
+    case ArrayType(DoubleType, _) => Right((a, i) => a.getDouble(i))
+    case other => Left(s"requires array<float|double>, got ${other.simpleString(10)}")
+  }
+}
+
+/** cosine(a, b) = (Σ aᵢbᵢ) / (√Σ aᵢ² · √Σ bᵢ²). NULL when either side is
+  * NULL, lengths differ, or any element is NULL — the exact null algebra
+  * of the `zip_with`+`aggregate` formulation it replaces. */
+final case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (VectorKernels.elemGetter(left.dataType), VectorKernels.elemGetter(right.dataType)) match {
+      case (Right(_), Right(_)) => TypeCheckResult.TypeCheckSuccess
+      case (Left(m), _) => TypeCheckResult.TypeCheckFailure(s"graft_cosine left $m")
+      case (_, Left(m)) => TypeCheckResult.TypeCheckFailure(s"graft_cosine right $m")
+    }
+
+  @transient private lazy val getL = VectorKernels.elemGetter(left.dataType).toOption.get
+  @transient private lazy val getR = VectorKernels.elemGetter(right.dataType).toOption.get
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = getL(a, i); val y = getR(b, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Multi-table hyperplane LSH buckets: element t of the result is the
+  * sign-bit pattern of table t's `planes` projections. A projection whose
+  * fold would be NULL in the Column formulation (length mismatch, null
+  * element) contributes a 0 bit — same `when(proj >= 0, …).otherwise(0)`
+  * algebra. `planesFlat` is row-major `[table][plane][dim]`. */
+final case class HyperplaneBuckets(
+    child: Expression,
+    planesFlat: Seq[Double],
+    tables: Int,
+    planes: Int,
+    dim: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(planesFlat.length == tables * planes * dim, "plane matrix shape mismatch")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.elemGetter(child.dataType) match {
+      case Right(_) => TypeCheckResult.TypeCheckSuccess
+      case Left(m)  => TypeCheckResult.TypeCheckFailure(s"graft_lsh_buckets $m")
+    }
+
+  @transient private lazy val get = VectorKernels.elemGetter(child.dataType).toOption.get
+  @transient private lazy val w: Array[Double] = planesFlat.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    // a length-mismatched or null-carrying vector nulls every projection
+    // in the Column formulation (zip_with pads with NULL) → all bits 0
+    var degenerate = v.numElements() != dim
+    if (!degenerate) {
+      var i = 0
+      while (i < dim && !degenerate) { degenerate = v.isNullAt(i); i += 1 }
+    }
+    if (!degenerate) {
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val base = (t * planes + p) * dim
+          var proj = 0.0
+          var j = 0
+          while (j < dim) { proj += get(v, j) * w(base + j); j += 1 }
+          if (proj >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact cosine similarity of two float-array columns (computed in
-    * double precision). */
+    * double precision) via the [[graft.compile.CosineSim]] kernel — one
+    * JVM loop per row; the interpreted-HOF formulation below is kept as
+    * the parity reference. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The original Column formulation of [[cosine]] (parity oracle). */
+  private[graft] def cosineColumns(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v))
@@ -53,8 +62,26 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** LSH bucket id of a vector: the sign bits of its projections. */
-  def lshBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
+  /** All `tables` LSH bucket ids of a vector in one kernel pass
+    * ([[graft.compile.HyperplaneBuckets]]): element t is the sign-bit
+    * pattern of table t's seeded projections. */
+  def lshBuckets(vec: Column, dim: Int, planes: Int, tables: Int,
+                 seed: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val flat = (0 until tables).flatMap(t =>
+      hyperplanes(planes, dim, seed + 7919L * t).flatten)
+    ColumnBridge.column(graft.compile.HyperplaneBuckets(
+      ColumnBridge.expression(vec), flat, tables, planes, dim))
+  }
+
+  /** Single-table LSH bucket id (sign bits of the projections). */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column =
+    element_at(lshBuckets(vec, dim, planes, tables = 1, seed), 1)
+
+  /** The original per-plane Column formulation of [[lshBucket]]
+    * (parity oracle). */
+  private[graft] def lshBucketColumns(vec: Column, dim: Int, planes: Int = 16,
+                                      seed: Long = 42L): Column = {
     val hp = hyperplanes(planes, dim, seed)
     hp.zipWithIndex.map { case (plane, i) =>
       val proj = aggregate(
@@ -73,9 +100,7 @@ object Similarity {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, dim: Int, planes: Int = 8, tables: Int = 4,
               seed: Long = 42L): DataFrame = {
-    def buckets(vec: Column): Column = array((0 until tables).map { t =>
-      lshBucket(vec, dim, planes, seed + 7919L * t)
-    }: _*)
+    def buckets(vec: Column): Column = lshBuckets(vec, dim, planes, tables, seed)
     val bucketed = corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).as("cv"), posexplode(buckets(col(corpusVec)))
           .as(Seq("table", "bucket")))

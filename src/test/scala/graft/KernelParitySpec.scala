@@ -101,6 +101,25 @@ class KernelParitySpec extends SparkSpec {
       formats = Map("digitsuffix" -> Left("\\d$")))
   }
 
+  test("vector kernels: bit-identical to the Column fold formulations") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = e.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .join(e.select((col("vec_id") + 1).as("idb"), col("embedding").as("b")),
+        col("ida") === col("idb"))
+    // exact double equality — the kernels run the same left-fold sums
+    val cosDiff = pairs.where(
+      Similarity.cosine(col("a"), col("b")) =!=
+        Similarity.cosineColumns(col("a"), col("b"))).count()
+    assert(cosDiff == 0, s"cosine kernel diverged on $cosDiff rows")
+    val bucketDiff = e.where(
+      Similarity.lshBuckets(col("embedding"), 64, 8, 4, 42L) =!=
+        array((0 until 4).map(t =>
+          Similarity.lshBucketColumns(col("embedding"), 64, 8, 42L + 7919L * t)): _*))
+      .count()
+    assert(bucketDiff == 0, s"lsh bucket kernel diverged on $bucketDiff rows")
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
     // MapType object keywords are v1-only; the plan must NOT contain the
     // kernel expression and must still validate correctly
