@@ -53,6 +53,16 @@ object Plans {
         .agg(graft.sketch.functions.kll_sketch(col("n_tok")).as("sk"))
         .explain("formatted")
     }
+    section("minhash_lsh_band_join (only id+band+bucket cross the shuffle)") {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.ops.Dedup.bandPairs(graft.ops.Dedup.bandedBuckets(
+        docs, "doc_id", "text", 2, 16, 2, 42L, graft.ops.Dedup.xxhashShingleId))
+        .explain("formatted")
+    }
+    section("fused_greedy_errors (kernel gated behind valid)") {
+      df.select(size(compiled.greedyErrors).as("n")).agg(sum("n"))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -102,25 +102,11 @@ object Dedup {
                         bands: Int = 16, rowsPerBand: Int = 4,
                         seed: Long = 42L,
                         shingleId: Column => Column = xxhashShingleId): DataFrame = {
-    val k = bands * rowsPerBand
     // narrow banded frame, cached so the self-join doesn't recompute every
     // signature once per side
-    val banded = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k, seed, shingleId).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until bands).map { b =>
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-        }: _*)).as(Seq("band", "bucket")))
-      .persist()
-
-    // bucket self-join: only docs agreeing on a full band collide
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairIds = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, seed, shingleId).persist()
+    val pairIds = bandPairs(banded)
       .localCheckpoint(true) // eager: bounds the band cache's lifetime
     banded.unpersist(false)
 
@@ -130,6 +116,32 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     verifyJaccard(candidates, threshold)
+  }
+
+  /** (id, band, bucket) frame: one row per document per band, bucket =
+    * the band's raw signature slice. Exposed for plan audits. */
+  private[graft] def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+                                   shingleN: Int, bands: Int, rowsPerBand: Int,
+                                   seed: Long,
+                                   shingleId: Column => Column): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, bands * rowsPerBand, seed, shingleId).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+        }: _*)).as(Seq("band", "bucket")))
+
+  /** Bucket self-join: only docs agreeing on a full band collide; output
+    * is the deduped (id_a, id_b) candidate list — no shingles, no
+    * signatures cross this shuffle. */
+  private[graft] def bandPairs(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard over candidate pairs carrying shingle arrays. */
