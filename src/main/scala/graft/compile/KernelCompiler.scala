@@ -24,9 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are v1's exactly — same traversal order, same error groups,
   * same greedy/non-greedy contract — enforced by KernelParitySpec and by
   * every expectation-based suite running through this path. Unsupported
-  * constructs (MapType objects, composite enum literals, DecimalType
-  * values, Column-function custom formats) return None and the caller
-  * falls back to the v1 tree.
+  * constructs (composite enum literals, DecimalType values,
+  * Column-function custom formats, non-string map keys) return None and
+  * the caller falls back to the v1 tree.
   */
 object KernelCompiler {
 
@@ -290,9 +290,10 @@ object KernelCompiler {
           }
         case "array"  => dt match { case _: ArrayType => nn; case _ => _ => false }
         case "object" => dt match {
-          case _: StructType => nn
-          case _: MapType    => throw Unsupported("map-typed object")
-          case _             => _ => false
+          case _: StructType               => nn
+          case MapType(StringType, _, _)   => nn
+          case _: MapType                  => throw Unsupported("non-string map keys")
+          case _                           => _ => false
         }
         case "date" => dt match {
           case DateType | TimestampType | TimestampNTZType => nn
@@ -592,44 +593,77 @@ object KernelCompiler {
       }
     }
 
-    // ---- objects (closed StructType only; MapType falls back to v1) -------
+    // ---- objects: closed StructType (static keys) and open
+    // ---- MapType(string, vt) (runtime keys; missing = key absent) --------
 
     private def structOf(dt: DataType): StructType = dt match {
       case st: StructType => st
-      case _: MapType     => throw Unsupported("map-typed object keywords")
       case _              => null
+    }
+    private def mapValueType(dt: DataType): DataType = dt match {
+      case MapType(StringType, vt, _) => vt
+      case _: MapType                 => throw Unsupported("non-string map keys")
+      case _                          => null
+    }
+
+    import org.apache.spark.sql.catalyst.util.MapData
+
+    private def mapFind(m: MapData, key: UTF8String, vt: DataType): (Boolean, Any) = {
+      val keys = m.keyArray()
+      val n = m.numElements()
+      var i = 0
+      while (i < n) {
+        if (!keys.isNullAt(i) && keys.getUTF8String(i).equals(key)) {
+          val vals = m.valueArray()
+          return (true, if (vals.isNullAt(i)) null else vals.get(i, vt))
+        }
+        i += 1
+      }
+      (false, null)
     }
 
     private def propertyCount(dt: DataType): Any => Int = {
       val st = structOf(dt)
-      if (st == null) return _ => 0
-      val n = st.length
-      v => {
-        val row = v.asInstanceOf[InternalRow]
-        var c = 0; var i = 0
-        while (i < n) { if (!row.isNullAt(i)) c += 1; i += 1 }
-        c
+      if (st != null) {
+        val n = st.length
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          var c = 0; var i = 0
+          while (i < n) { if (!row.isNullAt(i)) c += 1; i += 1 }
+          c
+        }
+      } else if (mapValueType(dt) != null) {
+        v => v.asInstanceOf[MapData].numElements()
+      } else _ => 0
+    }
+
+    /** Presence of a property: missing ≡ NULL for closed structs
+      * (SURVEY.md §7.4.1; a statically-absent column is always undefined);
+      * key-presence for open maps (exact undefined ≠ null distinction). */
+    private def presence(dt: DataType, name: String): Any => Boolean = {
+      val st = structOf(dt)
+      if (st != null) {
+        st.fieldNames.indexOf(name) match {
+          case -1 => _ => false
+          case i  => v => !v.asInstanceOf[InternalRow].isNullAt(i)
+        }
+      } else mapValueType(dt) match {
+        case null => _ => false
+        case vt =>
+          val key = UTF8String.fromString(name)
+          v => mapFind(v.asInstanceOf[MapData], key, vt)._1
       }
     }
 
-    /** Presence of a field: missing ≡ NULL for closed structs
-      * (SURVEY.md §7.4.1); a statically-absent column is always undefined. */
-    private def presence(st: StructType, name: String): Any => Boolean =
-      st.fieldNames.indexOf(name) match {
-        case -1 => _ => false
-        case i  => v => !v.asInstanceOf[InternalRow].isNullAt(i)
-      }
-
     private def kRequired(schema: JObj, dt: DataType): Option[Ev] = {
-      val st = structOf(dt)
-      if (st == null) return None
+      if (structOf(dt) == null && mapValueType(dt) == null) return None
       val required = schema.arr("required").getOrElse(return None)
         .collect { case JStr(s) => s }
       val props = schema.obj("properties")
       def hasObjectSubSchema(name: String): Boolean =
         props.flatMap(_.get(name)).exists(_.isInstanceOf[JObj])
       val checks = required.filterNot(hasObjectSubSchema).map { name =>
-        val present = presence(st, name)
+        val present = presence(dt, name)
         val m = messageFor(schema, "required", Some(name)).orNull
         new Ev {
           def eval(v: Any, path: String, out: ErrBuf): Unit =
@@ -646,7 +680,8 @@ object KernelCompiler {
 
     private def kProperties(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
       val st = structOf(dt)
-      if (st == null) return None
+      val vt = mapValueType(dt)
+      if (st == null && vt == null) return None
       val props = schema.obj("properties").getOrElse(return None)
       if (props.fields.isEmpty) return None
       val required = schema.arr("required").getOrElse(Vector.empty)
@@ -656,23 +691,37 @@ object KernelCompiler {
         val requiredMsg =
           if (required.contains(name)) Some(messageFor(schema, "required", Some(name)).orNull)
           else None
-        val (idx, fdt) = fieldGetter(st, name)
-        if (idx < 0) {
-          // column absent from the row schema: always undefined
-          requiredMsg match {
-            case Some(m) => new Ev {
-              def eval(v: Any, path: String, out: ErrBuf): Unit =
-                out.push(childPath(path, name), "required", m)
+        if (st != null) {
+          val (idx, fdt) = fieldGetter(st, name)
+          if (idx < 0) {
+            // column absent from the row schema: always undefined
+            requiredMsg match {
+              case Some(m) => new Ev {
+                def eval(v: Any, path: String, out: ErrBuf): Unit =
+                  out.push(childPath(path, name), "required", m)
+              }
+              case None => PassEv
             }
-            case None => PassEv
+          } else {
+            val sub2 = generate(sub, fdt, knownNonNull = true, stack)
+            new Ev {
+              def eval(v: Any, path: String, out: ErrBuf): Unit = {
+                val row = v.asInstanceOf[InternalRow]
+                if (!row.isNullAt(idx))
+                  sub2.eval(row.get(idx, fdt), childPath(path, name), out)
+                else requiredMsg.foreach(m =>
+                  out.push(childPath(path, name), "required", m))
+              }
+            }
           }
         } else {
-          val sub2 = generate(sub, fdt, knownNonNull = true, stack)
+          // open map: presence = key present; value may be a present null
+          val key = UTF8String.fromString(name)
+          val sub2 = generate(sub, vt, knownNonNull = false, stack)
           new Ev {
             def eval(v: Any, path: String, out: ErrBuf): Unit = {
-              val row = v.asInstanceOf[InternalRow]
-              if (!row.isNullAt(idx))
-                sub2.eval(row.get(idx, fdt), childPath(path, name), out)
+              val (present, value) = mapFind(v.asInstanceOf[MapData], key, vt)
+              if (present) sub2.eval(value, childPath(path, name), out)
               else requiredMsg.foreach(m =>
                 out.push(childPath(path, name), "required", m))
             }
@@ -684,7 +733,8 @@ object KernelCompiler {
 
     private def kPatternAndAdditional(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
       val st = structOf(dt)
-      if (st == null) return None
+      val vt = mapValueType(dt)
+      if (st == null && vt == null) return None
       val patterns: Vector[(String, JValue)] =
         schema.obj("patternProperties").map(_.fields).getOrElse(Vector.empty)
       val addProps: Option[Either[Boolean, JObj]] = schema.get("additionalProperties") match {
@@ -699,6 +749,10 @@ object KernelCompiler {
       if (patterns.isEmpty && !addPropsCheck) return None
       val declared: Set[String] =
         schema.obj("properties").map(_.keys.toSet).getOrElse(Set.empty)
+
+      if (st == null) return Some(
+        mapPatternAndAdditional(schema, vt, patterns, addProps, addPropsCheck,
+          declared, stack))
 
       val parts = st.fields.toVector.zipWithIndex.flatMap { case (f, idx) =>
         val key = f.name
@@ -741,22 +795,71 @@ object KernelCompiler {
       if (parts.isEmpty) None else Some(seq(parts))
     }
 
+    /** Open-map twin of the struct branch above: one pass over the map
+      * entries, patterns matched at runtime (v1: jsen.js:303-378 fused
+      * generator over Object.keys). */
+    private def mapPatternAndAdditional(schema: JObj, vt: DataType,
+                                        patterns: Vector[(String, JValue)],
+                                        addProps: Option[Either[Boolean, JObj]],
+                                        addPropsCheck: Boolean,
+                                        declared: Set[String],
+                                        stack: Stack): Ev = {
+      val pats = patterns.map { case (p, sub) =>
+        (java.util.regex.Pattern.compile(JsRegex.toJava(p)),
+          generate(sub, vt, knownNonNull = false, stack))
+      }
+      val addMsg = messageFor(schema, "additionalProperties", None).orNull
+      val addSub: Option[Ev] = addProps match {
+        case Some(Right(sub)) => Some(generate(sub, vt, knownNonNull = false, stack))
+        case _ => None
+      }
+      val addFalse = addProps.contains(Left(false)) && addPropsCheck
+      new Ev {
+        def eval(v: Any, path: String, out: ErrBuf): Unit = {
+          val m = v.asInstanceOf[MapData]
+          val keys = m.keyArray(); val vals = m.valueArray()
+          val n = m.numElements()
+          var i = 0
+          while (i < n && !out.stopped) {
+            val keyU = if (keys.isNullAt(i)) null else keys.getUTF8String(i)
+            val key = if (keyU == null) "" else keyU.toString
+            val value = if (vals.isNullAt(i)) null else vals.get(i, vt)
+            var anyMatch = false
+            var p = 0
+            while (p < pats.length && !out.stopped) {
+              if (pats(p)._1.matcher(key).find()) {
+                anyMatch = true
+                pats(p)._2.eval(value, childPath(path, key), out)
+              }
+              p += 1
+            }
+            if (!out.stopped && addPropsCheck && !anyMatch && !declared.contains(key)) {
+              if (addFalse)
+                out.push(path, "additionalProperties", addMsg,
+                  UTF8String.fromString(key))
+              else addSub.foreach(_.eval(value, childPath(path, key), out))
+            }
+            i += 1
+          }
+        }
+      }
+    }
+
     private def kDependencies(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {
-      val st = structOf(dt)
-      if (st == null) return None
+      if (structOf(dt) == null && mapValueType(dt) == null) return None
       val deps = schema.obj("dependencies").getOrElse(return None)
       val parts = deps.fields.map {
         case (key, depSchema: JObj) =>
-          val present = presence(st, key)
+          val present = presence(dt, key)
           val sub = generate(depSchema, dt, knownNonNull = false, stack)
           new Ev {
             def eval(v: Any, path: String, out: ErrBuf): Unit =
               if (present(v)) sub.eval(v, path, out)
           }
         case (key, JArr(names)) =>
-          val present = presence(st, key)
+          val present = presence(dt, key)
           val checks = names.collect { case JStr(d) =>
-            val dp = presence(st, d)
+            val dp = presence(dt, d)
             val m = messageFor(schema, "dependencies", Some(d)).orNull
             new Ev {
               def eval(v: Any, path: String, out: ErrBuf): Unit =

@@ -120,14 +120,37 @@ class KernelParitySpec extends SparkSpec {
     assert(bucketDiff == 0, s"lsh bucket kernel diverged on $bucketDiff rows")
   }
 
+  test("open-map object semantics: kernel matches v1 on a MapType column") {
+    val df = spark.range(40).select(
+      col("id"),
+      map_filter(
+        map(lit("lang"), when(col("id") % 9 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("l"), col("id") % 4)),
+            lit("src"), concat(lit("src"), col("id")),
+            lit("extra"), lit("x")),
+        (k, _) => when(k === "extra", col("id") % 7 === 0)
+          .when(k === "src", col("id") % 11 =!= 0)
+          .otherwise(lit(true))).as("m"))
+    bothModes(
+      """{"properties":{"m":{"type":"object",
+           "minProperties":2,"maxProperties":2,
+           "required":["lang","src"],
+           "properties":{"src":{"pattern":"^src[0-9]+$","minLength":4}},
+           "patternProperties":{"^la":{"enum":["l0","l1","l2"]}},
+           "additionalProperties":false,
+           "dependencies":{"extra":["src"]}}}}""",
+      df)
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
-    // MapType object keywords are v1-only; the plan must NOT contain the
+    // composite enum literals are v1-only; the plan must NOT contain the
     // kernel expression and must still validate correctly
-    val df = spark.range(5).select(
-      map(lit("k"), concat(lit("v"), col("id"))).as("m"))
-    val v = Validator("""{"properties":{"m":{"minProperties":1}}}""")
+    val df = spark.range(5).select(array(col("id").cast("int")).as("xs"))
+    val v = Validator("""{"properties":{"xs":{"enum":[[7]]}}}""")
     assert(!org.apache.spark.sql.graftbridge.ColumnBridge
       .expression(v.errors(df.schema)).toString.contains("graft_validate_errors"))
-    assert(v.withValidation(df).where(!col("valid")).count() == 0)
+    assert(v.withValidation(df).where(!col("valid")).count() == 5)
+    assert(Validator("""{"properties":{"xs":{"enum":[[3]]}}}""")
+      .withValidation(df).where(!col("valid")).count() == 4)
   }
 }

@@ -140,6 +140,20 @@ class PropertySpec extends SparkSpec {
       val (validCol, errsCol) = v.forValue(df.col("x"), rowSchema)
       val got = df.select(validCol, errsCol).collect()
 
+      // v1-vs-v2 parity on the same random spec: the default path above
+      // routes errors through the fused kernel where supported; pin it
+      // byte-identical (order included) to the v1 Column tree
+      val vOff = Validator(specJson,
+        compile.ValidatorOptions(greedy = true, useFusedErrors = false))
+      val (vc1, ec1) = vOff.forValue(df.col("x"), rowSchema)
+      val gotV1 = df.select(vc1, ec1).collect()
+      got.zip(gotV1).zipWithIndex.foreach { case ((k, o), i) =>
+        def tup(r: Row) = r.getSeq[Row](1)
+          .map(e => (e.getString(0), e.getString(1), e.getString(2), e.getString(3)))
+        assert(k.getBoolean(0) == o.getBoolean(0) && tup(k) == tup(o),
+          s"v1/v2 divergence spec=$specJson row=${rows(i)}\n  v2=${tup(k)}\n  v1=${tup(o)}")
+      }
+
       rows.zip(got).foreach { case (row, res) =>
         val instance = rowToInstance(row)
         val (expValid, expErrs) = SpecOracle.validate(spec, instance)
