@@ -23,7 +23,7 @@ class Draft4CorpusSpec extends SparkSpec {
 
   private val categories = Seq(
     "type", "enum", "numeric", "string", "array",
-    "object", "combinators", "ref", "format")
+    "object", "combinators", "ref", "format", "modes")
 
   /** Spark type inference for a JSON instance (nulls are typed by their
     * surroundings; a bare null gets StringType, which every type predicate
@@ -96,10 +96,13 @@ class Draft4CorpusSpec extends SparkSpec {
           val tdesc = t.str("description").getOrElse("?")
           val data = t.get("data").getOrElse(JNull)
           val expectValid = t.bool("valid").getOrElse(fail(s"$cat/$desc/$tdesc: no valid"))
+          // per-test mode override: `"greedy": false` exercises the
+          // first-error-group contract (jsen.js:900-902)
+          val greedy = t.bool("greedy").getOrElse(true)
           val dt = inferType(data)
           val df = valueDf(toValue(data, dt), dt)
           val v = Validator(Json.render(schema),
-            compile.ValidatorOptions(greedy = true))
+            compile.ValidatorOptions(greedy = greedy))
           val (validCol, errsCol) = v.forValue(df.col("x"), dt)
           val row = df.select(validCol.as("valid"), errsCol.as("errors")).head()
           val valid = row.getBoolean(0)
