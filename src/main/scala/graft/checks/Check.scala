@@ -29,19 +29,21 @@ trait Check extends Serializable {
     * same Check interface; this flag is the contract either way.) */
   def isGlobal: Boolean = false
 
-  /** Inject the partition universe discovered by the pipeline. Standalone
-    * `run(df)` discovers partitions itself (a distinct scan of the
-    * partition column); inside the pipeline that scan would repeat once
-    * per check over the 10^12-row input, so the pipeline discovers once
-    * and hands every check the literal list. Default: ignore (checks that
-    * aggregate `groupBy(part)` directly never discover). */
+  /** Inject the partition universe as a literal list (e.g. from a table
+    * catalog). Standalone `run(df)` discovers partitions itself (a
+    * distinct scan of the partition column); callers who know the
+    * universe hand it over so that scan never happens. Default: ignore
+    * (checks that aggregate `groupBy(part)` directly never discover). */
   def withKnownParts(parts: Seq[Int]): Check = this
 
   /** Inject the partition universe as a LAZY (typically cached) DataFrame
-    * instead of a literal list: the pipeline folds discovery into the
-    * verdict write job — one shared subtree, zero dedicated upfront jobs —
-    * rather than running an eager discovery scan before any check starts.
-    * Default: ignore. */
+    * instead of a literal list. THIS is the hook the pipeline uses: it
+    * folds discovery into the verdict write job — one shared cached
+    * subtree, zero dedicated upfront jobs — rather than running an eager
+    * discovery scan before any check starts. Custom checks that need a
+    * partition universe should override BOTH hooks (the in-repo checks
+    * do); a check overriding only withKnownParts falls back to its own
+    * distinct scan inside the pipeline. Default: ignore. */
   def withPartsUniverse(parts: DataFrame): Check = this
 }
 

@@ -31,15 +31,17 @@ final case class SketchDriftCheck(
 
     // null partitions are filtered (a NULL group would null-unbox to a
     // fabricated part-0 verdict) and the partition column is cast to int
-    // explicitly so non-Int partition columns fail at analysis, not with a
-    // runtime ClassCastException
+    // explicitly; a non-castable part value fails the job under ANSI mode
+    // (clear error) rather than a driver ClassCastException. The driver
+    // map still skips any cast-produced NULL group defensively (non-ANSI
+    // sessions turn bad strings into NULL instead of throwing).
     val perPart = df
       .where(col(partCol).isNotNull)
       .groupBy(col(partCol).cast(IntegerType).as("part"))
       .agg(gf.kll_sketch(col(column).cast(DoubleType), k).as("sketch"))
       .collect()
 
-    val rows = perPart.toSeq.map { r =>
+    val rows = perPart.toSeq.filterNot(_.isNullAt(0)).map { r =>
       val obs = KllSketch.deserialize(r.getAs[Array[Byte]]("sketch"))
       val d = KllSketch.ksDistance(obs, ref)
       Row(r.getInt(0), name, d <= threshold, 0L, d)

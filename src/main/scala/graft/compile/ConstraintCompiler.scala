@@ -162,21 +162,27 @@ object ConstraintCompiler {
     // Error path: the fused v2 kernel (one JVM pass, KernelCompiler) when
     // the spec supports it, else the v1 interpreted-HOF Column tree.
     val kcfg = KernelCompiler.cfgOf(opts)
+    // driver-side support probe (compile once, discard): decides fused vs
+    // v1 fallback before any expression ships to executors
     val fused: Option[String] =
       if (opts.useFusedErrors &&
           KernelCompiler.compile(spec, dt, kcfg).isDefined)
         Some(Json.render(spec))
       else None
-    def errPath(greedy: Boolean): Column = fused match {
-      case Some(json) =>
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        ColumnBridge.column(FusedErrors(
-          ColumnBridge.expression(value), json, greedy, kcfg))
-      case None =>
-        if (greedy) comp.greedyErrs else comp.firstErrs
+    def fusedCol(greedy: Boolean): Option[Column] = fused.map { json =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(FusedErrors(
+        ColumnBridge.expression(value), json, greedy, kcfg))
     }
-    val errs = when(comp.valid, emptyErrors).otherwise(errPath(opts.greedy))
-    val greedyGated = when(comp.valid, emptyErrors).otherwise(errPath(greedy = true))
+    // one shared instance per mode: in greedy validators `errors` and
+    // `greedyErrors` are the same expression, so each executor compiles
+    // the kernel once, not once per output column
+    val fusedGreedy = fusedCol(greedy = true)
+    val fusedMode = if (opts.greedy) fusedGreedy else fusedCol(greedy = false)
+    val errs = when(comp.valid, emptyErrors).otherwise(
+      fusedMode.getOrElse(if (opts.greedy) comp.greedyErrs else comp.firstErrs))
+    val greedyGated = when(comp.valid, emptyErrors).otherwise(
+      fusedGreedy.getOrElse(comp.greedyErrs))
     Compiled(comp.valid, errs, greedyGated)
   }
 

@@ -58,10 +58,6 @@ object KernelCompiler {
       buf += Err(path, keyword, message, additional)
       if (!greedy) stopped = true
     }
-    def pushAll(errs: scala.collection.Seq[Err]): Unit = {
-      buf ++= errs
-      if (!greedy && errs.nonEmpty) stopped = true
-    }
   }
 
   /** One compiled validation site: type dispatch, literals, regexes, and

@@ -96,19 +96,32 @@ object Dedup {
     * small, that re-join broadcasts the pairs and the shingles never
     * shuffle. Materializing the pairs also bounds the band cache's
     * lifetime to this call (no unbounded executor-storage growth across
-    * repeated dedup calls). */
+    * repeated dedup calls).
+    *
+    * `materializePairs = true` (default) runs the banding job AT CALL TIME
+    * and truncates its lineage into executor-local blocks
+    * (`localCheckpoint`): right for one-shot batch use, but an executor
+    * lost afterwards cannot recompute them. Pass false for a fully lazy,
+    * lineage-preserving plan (plan audits, reliability-critical clusters) —
+    * the caller then owns caching: without it the self-join and the verify
+    * re-join recompute the signatures. */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3,
                         bands: Int = 16, rowsPerBand: Int = 4,
                         seed: Long = 42L,
-                        shingleId: Column => Column = xxhashShingleId): DataFrame = {
-    // narrow banded frame, cached so the self-join doesn't recompute every
-    // signature once per side
-    val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
-      rowsPerBand, seed, shingleId).persist()
-    val pairIds = bandPairs(banded)
-      .localCheckpoint(true) // eager: bounds the band cache's lifetime
-    banded.unpersist(false)
+                        shingleId: Column => Column = xxhashShingleId,
+                        materializePairs: Boolean = true): DataFrame = {
+    val pairIds = if (materializePairs) {
+      // narrow banded frame, cached so the self-join doesn't recompute
+      // every signature once per side
+      val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
+        rowsPerBand, seed, shingleId).persist()
+      val pairs = bandPairs(banded)
+        .localCheckpoint(true) // eager: bounds the band cache's lifetime
+      banded.unpersist(false)
+      pairs
+    } else bandPairs(bandedBuckets(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, seed, shingleId))
 
     // re-join shingles by id for the exact verification pass
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
@@ -182,16 +195,19 @@ object Dedup {
   /** SimHash near-duplicate candidates: Hamming(sig_a, sig_b) <= maxDist,
     * blocked on 16-bit chunks (pigeonhole: dist<=3 ⇒ ≥1 of 4 chunks equal).
     * Output: (id_a, id_b, hamming). The chunk self-join carries only one
-    * long signature per side; the output is eagerly materialized so the
-    * signature cache's lifetime is bounded to this call. */
+    * long signature per side; with `materialize = true` (default) the
+    * output is eagerly computed so the signature cache's lifetime is
+    * bounded to this call — see [[minhashDuplicates]] for the
+    * laziness/lineage tradeoff. */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 3, shingleN: Int = 3,
-                        shingleId: Column => Column = xxhash64(_)): DataFrame = {
+                        shingleId: Column => Column = xxhash64(_),
+                        materialize: Boolean = true): DataFrame = {
     // cached: the chunk self-join recomputes each side's projection, and
     // the signature fold is the expensive part
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs0 = df.select(col(idCol).as("id"),
       simhash(col(textCol), shingleN, shingleId).as("sig"))
-      .persist()
+    val sigs = if (materialize) sigs0.persist() else sigs0
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)
@@ -200,14 +216,16 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    val out = a.join(b, Seq("chunk", "ckey"))
+    val joined = a.join(b, Seq("chunk", "ckey"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
-      .localCheckpoint(true) // eager: bounds the sig cache's lifetime
-    sigs.unpersist(false)
-    out
+    if (materialize) {
+      val out = joined.localCheckpoint(true) // eager: bounds the sig cache
+      sigs.unpersist(false)
+      out
+    } else joined
   }
 }

@@ -55,8 +55,14 @@ object MetaSchema {
       },
       "type": "object",
       "properties": {
-        "id": { "type": "string" },
-        "$schema": { "type": "string" },
+        "id": {
+          "type": "string",
+          "format": "uri"
+        },
+        "$schema": {
+          "type": "string",
+          "format": "uri"
+        },
         "title": { "type": "string" },
         "description": { "type": "string" },
         "default": {},

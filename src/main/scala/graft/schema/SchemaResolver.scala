@@ -61,7 +61,11 @@ final class SchemaResolver private (
     // the caller registering anything. A user schema that declares the
     // same id wins (the merge is skipped).
     if (!(rootSchema eq MetaSchema.schema) && !idCache.contains(MetaSchema.Uri)) {
-      val meta = SchemaResolver.metaschemaResolver
+      // a FRESH child resolver per parent (not a JVM-wide singleton):
+      // resolve() mutates refStack/cache, and a shared instance would race
+      // when two driver threads compile validators concurrently. The
+      // pre-walk is ~60 nodes — negligible next to regex compilation.
+      val meta = new SchemaResolver(MetaSchema.schema, None, missingRef)
       idCache(MetaSchema.Uri) = (meta, meta.rootSchema)
       // the metaschema's internal `#`-scoped refs must normalize inside its
       // own id scope even when this resolver follows them (node-identity
@@ -177,11 +181,6 @@ final class SchemaResolver private (
 }
 
 object SchemaResolver {
-
-  /** Shared resolver over the draft-4 metaschema singleton: pre-walked
-    * once, merged into every resolver's caches at construction. */
-  lazy val metaschemaResolver: SchemaResolver =
-    new SchemaResolver(MetaSchema.schema, None, false)
 
   final case class RefPath(base: String, path: List[String])
 
