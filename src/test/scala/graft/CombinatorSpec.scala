@@ -148,6 +148,12 @@ class CombinatorSpec extends SparkSpec {
     // URI without the empty fragment resolves too
     checkValue("""{"$ref":"http://json-schema.org/draft-04/schema"}""",
       Row("string", null), dt, true)
+    // the metaschema's id/$schema properties carry format:"uri" like the
+    // reference's lib/metaschema.json — a non-URI id must fail
+    val dtId = StructType(Seq(StructField("id", StringType)))
+    checkValue(spec, Row("http://example.com/s#"), dtId, true)
+    checkValue(spec, Row("not a uri"), dtId, false,
+      Seq(("id", "format")))
   }
 
   test("$ref: JSON-Pointer into the metaschema") {
