@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.compile.ArrayBoundsCheck
-import graft.sketch.{KllCdf, KllQuantiles, KllSketch, KllSketchAgg}
+import graft.sketch.{KllCdf, KllKsDistance, KllQuantiles, KllSketch, KllSketchAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -92,6 +92,14 @@ object GraftFunctions {
           KllCdf(s, foldDoubles(points, "points", "kll_cdf"))
         case _ => throw new IllegalArgumentException(
           "kll_cdf expects (sketch, array<double>)")
+      }),
+
+    (FunctionIdentifier("kll_ks"),
+      info("kll_ks", "kll_ks(sketch_a, sketch_b) - two-sample KS distance between KLL sketches"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => KllKsDistance(a, b)
+        case _ => throw new IllegalArgumentException(
+          "kll_ks expects (sketch_a, sketch_b)")
       }),
 
     (FunctionIdentifier("array_bounds"),

@@ -118,6 +118,41 @@ final case class KllCdf(child: Expression, points: Seq[Double])
     copy(child = newChild)
 }
 
+/** `kll_ks(sketch_a, sketch_b)` — scalar: two-sample Kolmogorov–Smirnov
+  * distance between two serialized sketches. Lets drift-vs-profile run
+  * INSIDE a plan (e.g. per streaming window against a broadcast profile
+  * literal) instead of collecting blobs to the driver. Runs on aggregated
+  * rows only — never per input row. */
+final case class KllKsDistance(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_ks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_ks requires two binary sketches, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = KllSketch.deserialize(l.asInstanceOf[Array[Byte]])
+    val b = KllSketch.deserialize(r.asInstanceOf[Array[Byte]])
+    if (a.isEmpty || b.isEmpty) null
+    else KllSketch.ksDistance(a, b)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): KllKsDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object functions {
   /** Aggregate a numeric column into a serialized KLL sketch. */
   def kll_sketch(c: Column, k: Int = KllSketch.DefaultK): Column =
@@ -134,4 +169,10 @@ object functions {
 
   def kll_cdf(sketch: Column, points: Seq[Double]): Column =
     ColumnBridge.column(KllCdf(ColumnBridge.expression(sketch), points))
+
+  /** KS distance between two sketch-blob columns (use `lit(profileBytes)`
+    * for a persisted reference profile). */
+  def kll_ks(a: Column, b: Column): Column =
+    ColumnBridge.column(KllKsDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -101,6 +101,33 @@ object StreamingValidation {
         Encoders.product[DupEvent])
   }
 
+  /** Watermarked per-window KS drift against a PERSISTED profile sketch:
+    * the streaming twin of [[graft.checks.SketchDriftCheck]]. Each window
+    * aggregates one KLL sketch per (window × part) — the only state, and
+    * it is bounded by the watermark — and the KS distance against the
+    * profile blob is computed INSIDE the plan by `kll_ks`, so nothing is
+    * collected to the driver. Emits (window, part, check, passed,
+    * violation_count, metric_value), the batch verdict shape plus the
+    * window. */
+  def windowedSketchDrift(stream: DataFrame, column: String,
+                          referenceSketch: Array[Byte],
+                          tsCol: String, partCol: String,
+                          threshold: Double = 0.05,
+                          windowDuration: String = "1 minute",
+                          watermarkDelay: String = "2 minutes"): DataFrame = {
+    import graft.sketch.{functions => gf}
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(partCol).as("part"))
+      .agg(gf.kll_sketch(col(column).cast("double")).as("sketch"))
+      .select(
+        col("window"), col("part"),
+        lit(s"drift_kll_ks:$column").as("check"),
+        (gf.kll_ks(col("sketch"), lit(referenceSketch)) <= threshold).as("passed"),
+        lit(0L).as("violation_count"),
+        gf.kll_ks(col("sketch"), lit(referenceSketch)).as("metric_value"))
+  }
+
   /** Watermarked per-window verdicts: (window, part, passed,
     * violation_count, rows). */
   def windowedVerdicts(stream: DataFrame, validator: Validator,

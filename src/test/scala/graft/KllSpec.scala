@@ -116,4 +116,32 @@ class KllSpec extends SparkSpec {
     assert(KllSketch.ksDistance(a, b) < 0.02)
     assert(KllSketch.ksDistance(a, c) > 0.98)
   }
+
+  test("kll_ks expression equals driver-side ksDistance (Column and SQL)") {
+    import graft.sketch.{functions => gf}
+    import org.apache.spark.sql.functions._
+    val df = spark.range(4000).select(
+      (col("id") % 4).cast("int").as("part"),
+      (col("id") % 97).cast("double").as("v"))
+    val profile = graft.checks.SketchDriftCheck.buildProfile(
+      df.where(col("part") === 0), "v")
+
+    val viaExpr = df.groupBy("part")
+      .agg(gf.kll_ks(gf.kll_sketch(col("v")), lit(profile)).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val viaDriver = df.groupBy("part").agg(gf.kll_sketch(col("v")).as("s"))
+      .collect().map { r =>
+        r.getInt(0) -> KllSketch.ksDistance(
+          KllSketch.deserialize(r.getAs[Array[Byte]]("s")),
+          KllSketch.deserialize(profile))
+      }.toMap
+    assert(viaExpr == viaDriver, s"expr=$viaExpr driver=$viaDriver")
+
+    graft.ext.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("kll_ks_t")
+    val sqlD = spark.sql(
+      "SELECT kll_ks(kll_sketch(v), kll_sketch(v)) FROM kll_ks_t")
+      .head().getDouble(0)
+    assert(sqlD == 0.0, s"self KS distance should be 0, got $sqlD")
+  }
 }

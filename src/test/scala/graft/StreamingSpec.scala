@@ -89,4 +89,35 @@ class StreamingSpec extends SparkSpec {
       assert(verd.contains(("2026-01-01 00:01:00", true, 0L, 1L)))
     } finally q.stop()
   }
+
+  test("windowed KS drift against a persisted profile sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // profile from a clean batch sample: n_tok uniform over 1..50
+    val profileDf = spark.range(2000).select(((col("id") % 50) + 1).as("n_tok"))
+    val profile = graft.checks.SketchDriftCheck.buildProfile(profileDf, "n_tok")
+
+    val source = MemoryStream[Ev]
+    val df = source.toDF().withColumn("part", lit(0))
+    val q = StreamingValidation.windowedSketchDrift(
+      df, "n_tok", profile, "ts", "part",
+      threshold = 0.1, windowDuration = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sv_drift").outputMode("update").start()
+    try {
+      // window 0: same distribution (1..50); window 1: shifted (+60)
+      val w0 = (1 to 50).map(i =>
+        Ev(s"a$i", i, Timestamp.valueOf("2026-01-01 00:00:10")))
+      val w1 = (1 to 50).map(i =>
+        Ev(s"b$i", i + 60, Timestamp.valueOf("2026-01-01 00:01:10")))
+      source.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      val out = spark.table("sv_drift")
+        .select(col("window.start").cast("string"), col("passed"),
+          col("metric_value")).collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(1), r.getDouble(2)))).toMap
+      val (samePassed, sameKs) = out("2026-01-01 00:00:00")
+      val (driftPassed, driftKs) = out("2026-01-01 00:01:00")
+      assert(samePassed && sameKs < 0.1, s"same-distribution KS=$sameKs")
+      assert(!driftPassed && driftKs > 0.5, s"shifted KS=$driftKs")
+    } finally q.stop()
+  }
 }
