@@ -27,6 +27,10 @@ import org.apache.spark.sql.types._
   *    a node says `additionalProperties: false` — the reference's
   *    `options.additionalProperties === 'always'` mode (jsen.js:764-767,
   *    test/build.js:588-735).
+  *
+  * The reference's `copy` option (clone vs mutate the initial document,
+  * jsen.js:1080-1086) has no analog here: DataFrames are immutable, so
+  * build() always behaves like `copy: true`.
   */
 object DefaultsBuilder {
 

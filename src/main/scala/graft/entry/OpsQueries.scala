@@ -75,6 +75,20 @@ object OpsQueries {
                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.12""")),
 
+    // canonical-row selection: min_by hash aggregate (map-side combine),
+    // not a window sort — the survivor per duplicate group is the lowest
+    // doc_id
+    Q("q_dedup_keep_first",
+      (s, d) => Dedup.keepCanonical(
+        T(s, d, "documents"), substring(col("text"), 1, 30),
+        Seq(col("doc_id")))
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY substr(text, 1, 30)
+                                     ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1""")),
+
     // MinHash LSH with an EXACT DuckDB oracle: the gate variant swaps the
     // shingle-id hash for the portable polynomial hash (xxhash64 is not
     // SQL-restateable; the affine family, banding, bucket join, pair

@@ -35,6 +35,20 @@ object Dedup {
       .agg(count(lit(1)).as("occurrences"))
       .where(col("occurrences") > 1)
 
+  /** Canonical-row selection: one surviving row per duplicate group, the
+    * minimum of `order` (make it total — e.g. include the id — or the
+    * survivor is tie-arbitrary). Implemented as a `min_by` hash aggregate,
+    * NOT a window: partial (map-side) combine means the shuffle carries
+    * one candidate row per (key × task) instead of sorting every row of
+    * every group — the difference between an aggregation and a full
+    * repartition+sort at 10^12 rows. */
+  def keepCanonical(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(key.as("_key"))
+      .agg(min_by(payload, struct(order: _*)).as("_row"))
+      .select(col("_row.*"))
+  }
+
   private val HashPrime = 2305843009213693951L // 2^61 - 1
 
   /** Deterministic affine hash family h_i(x) = (a_i * x + b_i) mod p with

@@ -186,6 +186,21 @@ class OpsSpec extends SparkSpec {
     assert(cmp.forall(r => r.getBoolean(0) && r.getBoolean(1)))
   }
 
+  test("keepCanonical: min_by survivor per duplicate group, partial-agg plan") {
+    val df = Seq(
+      (3L, "dup", "c"), (1L, "dup", "a"), (2L, "dup", "b"),
+      (9L, "solo", "z")).toDF("id", "key", "v")
+    val kept = Dedup.keepCanonical(df, col("key"), Seq(col("id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(kept == Set((1L, "dup", "a"), (9L, "solo", "z")))
+    // must be an aggregation with map-side combine, not a window sort
+    val plan = Dedup.keepCanonical(df, col("key"), Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected aggregate, got window:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial"),
+      s"expected partial aggregation:\n$plan")
+  }
+
   // ---- defaults builder ----
 
   test("defaults builder: own properties suppress sibling allOf (else-if chain)") {
