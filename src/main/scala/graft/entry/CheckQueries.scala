@@ -5,13 +5,95 @@ import graft.checks._
 import graft.compile.ValidatorOptions
 import org.apache.spark.sql.functions._
 
+/** Typed row of the documents test table (for the typed-Dataset gate
+  * query). */
+final case class DocRow(doc_id: Long, text: String, lang: String,
+                        source: String, n_chars: Long)
+
 /** Table-level check queries (SURVEY.md §2.8) with independent SQL
   * oracles: exact stats, salted uniqueness, broadcast-anti referential,
-  * KS + chi-square drift, and per-partition verdict assembly. */
+  * KS + chi-square drift, per-partition verdict assembly, the typed
+  * Dataset path, and the full pipeline (checkpoint + verdict write)
+  * driven end-to-end into a per-run temp dir. */
 object CheckQueries {
   import QueryUtil._
 
   val all: Seq[Q] = Seq(
+
+    // the typed Dataset[T] path: same compiled expressions through
+    // case-class Encoders, row travels untouched (Validated[DocRow])
+    Q("q_typed_path",
+      (s, d) => {
+        import s.implicits._
+        val ds = T(s, d, "documents").as[DocRow]
+        Validator(
+          """{"required":["doc_id","text"],
+              "properties":{"n_chars":{"minimum":100,"maximum":450},
+                            "lang":{"enum":["en","de","fr","es"]}}}""",
+          ValidatorOptions(greedy = true))
+          .validateTyped(ds)
+          .toDF()
+          .select(col("row.doc_id").as("doc_id"), col("valid"),
+            size(col("errors")).cast("long").as("nviol"))
+      },
+      Some("""SELECT doc_id,
+             ((n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450))
+              AND (lang IS NULL OR lang IN ('en','de','fr','es'))) AS valid,
+             (CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END
+            + CASE WHEN lang IS NOT NULL
+                    AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
+    // the WHOLE pipeline driven end-to-end: fresh temp checkpoint/output
+    // dirs per run, two checks + the folded row_count verdicts, reading
+    // back the written verdict table — gates the checkpoint commit,
+    // dynamic-overwrite write, and verdict assembly deterministically
+    Q("q_pipeline_verdicts",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-gate-pipe").toString
+        val docs = T(s, d, "documents")
+          .withColumn("part", pmod(col("doc_id"), lit(4)).cast("int"))
+        val checks: Seq[Check] = Seq(
+          RowConstraintCheck(Validator(
+            """{"properties":{"n_chars":{"minimum":100,"maximum":450}}}""",
+            ValidatorOptions(greedy = true))),
+          UniquenessCheck("lang"))
+        new graft.pipeline.ValidationPipeline(checks,
+          graft.pipeline.PipelineConfig(s"$dir/ckpt", s"$dir/out", lineage = "gate"))
+          .run(docs)
+        s.read.parquet(s"$dir/out/verdicts")
+          .select(col("part").cast("int").as("part"), col("check"),
+            col("passed"), col("violation_count"),
+            round(col("metric_value"), 6).as("metric_value"))
+      },
+      Some("""WITH rc AS (
+                SELECT (doc_id % 4)::INT AS part, 'row_constraint' AS check,
+                  bool_and(n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS passed,
+                  sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 1 ELSE 0 END
+                    + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT
+                    AS violation_count,
+                  round(avg(CASE WHEN n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)
+                            THEN 1.0 ELSE 0.0 END), 6) AS metric_value
+                FROM documents GROUP BY 1),
+              uq AS (
+                SELECT (doc_id % 4)::INT AS part, 'uniqueness' AS check,
+                  count(CASE WHEN lang IN (SELECT lang FROM documents
+                                           WHERE lang IS NOT NULL
+                                           GROUP BY 1 HAVING count(*) > 1)
+                             THEN 1 END) = 0 AS passed,
+                  count(CASE WHEN lang IN (SELECT lang FROM documents
+                                           WHERE lang IS NOT NULL
+                                           GROUP BY 1 HAVING count(*) > 1)
+                             THEN 1 END)::BIGINT AS violation_count,
+                  NULL::DOUBLE AS metric_value
+                FROM documents GROUP BY 1),
+              cnt AS (
+                SELECT (doc_id % 4)::INT AS part, 'row_count' AS check,
+                  true AS passed, 0::BIGINT AS violation_count,
+                  count(*)::DOUBLE AS metric_value
+                FROM documents GROUP BY 1)
+              SELECT * FROM rc UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM cnt""")),
 
     Q("q_stats_exact",
       (s, d) => {
