@@ -189,25 +189,11 @@ object ConstraintCompiler {
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 
   // --------------------------------------------------------------------
-  // keyword machinery
+  // keyword machinery (shared with the v2 kernel — see [[Draft4Tables]])
   // --------------------------------------------------------------------
 
-  /** Keyword → decorated type, as the reference's decorateGenerator table
-    * (/root/reference/lib/jsen.js:524-539). Combinators carry no type. */
-  private val keywordType: Map[String, String] = Map(
-    "minimum" -> "number", "exclusiveMinimum" -> "number",
-    "maximum" -> "number", "exclusiveMaximum" -> "number",
-    "multipleOf" -> "number",
-    "minLength" -> "string", "maxLength" -> "string",
-    "pattern" -> "string", "format" -> "string",
-    "minItems" -> "array", "maxItems" -> "array",
-    "additionalItems" -> "array", "uniqueItems" -> "array", "items" -> "array",
-    "maxProperties" -> "object", "minProperties" -> "object",
-    "required" -> "object", "properties" -> "object",
-    "patternProperties" -> "object", "additionalProperties" -> "object",
-    "dependencies" -> "object")
-
-  private val combinators = Set("allOf", "anyOf", "oneOf", "not")
+  private val keywordType = Draft4Tables.keywordType
+  private val combinators = Draft4Tables.combinators
 
   private final class Ctx(val resolver: SchemaResolver, val opts: ValidatorOptions) {
 
@@ -380,26 +366,9 @@ object ConstraintCompiler {
       case _ => false
     }
 
-    // ------------------------------------------------------------------
-    // error messages (jsen.js:871-903): resolved per error site at compile
-    // time — requiredMessage from the property's schema, invalidMessage
-    // from the emitting schema, then messages[keyword] fallbacks.
-    // ------------------------------------------------------------------
-
-    def messageFor(schema: JObj, keyword: String, key: Option[String]): Option[String] = {
-      val res: Option[JObj] = key.flatMap { k =>
-        schema.obj("properties").flatMap(_.get(k)).map(resolver.resolve).collect {
-          case o: JObj => o
-        }
-      }
-      val primary =
-        if (res.isDefined) res.flatMap(_.str("requiredMessage"))
-        else schema.str("invalidMessage")
-      primary.orElse {
-        res.flatMap(_.obj("messages")).flatMap(_.str(keyword))
-          .orElse(schema.obj("messages").flatMap(_.str(keyword)))
-      }
-    }
+    // error messages: shared table logic (jsen.js:871-903)
+    def messageFor(schema: JObj, keyword: String, key: Option[String]): Option[String] =
+      Draft4Tables.messageFor(resolver, schema, keyword, key)
 
     // ------------------------------------------------------------------
     // scalar keywords
@@ -511,6 +480,10 @@ object ConstraintCompiler {
       * DecimalType at 2× the divisor's scale — the decimal analog of
       * jsen's round-via-exponent-string trick. */
     private def kMultipleOf(mul: BigDecimal, v: Val, error: => Column): Comp = {
+      // multipleOf 0: jsen's `x % 0` is NaN, NaN !== 0 → every numeric
+      // value fails (jsen.js:123-139). Spark's `%` would THROW
+      // REMAINDER_BY_ZERO under ANSI instead — compile the constant.
+      if (mul == 0) return Comp.check(lit(false), error)
       val m = BigDecimal(mul.underlying.stripTrailingZeros())
       val decimals = math.max(0, m.scale)
       if (decimals == 0) {

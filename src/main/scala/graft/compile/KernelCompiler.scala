@@ -104,20 +104,9 @@ object KernelCompiler {
 
   // ----------------------------------------------------------------------
 
-  private val keywordType: Map[String, String] = Map(
-    "minimum" -> "number", "exclusiveMinimum" -> "number",
-    "maximum" -> "number", "exclusiveMaximum" -> "number",
-    "multipleOf" -> "number",
-    "minLength" -> "string", "maxLength" -> "string",
-    "pattern" -> "string", "format" -> "string",
-    "minItems" -> "array", "maxItems" -> "array",
-    "additionalItems" -> "array", "uniqueItems" -> "array", "items" -> "array",
-    "maxProperties" -> "object", "minProperties" -> "object",
-    "required" -> "object", "properties" -> "object",
-    "patternProperties" -> "object", "additionalProperties" -> "object",
-    "dependencies" -> "object")
-
-  private val combinators = Set("allOf", "anyOf", "oneOf", "not")
+  // keyword grouping shared with v1 (one source of truth — Draft4Tables)
+  private val keywordType = Draft4Tables.keywordType
+  private val combinators = Draft4Tables.combinators
 
   private def childPath(parent: String, seg: String): String =
     if (parent.isEmpty) seg else parent + "." + seg
@@ -266,8 +255,6 @@ object KernelCompiler {
       case LongType    => v => v.asInstanceOf[Long]
       case other       => throw Unsupported(s"integral ${other.simpleString}")
     }
-    private def isFloating(dt: DataType): Boolean = dt == FloatType || dt == DoubleType
-
     def typePred(t: String, dt: DataType, knownNonNull: Boolean): Any => Boolean = {
       def nn: Any => Boolean = if (knownNonNull) _ => true else v => v != null
       t match {
@@ -309,31 +296,17 @@ object KernelCompiler {
       case _ => false
     }
 
-    // ---- messages (mirrors ConstraintCompiler.messageFor) ---------------
+    // ---- messages: shared table logic (Draft4Tables) ---------------------
 
-    def messageFor(schema: JObj, keyword: String, key: Option[String]): Option[String] = {
-      val res: Option[JObj] = key.flatMap { k =>
-        schema.obj("properties").flatMap(_.get(k)).map(resolver.resolve).collect {
-          case o: JObj => o
-        }
-      }
-      val primary =
-        if (res.isDefined) res.flatMap(_.str("requiredMessage"))
-        else schema.str("invalidMessage")
-      primary.orElse {
-        res.flatMap(_.obj("messages")).flatMap(_.str(keyword))
-          .orElse(schema.obj("messages").flatMap(_.str(keyword)))
-      }
-    }
+    def messageFor(schema: JObj, keyword: String, key: Option[String]): Option[String] =
+      Draft4Tables.messageFor(resolver, schema, keyword, key)
 
     // ---- scalar keywords -------------------------------------------------
 
-    private def check(ok: Any => Boolean, path0: Option[String], keyword: String,
-                      msg: String, additional: Any => AnyRef = null): Ev =
+    private def check(ok: Any => Boolean, keyword: String, msg: String): Ev =
       new Ev {
         def eval(v: Any, path: String, out: ErrBuf): Unit =
-          if (!ok(v)) out.push(path0.getOrElse(path), keyword, msg,
-            if (additional == null) null else additional(v))
+          if (!ok(v)) out.push(path, keyword, msg)
       }
 
     def keywordEv(keyword: String, schema: JObj, dt: DataType,
@@ -364,34 +337,34 @@ object KernelCompiler {
         }
 
         case "minLength" => schema.int("minLength").map { n =>
-          check(v => v.asInstanceOf[UTF8String].numChars() >= n, None, "minLength", msg("minLength"))
+          check(v => v.asInstanceOf[UTF8String].numChars() >= n, "minLength", msg("minLength"))
         }
         case "maxLength" => schema.int("maxLength").map { n =>
-          check(v => v.asInstanceOf[UTF8String].numChars() <= n, None, "maxLength", msg("maxLength"))
+          check(v => v.asInstanceOf[UTF8String].numChars() <= n, "maxLength", msg("maxLength"))
         }
         case "pattern" => schema.str("pattern").map { p =>
           val pat = java.util.regex.Pattern.compile(JsRegex.toJava(p))
-          check(v => pat.matcher(v.toString).find(), None, "pattern", msg("pattern"))
+          check(v => pat.matcher(v.toString).find(), "pattern", msg("pattern"))
         }
         case "format" => schema.str("format").flatMap { name =>
           if (cfg.customNames.contains(name)) None
           else Formats.builtin.get(name).map { re =>
             val pat = java.util.regex.Pattern.compile(re)
-            check(v => pat.matcher(v.toString).find(), None, "format", msg("format"))
+            check(v => pat.matcher(v.toString).find(), "format", msg("format"))
           }
         }
 
         case "minItems" => schema.int("minItems").map { n =>
-          check(v => v.asInstanceOf[ArrayData].numElements() >= n, None, "minItems", msg("minItems"))
+          check(v => v.asInstanceOf[ArrayData].numElements() >= n, "minItems", msg("minItems"))
         }
         case "maxItems" => schema.int("maxItems").map { n =>
-          check(v => v.asInstanceOf[ArrayData].numElements() <= n, None, "maxItems", msg("maxItems"))
+          check(v => v.asInstanceOf[ArrayData].numElements() <= n, "maxItems", msg("maxItems"))
         }
         case "additionalItems" =>
           (schema.bool("additionalItems"), schema.arr("items")) match {
             case (Some(false), Some(tuple)) =>
               Some(check(v => v.asInstanceOf[ArrayData].numElements() <= tuple.length,
-                None, "additionalItems", msg("additionalItems")))
+                "additionalItems", msg("additionalItems")))
             case _ => None
           }
         case "uniqueItems" => schema.bool("uniqueItems").collect { case true =>
@@ -401,11 +374,11 @@ object KernelCompiler {
 
         case "maxProperties" => schema.int("maxProperties").map { n =>
           val cnt = propertyCount(dt)
-          check(v => cnt(v) <= n, None, "maxProperties", msg("maxProperties"))
+          check(v => cnt(v) <= n, "maxProperties", msg("maxProperties"))
         }
         case "minProperties" => schema.int("minProperties").map { n =>
           val cnt = propertyCount(dt)
-          check(v => cnt(v) >= n, None, "minProperties", msg("minProperties"))
+          check(v => cnt(v) >= n, "minProperties", msg("minProperties"))
         }
         case "required" => kRequired(schema, dt)
         case "properties" => kProperties(schema, dt, stack)
@@ -425,12 +398,12 @@ object KernelCompiler {
                            lt: Boolean): Ev = {
       if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
         val lit = m.toLongExact; val get = asLong(dt)
-        if (lt) check(v => !(get(v) < lit), None, kw, msg)
-        else    check(v => !(get(v) > lit), None, kw, msg)
+        if (lt) check(v => !(get(v) < lit), kw, msg)
+        else    check(v => !(get(v) > lit), kw, msg)
       } else {
         val lit = m.toDouble; val get = asDouble(dt)
-        if (lt) check(v => !(get(v) < lit), None, kw, msg)
-        else    check(v => !(get(v) > lit), None, kw, msg)
+        if (lt) check(v => !(get(v) < lit), kw, msg)
+        else    check(v => !(get(v) > lit), kw, msg)
       }
     }
 
@@ -438,30 +411,35 @@ object KernelCompiler {
     private def numEquals(dt: DataType, m: BigDecimal, kw: String, msg: String): Ev = {
       if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
         val lit = m.toLongExact; val get = asLong(dt)
-        check(v => get(v) != lit, None, kw, msg)
+        check(v => get(v) != lit, kw, msg)
       } else {
         val lit = m.toDouble; val get = asDouble(dt)
-        check(v => get(v) != lit, None, kw, msg)
+        check(v => get(v) != lit, kw, msg)
       }
     }
 
     /** multipleOf with the decimal-scaling fix (jsen.js:123-139), matching
       * v1's DecimalType arithmetic digit for digit. */
     private def kMultipleOf(mul: BigDecimal, dt: DataType, msg: String): Ev = {
+      // multipleOf 0 ≡ always-fail for numeric values (jsen: x % 0 is NaN);
+      // a JVM `% 0L` would throw per row
+      if (mul == 0) return check(_ => false, "multipleOf", msg)
       val m = BigDecimal(mul.underlying.stripTrailingZeros())
       val decimals = math.max(0, m.scale)
       if (decimals == 0) {
         val lit = m.toLongExact
         if (isIntegral(dt)) {
           val get = asLong(dt)
-          check(v => get(v) % lit == 0L, None, "multipleOf", msg)
+          check(v => get(v) % lit == 0L, "multipleOf", msg)
         } else {
           val get = asDouble(dt)
-          check(v => get(v) % lit == 0.0, None, "multipleOf", msg)
+          check(v => get(v) % lit == 0.0, "multipleOf", msg)
         }
       } else {
         val scale = math.min(2 * decimals, 18)
-        val mScaled = m.underlying.setScale(scale)
+        // HALF_UP like v1's literal-to-decimal cast (a divisor with more
+        // than 18 decimals would otherwise throw ArithmeticException here)
+        val mScaled = m.underlying.setScale(scale, java.math.RoundingMode.HALF_UP)
         val maxPrecision = 38
         val get: Any => java.math.BigDecimal = dt match {
           case ByteType | ShortType | IntegerType | LongType =>
@@ -481,7 +459,7 @@ object KernelCompiler {
           // null ≡ v1's try_cast overflow/NaN → error branch
           bd != null && bd.precision - bd.scale <= maxPrecision - scale &&
             bd.remainder(mScaled).compareTo(java.math.BigDecimal.ZERO) == 0
-        }, None, "multipleOf", msg)
+        }, "multipleOf", msg)
       }
     }
 
@@ -540,7 +518,7 @@ object KernelCompiler {
           i += 1
         }
         distinct == n
-      }, None, "uniqueItems", msg)
+      }, "uniqueItems", msg)
     }
 
     private def kItems(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {

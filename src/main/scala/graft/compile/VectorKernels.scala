@@ -1,5 +1,6 @@
 package graft.compile
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -25,8 +26,12 @@ private[graft] object VectorKernels {
 }
 
 /** cosine(a, b) = (Σ aᵢbᵢ) / (√Σ aᵢ² · √Σ bᵢ²). NULL when either side is
-  * NULL, lengths differ, or any element is NULL — the exact null algebra
-  * of the `zip_with`+`aggregate` formulation it replaces. */
+  * NULL, lengths differ, any element is NULL, or either norm is zero —
+  * the null algebra of the `zip_with`+`aggregate` formulation it replaces
+  * for defined inputs; on a zero-norm vector the Column formulation's
+  * Divide would THROW under ANSI mode (return NULL otherwise), so the
+  * kernel picks the well-defined NULL ("similarity undefined") for both
+  * session modes. */
 final case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
@@ -56,7 +61,8 @@ final case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
@@ -79,6 +85,7 @@ final case class HyperplaneBuckets(
   require(planesFlat.length == tables * planes * dim, "plane matrix shape mismatch")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_lsh_buckets"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -90,15 +97,26 @@ final case class HyperplaneBuckets(
   @transient private lazy val get = VectorKernels.elemGetter(child.dataType).toOption.get
   @transient private lazy val w: Array[Double] = planesFlat.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  // a NULL vector buckets to all-zeros like the Column formulation
+  // (`when(NULL >= 0, …).otherwise(0)` per bit), NOT to NULL — override
+  // eval, no nullSafeEval
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) return new GenericArrayData(new Array[Long](tables))
+    val v = raw.asInstanceOf[ArrayData]
     val out = new Array[Long](tables)
     // a length-mismatched or null-carrying vector nulls every projection
     // in the Column formulation (zip_with pads with NULL) → all bits 0
     var degenerate = v.numElements() != dim
+    val x = new Array[Double](dim)
     if (!degenerate) {
+      // copy once into a local buffer: the projection loop reads each
+      // element tables×planes times
       var i = 0
-      while (i < dim && !degenerate) { degenerate = v.isNullAt(i); i += 1 }
+      while (i < dim && !degenerate) {
+        if (v.isNullAt(i)) degenerate = true else x(i) = get(v, i)
+        i += 1
+      }
     }
     if (!degenerate) {
       var t = 0
@@ -109,7 +127,7 @@ final case class HyperplaneBuckets(
           val base = (t * planes + p) * dim
           var proj = 0.0
           var j = 0
-          while (j < dim) { proj += get(v, j) * w(base + j); j += 1 }
+          while (j < dim) { proj += x(j) * w(base + j); j += 1 }
           if (proj >= 0) bucket |= (1L << p)
           p += 1
         }

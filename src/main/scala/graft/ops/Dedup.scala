@@ -89,8 +89,12 @@ object Dedup {
                        seed: Long = 42L,
                        shingleId: Column => Column = xxhashShingleId): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // ≤32-bit shingle ids keep the affine hash inside Long range
-    val ids = transform(shingles(text, shingleN), shingleId)
+    // mask ids to 32 bits HERE, not in the id functions: the affine
+    // kernel's no-overflow bound (x·a + b < 2^63) requires x < 2^32, and
+    // a caller-supplied wide hash (e.g. portableShingleId62, meant for
+    // SimHash) would otherwise silently overflow into garbage signatures
+    val ids = transform(shingles(text, shingleN),
+      s => shingleId(s).bitwiseAND(lit(0xFFFFFFFFL)))
     val fam = hashFamily(k, seed)
     ColumnBridge.column(graft.compile.MinHashSignature(
       ColumnBridge.expression(ids), fam.map(_._1), fam.map(_._2)))

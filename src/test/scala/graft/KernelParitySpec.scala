@@ -118,6 +118,23 @@ class KernelParitySpec extends SparkSpec {
           Similarity.lshBucketColumns(col("embedding"), 64, 8, 42L + 7919L * t)): _*))
       .count()
     assert(bucketDiff == 0, s"lsh bucket kernel diverged on $bucketDiff rows")
+
+    // degenerate inputs: zero-norm cosine is NULL (the Column Divide
+    // would throw under ANSI); a NULL vector buckets to all-zeros like
+    // the Column when/otherwise algebra
+    val degenerate = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq.fill(64)(0.0f), Seq.fill(64)(1.0f)),
+        org.apache.spark.sql.Row(null, Seq.fill(64)(1.0f))),
+      StructType(Seq(
+        StructField("za", ArrayType(FloatType), nullable = true),
+        StructField("zb", ArrayType(FloatType), nullable = true))))
+    val deg = degenerate.select(
+      Similarity.cosine(col("za"), col("zb")).as("c"),
+      Similarity.lshBuckets(col("za"), 64, 8, 4, 42L).as("bk")).collect()
+    assert(deg.forall(_.isNullAt(0)), "zero-norm/null cosine must be NULL")
+    assert(deg(1).getSeq[Long](1) == Seq(0L, 0L, 0L, 0L),
+      "NULL vector must bucket to zeros")
   }
 
   test("open-map object semantics: kernel matches v1 on a MapType column") {
