@@ -52,11 +52,14 @@ final case class KsDriftCheck(
     val cumul = Window.partitionBy("part").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // greatest(total, 1): a part whose column is entirely NULL has zero
+    // observed mass — its CDF flatlines at 0 and the check fails loudly
+    // with D = 1 instead of ANSI-throwing on 0/0
     val withCdf = joined
       .withColumn("o_cdf", sum("o_cnt").over(cumul).cast(DoubleType) /
-        sum("o_cnt").over(byPart))
+        greatest(sum("o_cnt").over(byPart), lit(1L)))
       .withColumn("r_cdf", sum("r_cnt").over(cumul).cast(DoubleType) /
-        sum("r_cnt").over(byPart))
+        greatest(sum("r_cnt").over(byPart), lit(1L)))
 
     val verdicts = withCdf
       .groupBy("part")
@@ -109,8 +112,10 @@ final case class Chi2DriftCheck(
       .where(col("key").isNotNull)
       .groupBy("key").agg(count(lit(1)).as("r_cnt"))
     // the reference total stays a lazy 1-row cross-join (a `.head()` here
-    // would serialize an extra driver-side job per check mid-plan)
-    val refTotal = refHist.agg(sum("r_cnt").cast(DoubleType).as("_rt"))
+    // would serialize an extra driver-side job per check mid-plan);
+    // greatest(…, 1) keeps an empty reference from ANSI-throwing on /0
+    val refTotal = refHist.agg(
+      greatest(sum("r_cnt").cast(DoubleType), lit(1.0)).as("_rt"))
     val refFrac = refHist.crossJoin(broadcast(refTotal))
       .select(col("key"), (col("r_cnt") / col("_rt")).as("p"))
 

@@ -136,6 +136,23 @@ class PipelineSpec extends SparkSpec {
     assert(drifted > 0.2, s"shifted KS D=$drifted")
   }
 
+  test("drift checks survive degenerate inputs (ANSI: no divide-by-zero)") {
+    val ref = TokenTable.generate(spark, cfg.copy(seed = 7L))
+    // part 0's column entirely NULL → zero observed mass → maximal drift,
+    // loud failure (not an ANSI 0/0 crash)
+    val withNullPart = table.withColumn("n_tok",
+      when(col("part") === 0, lit(null).cast("int")).otherwise(col("n_tok")))
+    val v = KsDriftCheck("n_tok", ref, threshold = 0.05).run(withNullPart)
+      .verdicts.collect()
+    val part0 = v.find(_.getInt(0) == 0).get
+    assert(!part0.getBoolean(2) && part0.getDouble(4) >= 0.99,
+      s"all-null part should fail with D≈1, got $part0")
+    // empty reference must not throw either
+    val chi = Chi2DriftCheck("n_tok", col("n_tok"), ref.where(lit(false)),
+      col("n_tok"), threshold = 1e12).run(table).verdicts.collect()
+    assert(chi.nonEmpty)
+  }
+
   test("chi2 drift flips on perturbed token histogram") {
     val ref = TokenTable.generate(spark, cfg.copy(seed = 7L))
     val cap = 512
