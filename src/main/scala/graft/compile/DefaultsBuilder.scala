@@ -184,6 +184,18 @@ object DefaultsBuilder {
         schema.get("items") match {
           case Some(sub: JObj) =>
             transform(withDefault, x => buildValue(x, et, sub, resolver))
+          case Some(JArr(tuple)) =>
+            // tuple form: each position gets its own sub-schema's defaults
+            // (jsen.js:784-799); positions beyond the tuple are untouched
+            transform(withDefault, (x, i) =>
+              tuple.zipWithIndex.foldLeft(x) { case (acc, (subV, idx)) =>
+                resolved(subV, resolver) match {
+                  case Some(o) =>
+                    when(i === lit(idx), buildValue(x, et, o, resolver))
+                      .otherwise(acc)
+                  case None => acc
+                }
+              })
           case _ => withDefault
         }
       case _ => withDefault

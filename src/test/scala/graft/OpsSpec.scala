@@ -263,6 +263,23 @@ class OpsSpec extends SparkSpec {
     assert(dropped.columns.toSeq == Seq("id"))
   }
 
+  test("defaults builder: tuple-form items apply positional defaults (jsen.js:784-799)") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq[Any](null, 5, null, 7))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("xs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = true)))))
+    val built = graft.compile.DefaultsBuilder.build(df,
+      """{"properties":{"xs":{"items":[{"default":1},{"default":9},{"default":3}]}}}""")
+    // position 0 null → 1; position 1 present → 5; position 2 null → 3;
+    // position 3 beyond the tuple → untouched null-safe (stays 7)
+    assert(built.select("xs").head().getSeq[Integer](0) == Seq(1, 5, 3, 7))
+  }
+
   test("defaults builder: additionalProperties modes (default/false/'always')") {
     import graft.compile.DefaultsBuilder
     import graft.compile.DefaultsBuilder.Additional
