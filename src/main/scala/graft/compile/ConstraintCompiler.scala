@@ -162,13 +162,14 @@ object ConstraintCompiler {
     // Error path: the fused v2 kernel (one JVM pass, KernelCompiler) when
     // the spec supports it, else the v1 interpreted-HOF Column tree.
     val kcfg = KernelCompiler.cfgOf(opts)
-    // driver-side support probe (compile once, discard): decides fused vs
-    // v1 fallback before any expression ships to executors
-    val fused: Option[String] =
-      if (opts.useFusedErrors &&
-          KernelCompiler.compile(spec, dt, kcfg).isDefined)
-        Some(Json.render(spec))
-      else None
+    // driver-side support probe: decides fused vs v1 fallback before any
+    // expression ships to executors. Goes through the JVM-wide kernel
+    // cache, so the probe's compile IS the compile driver-side evaluation
+    // reuses (no double compilation).
+    val fused: Option[String] = if (opts.useFusedErrors) {
+      val json = Json.render(spec)
+      if (KernelCompiler.compileCached(json, dt, kcfg).isDefined) Some(json) else None
+    } else None
     def fusedCol(greedy: Boolean): Option[Column] = fused.map { json =>
       import org.apache.spark.sql.graftbridge.ColumnBridge
       ColumnBridge.column(FusedErrors(

@@ -1,6 +1,5 @@
 package graft.compile
 
-import graft.json.Json
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -10,10 +9,12 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** The fused error-path expression: evaluates the whole constraint spec
   * against a value in ONE kernel pass (see [[KernelCompiler]]) and returns
-  * the jsen-style error array. Carries the spec as JSON and compiles the
-  * kernel lazily per JVM (driver for explain/tests, each executor once) —
-  * the same compile-once-run-many shape as the reference's `new Function`
-  * validator (/root/reference/lib/func.js:58-65).
+  * the jsen-style error array. Carries the spec as JSON; the kernel comes
+  * from the JVM-wide [[KernelCompiler.compileCached]] cache, so even
+  * though CodegenFallback expressions are deserialized once per task, the
+  * compile (including java.util.regex Pattern compilation) runs once per
+  * executor JVM — the same compile-once-run-many shape as the reference's
+  * `new Function` validator (/root/reference/lib/func.js:58-65).
   *
   * Always used gated behind the v1 `valid` column
   * (`when(valid, empty).otherwise(this)`), so it only runs for violating
@@ -32,7 +33,9 @@ final case class FusedErrors(
   override def prettyName: String = "graft_validate_errors"
 
   @transient private lazy val kernel: KernelCompiler.Ev =
-    KernelCompiler.compileOrThrow(Json.parse(specJson), child.dataType, cfg)
+    KernelCompiler.compileCached(specJson, child.dataType, cfg).getOrElse(
+      throw new IllegalStateException(
+        "graft: FusedErrors constructed for a kernel-unsupported spec"))
 
   // the instance itself validates NULL values (jsen validates null data);
   // no nullSafeEval

@@ -24,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are v1's exactly — same traversal order, same error groups,
   * same greedy/non-greedy contract — enforced by KernelParitySpec and by
   * every expectation-based suite running through this path. Unsupported
-  * constructs (composite enum literals, DecimalType values,
-  * Column-function custom formats, non-string map keys) return None and
-  * the caller falls back to the v1 tree.
+  * constructs (composite enum literals, Column-function custom formats,
+  * non-string map keys) return None and the caller falls back to the v1
+  * tree. DecimalType values are supported natively (BigDecimal
+  * comparisons mirroring v1's Catalyst coercions — whole literals compare
+  * decimal-exact, fractional literals in double).
   */
 object KernelCompiler {
 
@@ -91,6 +93,26 @@ object KernelCompiler {
   def compile(spec: JValue, dt: DataType, cfg: KernelCfg): Option[Ev] =
     try Some(compileOrThrow(spec, dt, cfg))
     catch { case Unsupported(_) => None }
+
+  /** JVM-wide compiled-kernel cache: a kernel is compiled once per
+    * (spec, type, cfg) per JVM and shared by every task thread — compiled
+    * state (literals, Patterns, field offsets) is immutable and
+    * java.util.regex.Pattern is thread-safe; all evaluation state lives in
+    * the per-call [[ErrBuf]]. Without this, CodegenFallback expressions
+    * deserialized per task would recompile the kernel (including Pattern
+    * compilation) once per task, and the driver would compile the same
+    * spec again for its support probe. Bounded: cleared when it outgrows
+    * the cap (distinct spec×type pairs per JVM are few; a clear only costs
+    * a recompile). */
+  private val cacheCap = 512
+  private val kernelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, DataType, KernelCfg), Option[Ev]]()
+
+  def compileCached(specJson: String, dt: DataType, cfg: KernelCfg): Option[Ev] = {
+    if (kernelCache.size > cacheCap) kernelCache.clear()
+    kernelCache.computeIfAbsent((specJson, dt, cfg),
+      key => compile(Json.parse(key._1), key._2, key._3))
+  }
 
   def compileOrThrow(spec: JValue, dt: DataType, cfg: KernelCfg): Ev = {
     spec match {
@@ -235,9 +257,16 @@ object KernelCompiler {
     }
     private def isIntegral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
-      case d: DecimalType => throw Unsupported("decimal value")
+      case d: DecimalType => d.scale == 0 // matches v1 (ConstraintCompiler)
       case _ => false
     }
+
+    /** Decimal values reach the kernel as [[Decimal]]; comparisons mirror
+      * v1's Catalyst coercions: a whole spec literal compares
+      * decimal-exact (Spark coerces bigint→decimal), a fractional literal
+      * compares in double (DecimalPrecision casts both sides to double). */
+    private def asBigDec(v: Any): java.math.BigDecimal =
+      v.asInstanceOf[Decimal].toJavaBigDecimal
 
     private def asDouble(dt: DataType): Any => Double = dt match {
       case ByteType    => v => v.asInstanceOf[Byte].toDouble
@@ -265,11 +294,16 @@ object KernelCompiler {
         case "integer" =>
           if (!isNumeric(dt)) _ => false
           else if (isIntegral(dt)) nn
-          else {
-            // value test on a float (jsen.js:67-69): 7.0 is an integer;
-            // NaN passes too (Spark NaN = NaN is true through `floor`)
-            val d = asDouble(dt)
-            v => v != null && { val x = d(v); x.isNaN || x == math.floor(x) }
+          else dt match {
+            case _: DecimalType =>
+              // exact value test, like v1's `col === floor(col)` on
+              // decimals (no double rounding)
+              v => v != null && asBigDec(v).stripTrailingZeros.scale <= 0
+            case _ =>
+              // value test on a float (jsen.js:67-69): 7.0 is an integer;
+              // NaN passes too (Spark NaN = NaN is true through `floor`)
+              val d = asDouble(dt)
+              v => v != null && { val x = d(v); x.isNaN || x == math.floor(x) }
           }
         case "array"  => dt match { case _: ArrayType => nn; case _ => _ => false }
         case "object" => dt match {
@@ -396,7 +430,17 @@ object KernelCompiler {
       * whole literal compares as long against integral columns. */
     private def numCompare(dt: DataType, m: BigDecimal, kw: String, msg: String,
                            lt: Boolean): Ev = {
-      if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+      if (dt.isInstanceOf[DecimalType]) {
+        if (m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+          val lit = java.math.BigDecimal.valueOf(m.toLongExact)
+          if (lt) check(v => !(asBigDec(v).compareTo(lit) < 0), kw, msg)
+          else    check(v => !(asBigDec(v).compareTo(lit) > 0), kw, msg)
+        } else {
+          val lit = m.toDouble
+          if (lt) check(v => !(asBigDec(v).doubleValue < lit), kw, msg)
+          else    check(v => !(asBigDec(v).doubleValue > lit), kw, msg)
+        }
+      } else if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
         val lit = m.toLongExact; val get = asLong(dt)
         if (lt) check(v => !(get(v) < lit), kw, msg)
         else    check(v => !(get(v) > lit), kw, msg)
@@ -409,7 +453,15 @@ object KernelCompiler {
 
     /** exclusiveMin/Max modifier: additionally fail x == bound. */
     private def numEquals(dt: DataType, m: BigDecimal, kw: String, msg: String): Ev = {
-      if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+      if (dt.isInstanceOf[DecimalType]) {
+        if (m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+          val lit = java.math.BigDecimal.valueOf(m.toLongExact)
+          check(v => asBigDec(v).compareTo(lit) != 0, kw, msg)
+        } else {
+          val lit = m.toDouble
+          check(v => asBigDec(v).doubleValue != lit, kw, msg)
+        }
+      } else if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
         val lit = m.toLongExact; val get = asLong(dt)
         check(v => get(v) != lit, kw, msg)
       } else {
@@ -428,7 +480,12 @@ object KernelCompiler {
       val decimals = math.max(0, m.scale)
       if (decimals == 0) {
         val lit = m.toLongExact
-        if (isIntegral(dt)) {
+        if (dt.isInstanceOf[DecimalType]) {
+          // v1: decimal % bigint literal — exact decimal remainder (covers
+          // both scale-0 and fractional-scale decimal columns)
+          val litBd = java.math.BigDecimal.valueOf(lit)
+          check(v => asBigDec(v).remainder(litBd).signum == 0, "multipleOf", msg)
+        } else if (isIntegral(dt)) {
           val get = asLong(dt)
           check(v => get(v) % lit == 0L, "multipleOf", msg)
         } else {
@@ -452,6 +509,10 @@ object KernelCompiler {
               else java.math.BigDecimal.valueOf(x)
                 .setScale(scale, java.math.RoundingMode.HALF_UP)
             }
+          case _: DecimalType =>
+            // v1's try_cast(col, decimal(38, scale)): round HALF_UP; the
+            // precision guard below reproduces the overflow→null→error path
+            v => asBigDec(v).setScale(scale, java.math.RoundingMode.HALF_UP)
           case other => throw Unsupported(s"multipleOf on ${other.simpleString}")
         }
         check(v => {
@@ -481,6 +542,14 @@ object KernelCompiler {
     private def litEquals(l: JValue, dt: DataType): Any => Boolean = (l, dt) match {
       case (JNull, _) => v => v == null
       case (JBool(b), BooleanType) => v => v != null && v.asInstanceOf[Boolean] == b
+      case (JNum(n), t: DecimalType) =>
+        if (n.isWhole && n.abs <= BigDecimal(Long.MaxValue)) {
+          val lit = java.math.BigDecimal.valueOf(n.toLongExact)
+          v => v != null && asBigDec(v).compareTo(lit) == 0
+        } else {
+          val lit = n.toDouble
+          v => v != null && asBigDec(v).doubleValue == lit
+        }
       case (JNum(n), t) if isNumeric(t) =>
         if (isIntegral(t) && n.isWhole && n.abs <= BigDecimal(Long.MaxValue)) {
           val lit = n.toLongExact; val get = asLong(t)

@@ -128,18 +128,20 @@ object Dedup {
                         bands: Int = 16, rowsPerBand: Int = 4,
                         seed: Long = 42L,
                         shingleId: Column => Column = xxhashShingleId,
-                        materializePairs: Boolean = true): DataFrame = {
+                        materializePairs: Boolean = true,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val pairIds = if (materializePairs) {
       // narrow banded frame, cached so the self-join doesn't recompute
       // every signature once per side
       val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
         rowsPerBand, seed, shingleId).persist()
-      val pairs = bandPairs(banded)
+      val pairs = bandPairs(banded, maxBucket)
         .localCheckpoint(true) // eager: bounds the band cache's lifetime
+      logDroppedBuckets("minhashDuplicates", banded, Seq("band", "bucket"), maxBucket)
       banded.unpersist(false)
       pairs
     } else bandPairs(bandedBuckets(df, idCol, textCol, shingleN, bands,
-      rowsPerBand, seed, shingleId))
+      rowsPerBand, seed, shingleId), maxBucket)
 
     // re-join shingles by id for the exact verification pass
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
@@ -163,12 +165,62 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
         }: _*)).as(Seq("band", "bucket")))
 
+  /** Hot-bucket guard threshold: at web scale one degenerate bucket
+    * (empty docs, boilerplate, zero vectors — all hashing identically)
+    * makes the bucket self-join O(m²) in a single task, the classic
+    * LSH-dedup OOM. Buckets above the cap are DROPPED from the pair join
+    * (their members still pair through their other, non-degenerate
+    * bands/chunks): ≥ maxBucket documents agreeing on a whole band are an
+    * exact-duplicate-style group better handled by [[exactDuplicates]] on
+    * the text key — [[oversizedBuckets]] exposes them for that routing. */
+  val DefaultMaxBucket: Int = 100000
+
+  /** (keyCols..., n) of buckets the guard drops (population > maxBucket);
+    * route these groups to [[exactDuplicates]]-style handling. */
+  private[graft] def oversizedBuckets(bucketed: DataFrame, keys: Seq[String],
+                                      maxBucket: Int): DataFrame =
+    bucketed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+
+  /** Keep only rows of buckets within the population cap. The count
+    * aggregation and the pair join partition on the same keys, so the
+    * exchange is reused — the guard costs one cheap agg over the
+    * already-narrow bucketed frame, not an extra full shuffle. */
+  private def capBuckets(bucketed: DataFrame, keys: Seq[String],
+                         maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) bucketed
+    else {
+      val ok = bucketed.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .where(col("_n") <= maxBucket)
+      bucketed.join(ok, keys).drop("_n")
+    }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** Eager dropped-bucket metric (only called on already-materialized
+    * inputs, so the extra agg reads cache, not the source). */
+  private def logDroppedBuckets(op: String, bucketed: DataFrame,
+                                keys: Seq[String], maxBucket: Int): Unit =
+    if (maxBucket != Int.MaxValue) {
+      val d = oversizedBuckets(bucketed, keys, maxBucket)
+        .agg(count(lit(1)), coalesce(sum("n"), lit(0L))).head()
+      if (d.getLong(0) > 0)
+        log.warn(s"$op: dropped ${d.getLong(0)} hot buckets " +
+          s"(${d.getLong(1)} member rows) from the pair join; " +
+          "route them via exactDuplicates")
+    }
+
   /** Bucket self-join: only docs agreeing on a full band collide; output
     * is the deduped (id_a, id_b) candidate list — no shingles, no
-    * signatures cross this shuffle. */
-  private[graft] def bandPairs(banded: DataFrame): DataFrame = {
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    * signatures cross this shuffle. Buckets above `maxBucket` are dropped
+    * (hot-bucket guard — see [[DefaultMaxBucket]]). */
+  private[graft] def bandPairs(banded: DataFrame,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
+    val guarded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val a = guarded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = guarded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -220,7 +272,8 @@ object Dedup {
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 3, shingleN: Int = 3,
                         shingleId: Column => Column = xxhash64(_),
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // cached: the chunk self-join recomputes each side's projection, and
     // the signature fold is the expensive part
     val sigs0 = df.select(col(idCol).as("id"),
@@ -230,9 +283,11 @@ object Dedup {
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk", "ckey")))
-    val a = chunked.select(col("chunk"), col("ckey"),
+    // hot-chunk guard: identical/near-empty docs all share every chunk key
+    val guarded = capBuckets(chunked, Seq("chunk", "ckey"), maxBucket)
+    val a = guarded.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("ckey"),
+    val b = guarded.select(col("chunk"), col("ckey"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     val joined = a.join(b, Seq("chunk", "ckey"))
       .where(col("id_a") < col("id_b"))
@@ -242,6 +297,7 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
     if (materialize) {
       val out = joined.localCheckpoint(true) // eager: bounds the sig cache
+      logDroppedBuckets("simhashDuplicates", chunked, Seq("chunk", "ckey"), maxBucket)
       sigs.unpersist(false)
       out
     } else joined

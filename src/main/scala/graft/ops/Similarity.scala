@@ -101,15 +101,29 @@ object Similarity {
               k: Int, dim: Int, planes: Int = 8, tables: Int = 4,
               seed: Long = 42L): DataFrame = {
     def buckets(vec: Column): Column = lshBuckets(vec, dim, planes, tables, seed)
+    // The bucket join carries (neighbor_id, table, bucket) ONLY — corpus
+    // vectors do not ride the ×tables explode or any shuffle (the same
+    // de-payloading Dedup.minhashDuplicates applies to shingles). The
+    // query side is broadcast, so candidate generation is shuffle-free on
+    // the corpus; candidate ids are deduped while still narrow, then the
+    // vectors are re-joined by id for the exact re-rank — candidates are
+    // LSH-collision-bounded and broadcast back under AQE, so the corpus
+    // never shuffles its vectors at all.
     val bucketed = corpus.select(col(corpusId).as("neighbor_id"),
-        col(corpusVec).as("cv"), posexplode(buckets(col(corpusVec)))
-          .as(Seq("table", "bucket")))
+      posexplode(buckets(col(corpusVec))).as(Seq("table", "bucket")))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qv"), posexplode(buckets(col(queryVec)))
-        .as(Seq("table", "bucket"))))
-    val scored = bucketed.join(q, Seq("table", "bucket"))
+      posexplode(buckets(col(queryVec))).as(Seq("table", "bucket"))))
+    val cand = bucketed.join(q, Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv")))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    val scored = cand
+      .join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -119,16 +133,36 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
-    * then exactly verified. */
+    * then exactly verified. The bucket self-join carries (id, bucket)
+    * only; vectors are re-joined by id for the exact cosine (pairs are
+    * collision-bounded → broadcast under AQE, so the vector table never
+    * shuffles). Buckets above `maxBucket` are dropped — all-identical /
+    * zero vectors collapse into one degenerate bucket whose O(m²) pairs
+    * would OOM a task at web scale (see [[graft.ops.Dedup.DefaultMaxBucket]]). */
   def cosineDuplicates(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int,
-                       planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+                       planes: Int = 8, seed: Long = 42L,
+                       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
       lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
-    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val guarded =
+      if (maxBucket == Int.MaxValue) t
+      else {
+        val ok = t.groupBy("bucket").agg(count(lit(1)).as("_n"))
+          .where(col("_n") <= maxBucket)
+        t.join(ok, Seq("bucket")).drop("_n")
+      }
+    val a = guarded.select(col("bucket"), col("id").as("id_a"))
+    val b = guarded.select(col("bucket"), col("id").as("id_b"))
+    // single-table blocking: each pair arises from exactly one bucket, so
+    // the candidate list needs no dedup
+    val pairs = a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

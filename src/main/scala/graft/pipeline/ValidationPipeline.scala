@@ -62,8 +62,20 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
     // `row_count` verdict rows, (b) the partition universe injected into
     // every check, and (c) the commit metadata collected from cache after
     // the writes.
+    // Fail fast on NULL / non-castable partition values (raise_error
+    // inside the group key, so the first job touching the data aborts with
+    // a clear message): silently dropping such rows would skip validation
+    // for them, and letting a null group through used to NPE during
+    // commit-metadata collection AFTER the output writes. The dynamic
+    // partition overwrite keeps an aborted run idempotent on re-run.
+    val partInt = col(cfg.partCol).cast("int")
+    val partKey = when(col(cfg.partCol).isNull || partInt.isNull,
+        raise_error(concat(
+          lit(s"graft: NULL or non-castable '${cfg.partCol}' partition value: "),
+          coalesce(col(cfg.partCol).cast("string"), lit("NULL")))).cast("int"))
+      .otherwise(partInt)
     val rowCounts = pending
-      .groupBy(col(cfg.partCol).cast("int").as("part"))
+      .groupBy(partKey.as("part"))
       .agg(count(lit(1)).as("n_rows"))
       .persist()
     val universe = rowCounts.select(col("part"))

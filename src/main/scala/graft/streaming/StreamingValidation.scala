@@ -120,12 +120,16 @@ object StreamingValidation {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration), col(partCol).as("part"))
       .agg(gf.kll_sketch(col(column).cast("double")).as("sketch"))
+      // project the KS distance ONCE: kll_ks deserializes both sketches,
+      // and a multiply-referenced non-cheap alias is kept un-inlined by
+      // CollapseProject, so `passed` and `metric_value` share one eval
+      .withColumn("_ks", gf.kll_ks(col("sketch"), lit(referenceSketch)))
       .select(
         col("window"), col("part"),
         lit(s"drift_kll_ks:$column").as("check"),
-        (gf.kll_ks(col("sketch"), lit(referenceSketch)) <= threshold).as("passed"),
+        (col("_ks") <= threshold).as("passed"),
         lit(0L).as("violation_count"),
-        gf.kll_ks(col("sketch"), lit(referenceSketch)).as("metric_value"))
+        col("_ks").as("metric_value"))
   }
 
   /** Watermarked per-window verdicts: (window, part, passed,

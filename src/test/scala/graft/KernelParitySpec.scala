@@ -159,6 +159,27 @@ class KernelParitySpec extends SparkSpec {
       df)
   }
 
+  test("DecimalType values run through the kernel with v1 parity") {
+    val df = spark.range(300).select(
+      // quarter-step decimals: .00/.25/.50/.75 — exercises the exact
+      // integer value test and fractional multipleOf on decimals
+      (col("id") * 111 % 997 / 4).cast("decimal(12,2)").as("amount"),
+      ((col("id") * 7 + 1) / 4).cast("decimal(12,2)").as("price"),
+      (col("id") % 50).cast("decimal(10,0)").as("qty"))
+    bothModes(
+      """{"properties":{
+           "amount":{"type":"integer","multipleOf":3},
+           "price":{"minimum":5,"maximum":70,"exclusiveMaximum":true,
+                    "multipleOf":0.5},
+           "qty":{"minimum":10,"exclusiveMinimum":true}}}""",
+      df)
+    // enum over decimals: whole literals compare decimal-exact,
+    // fractional in double (mirroring Catalyst's coercions)
+    bothModes(
+      """{"properties":{"price":{"enum":[0.5, 2, 3.75]}}}""",
+      df)
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
     // composite enum literals are v1-only; the plan must NOT contain the
     // kernel expression and must still validate correctly

@@ -306,4 +306,73 @@ class OpsSpec extends SparkSpec {
       Additional.Always)
     assert(marked.columns.toSeq == Seq("id", "extra"))
   }
+
+  // ---- LSH hot-bucket guards (the 100-TB skew hazard): 10^4 identical
+  // ---- docs collapse every band/chunk bucket into one degenerate group
+  // ---- whose unguarded self-join is O(10^8) pairs in a single task ----
+
+  // 10,000 byte-identical docs — every band bucket / simhash chunk key is
+  // shared by all of them
+  lazy val hotDocs = (0 until 10000)
+    .map(i => ((20000 + i).toLong, "boilerplate header text repeated verbatim"))
+    .toDF("doc_id", "text")
+
+  test("minhash hot-bucket guard: degenerate bucket dropped, real pairs kept") {
+    val truth = Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
+      blockCol = lit(1), threshold = 0.4, shingleN = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.minhashDuplicates(docs.union(hotDocs), "doc_id", "text",
+      threshold = 0.4, shingleN = 2, bands = 16, rowsPerBand = 4,
+      maxBucket = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot group contributes ZERO pairs (bounded — not 10^8)...
+    assert(!guarded.exists { case (a, b) => a >= 20000 || b >= 20000 })
+    // ...and planted duplicates in healthy buckets are unaffected
+    assert(guarded == truth, s"missing=${truth -- guarded} extra=${guarded -- truth}")
+  }
+
+  test("simhash hot-chunk guard: degenerate chunk dropped, planted pairs kept") {
+    val guarded = Dedup.simhashDuplicates(docs.union(hotDocs), "doc_id", "text",
+      maxDist = 16, shingleN = 2, maxBucket = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!guarded.exists { case (a, b) => a >= 20000 || b >= 20000 })
+    val planted = guarded.count { case (a, b) => b == a + 100 }
+    assert(planted >= 12, s"expected >=12 planted pairs to survive, got $planted")
+  }
+
+  test("cosineDuplicates: hot-bucket guard + vectors kept off the bucket join") {
+    val rnd = new scala.util.Random(11)
+    val distinct = (0 until 6).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // a clone pair that must survive the guard
+    val clones = Seq((100L, distinct.head._2), (101L, distinct.head._2.clone()))
+    val hot = (0 until 10000).map(i => ((1000 + i).toLong, Array.fill(16)(1.0f)))
+    val df = (distinct ++ clones ++ hot).toDF("id", "v")
+    val out = Similarity.cosineDuplicates(df, "id", "v",
+      threshold = 0.999, dim = 16, planes = 4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.exists { case (a, b) => a >= 1000 && a < 20000 && b >= 1000 })
+    assert(out.contains((0L, 100L)) && out.contains((0L, 101L)) && out.contains((100L, 101L)),
+      s"clone pairs lost: $out")
+  }
+
+  test("lshTopK plan: corpus vectors do not ride the bucket join") {
+    val plan = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      dim = 16, planes = 4, tables = 4)
+      .queryExecution.optimizedPlan
+    // the (table, bucket) join must carry no array-typed (vector) column —
+    // only narrow ids ride the candidate-generation subtree; vectors are
+    // re-joined by id afterwards for the exact re-rank
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val bucketJoins = plan.collect {
+      case j: Join if j.left.output.exists(_.name == "bucket") ||
+        j.right.output.exists(_.name == "bucket") => j
+    }
+    assert(bucketJoins.nonEmpty, "expected a bucket join")
+    bucketJoins.foreach { j =>
+      val arrays = j.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"bucket join carries vector payload: ${arrays.map(_.name)}")
+    }
+  }
 }

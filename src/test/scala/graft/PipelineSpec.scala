@@ -200,6 +200,45 @@ class PipelineSpec extends SparkSpec {
     assert(partViolations.count() == fullCount)
   }
 
+  test("NULL / non-castable partition values fail fast with a clear error") {
+    val dir = Files.createTempDirectory("graft-pipe-null").toString
+    val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out")
+    val poisoned = table.withColumn("part",
+      when(col("doc_id").isNull, lit(null)).otherwise(col("part")))
+    val ex = intercept[Exception] {
+      new ValidationPipeline(Seq(RowConstraintCheck(validator)), pcfg).run(poisoned)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("partition value")),
+      s"expected the partition-value error, got: $ex")
+    // nothing was committed — the failed run resumes from scratch
+    assert(new Checkpoint(s"$dir/ckpt").committedParts().isEmpty)
+  }
+
+  test("global checks: a new partition appearing after commit cannot leak " +
+       "committed-part violations") {
+    val dir = Files.createTempDirectory("graft-pipe-newpart").toString
+    val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out")
+    val checks: Seq[Check] = Seq(UniquenessCheck("doc_id"))
+    new ValidationPipeline(checks, pcfg).run(table)
+    val committedViol = spark.read.parquet(s"$dir/out/violations").count()
+
+    // a new partition duplicating doc_ids that live in committed part 0
+    val extra = table.where(col("part") === 0 && col("doc_id").isNotNull)
+      .limit(50).withColumn("part", lit(4))
+    val r = new ValidationPipeline(checks, pcfg).run(table.unionByName(extra))
+    assert(r.processedParts == Seq(4) && r.skippedParts == Seq(0, 1, 2, 3))
+
+    val viol = spark.read.parquet(s"$dir/out/violations")
+    // the cross-partition duplicates are reported — but ONLY under the new
+    // partition; the committed parts' outputs are untouched (the verify
+    // filter keeps re-observed committed-part rows out of the union and
+    // dynamic overwrite only rewrites part=4)
+    assert(viol.where(col("part") === 4).count() == 50)
+    assert(viol.where(col("part") =!= 4).count() == committedViol)
+  }
+
   test("no dedicated pre-count pass: the input is scanned only by the checks") {
     // TEST-ONLY instrumentation: a row-counting UDF filter measures how
     // many times the pipeline scans its input (engine code has no UDFs)
