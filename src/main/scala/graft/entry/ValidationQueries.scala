@@ -374,6 +374,159 @@ object ValidationQueries {
             + CASE WHEN n_chars IS NOT NULL AND n_chars > 450 THEN 1 ELSE 0 END)::BIGINT AS nviol
              FROM documents""")),
 
+    // the non-standard `date` type predicate (jsen.js:79-81, test/date.js)
+    // + the built-in date-time format regex (lib/formats.js:6) on a string
+    // timestamp + a timestamp-window bound via a custom Column format —
+    // draft-4 has no numeric keywords for dates, and custom formats run
+    // for ALL types, last (jsen.js:1015-1035). Column-function formats are
+    // kernel-unsupported, so this row also gates the v1 fallback wiring.
+    Q("q_date_bounds",
+      (s, d) => {
+        val ev = T(s, d, "events").select(
+          col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("ts"),
+          when(pmod(col("event_id"), lit(5)) === 0,
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("ts_str"))
+        val v = Validator(
+          """{"required":["ts"],
+              "properties":{"ts":{"type":"date","format":"ts-window"},
+                            "ts_str":{"format":"date-time"}}}""",
+          ValidatorOptions(greedy = true,
+            formats = Map("ts-window" -> Right(c =>
+              c >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+                c < to_timestamp(lit("2024-01-25 00:00:00"))))))
+          .withValidation(ev)
+        v.select(col("event_id"), col("valid"),
+          size(col("errors")).cast("long").as("nviol"))
+      },
+      Some("""SELECT event_id,
+             (event_id % 7 <> 0
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts < TIMESTAMP '2024-01-25 00:00:00'
+              AND event_id % 5 <> 0) AS valid,
+             (CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN event_id % 7 <> 0 AND NOT (ts >= TIMESTAMP '2024-01-08 00:00:00'
+                   AND ts < TIMESTAMP '2024-01-25 00:00:00') THEN 1 ELSE 0 END
+            + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM events""")),
+
+    // composite enum literals (array + object) — deep structural equality
+    // with order-insensitive keys and missing-field ≡ NULL
+    // (lib/equal.js:9-15, 28-69). Composite literals are kernel-
+    // unsupported by design (KernelCompiler litEquals), so this row gates
+    // the KC→v1 fallback path end-to-end.
+    Q("q_enum_composite",
+      (s, d) => {
+        val df = T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          array(pmod(col("l_orderkey"), lit(3)).cast("int"),
+            col("l_linenumber").cast("int")).as("tag"),
+          struct(
+            when(pmod(col("l_orderkey"), lit(2)) === 0, lit("a"))
+              .otherwise(lit("b")).as("f"),
+            when(pmod(col("l_linenumber"), lit(2)) === 0, lit(1))
+              .otherwise(lit(null).cast("int")).as("n")).as("meta"))
+        validate(df,
+          """{"properties":{
+               "tag":{"enum":[[0,1],[1,2],[2,1]]},
+               "meta":{"enum":[{"f":"a","n":1},{"f":"b"}]}}}""",
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             (((l_orderkey % 3 = 0 AND l_linenumber = 1)
+               OR (l_orderkey % 3 = 1 AND l_linenumber = 2)
+               OR (l_orderkey % 3 = 2 AND l_linenumber = 1))
+              AND ((l_orderkey % 2 = 0 AND l_linenumber % 2 = 0)
+               OR (l_orderkey % 2 = 1 AND l_linenumber % 2 <> 0))) AS valid,
+             (CASE WHEN NOT ((l_orderkey % 3 = 0 AND l_linenumber = 1)
+               OR (l_orderkey % 3 = 1 AND l_linenumber = 2)
+               OR (l_orderkey % 3 = 2 AND l_linenumber = 1)) THEN 1 ELSE 0 END
+            + CASE WHEN NOT ((l_orderkey % 2 = 0 AND l_linenumber % 2 = 0)
+               OR (l_orderkey % 2 = 1 AND l_linenumber % 2 <> 0)) THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM lineitem""")),
+
+    // the NON-GREEDY contract (the reference's default mode,
+    // jsen.js:900-902: `return` after the first errors.push): exactly one
+    // violation row per invalid doc, in keyword order — required first
+    // (schema key order), then properties in declaration order, minimum
+    // before maximum within a property.
+    Q("q_violations_nongreedy",
+      (s, d) => Validator(
+        """{"required":["text"],
+            "properties":{"n_chars":{"minimum":150,"maximum":400},
+                          "lang":{"enum":["en","de","fr"]},
+                          "source":{"pattern":"^src\\d+$"}}}""",
+        ValidatorOptions(greedy = false))
+        .violations(
+          T(s, d, "documents").select(col("doc_id"),
+            expr("CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END").as("text"),
+            col("n_chars"), col("lang"), col("source")),
+          Seq("doc_id"))
+        .select("doc_id", "path", "keyword"),
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+                 n_chars, lang, source
+               FROM documents),
+             first_err AS (
+               SELECT doc_id,
+                 CASE WHEN text IS NULL THEN 'text'
+                      WHEN n_chars IS NOT NULL AND n_chars < 150 THEN 'n_chars'
+                      WHEN n_chars IS NOT NULL AND n_chars > 400 THEN 'n_chars'
+                      WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 'lang'
+                      WHEN source IS NOT NULL
+                           AND NOT regexp_matches(source, '^src\d+$') THEN 'source'
+                      END AS path,
+                 CASE WHEN text IS NULL THEN 'required'
+                      WHEN n_chars IS NOT NULL AND n_chars < 150 THEN 'minimum'
+                      WHEN n_chars IS NOT NULL AND n_chars > 400 THEN 'maximum'
+                      WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 'enum'
+                      WHEN source IS NOT NULL
+                           AND NOT regexp_matches(source, '^src\d+$') THEN 'pattern'
+                      END AS keyword
+               FROM t)
+             SELECT doc_id, path, keyword FROM first_err WHERE path IS NOT NULL""")),
+
+    // DecimalType columns through the FUSED KERNEL (engagement asserted in
+    // KernelParitySpec): exact decimal bounds, the exclusive modifiers,
+    // fractional multipleOf via decimal scaling, and the integer value
+    // test on a scale-2 decimal.
+    Q("q_decimal_bounds",
+      (s, d) => {
+        val df = T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          (col("l_quantity") +
+            when(pmod(col("l_orderkey"), lit(4)) === 0, 0.5).otherwise(0.0))
+            .cast("decimal(10,2)").as("qty"))
+        validate(df,
+          """{"properties":{
+               "price":{"minimum":2000,"maximum":90000,"exclusiveMaximum":true,
+                        "multipleOf":0.05},
+               "qty":{"type":"integer","minimum":5,"exclusiveMinimum":true}}}""",
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH t AS (
+               SELECT l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                 CAST(l_quantity + (CASE WHEN l_orderkey % 4 = 0
+                   THEN 0.5 ELSE 0.0 END) AS DECIMAL(10,2)) AS qty
+               FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+               (price >= 2000 AND price < 90000
+                AND (CAST(price AS DECIMAL(38,4)) % 0.05) = 0
+                AND (qty % 1) = 0 AND qty > 5) AS valid,
+               (CASE WHEN price < 2000 THEN 1 ELSE 0 END
+              + CASE WHEN price > 90000 THEN 1 ELSE 0 END
+              + CASE WHEN price = 90000 THEN 1 ELSE 0 END
+              + CASE WHEN (CAST(price AS DECIMAL(38,4)) % 0.05) <> 0 THEN 1 ELSE 0 END
+              + CASE WHEN (qty % 1) <> 0 THEN 1 ELSE 0 END
+              + CASE WHEN (qty % 1) = 0 AND qty < 5 THEN 1 ELSE 0 END
+              + CASE WHEN (qty % 1) = 0 AND qty = 5 THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM t""")),
+
     Q("q_defaults_build",
       (s, d) => DefaultsBuilder.build(
         T(s, d, "documents").select(col("doc_id"),
