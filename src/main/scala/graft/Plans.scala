@@ -53,10 +53,18 @@ object Plans {
         .agg(graft.sketch.functions.kll_sketch(col("n_tok")).as("sk"))
         .explain("formatted")
     }
-    section("minhash_lsh_band_join (only id+band+bucket cross the shuffle)") {
+    section("minhash_lsh_band_join (id+band+bucket only, hot-bucket cap)") {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       graft.ops.Dedup.bandPairs(graft.ops.Dedup.bandedBuckets(
-        docs, "doc_id", "text", 2, 16, 2, 42L, graft.ops.Dedup.xxhashShingleId))
+        docs, "doc_id", "text", 2, 16, 2, 42L, graft.ops.Dedup.xxhashShingleId),
+        maxBucket = graft.ops.Dedup.DefaultMaxBucket)
+        .explain("formatted")
+    }
+    section("lsh_ann_topk (no vectors in the bucket join)") {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      graft.ops.Similarity.lshTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, planes = 8)
         .explain("formatted")
     }
     section("fused_greedy_errors (kernel gated behind valid)") {

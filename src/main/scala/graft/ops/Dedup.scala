@@ -183,6 +183,25 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket)
 
+  /** Public routing surface for the hot-bucket guard: the members of every
+    * band bucket [[minhashDuplicates]] would drop at this cap, as
+    * (band, bucket, id) rows (linear in members — no per-bucket pair
+    * blow-up). ≥ maxBucket docs agreeing on a whole MinHash band are
+    * near-identical by construction; handle them as duplicate GROUPS
+    * (e.g. `keepCanonical` keyed on the bucket) instead of pairs. */
+  def hotBandBuckets(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                     seed: Long = 42L,
+                     shingleId: Column => Column = xxhashShingleId,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, seed, shingleId)
+    banded.join(
+      oversizedBuckets(banded, Seq("band", "bucket"), maxBucket).drop("n"),
+      Seq("band", "bucket"))
+      .select("band", "bucket", "id")
+  }
+
   /** Keep only rows of buckets within the population cap. The count
     * aggregation and the pair join partition on the same keys, so the
     * exchange is reused — the guard costs one cheap agg over the

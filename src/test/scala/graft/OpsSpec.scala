@@ -355,6 +355,16 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("hotBandBuckets routes dropped groups: members listed, healthy docs absent") {
+    val members = Dedup.hotBandBuckets(docs.union(hotDocs.limit(300)),
+      "doc_id", "text", shingleN = 2, bands = 4, rowsPerBand = 4,
+      maxBucket = 100)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(members.nonEmpty && members.forall(_ >= 20000),
+      s"only the degenerate group should be routed, got ${members.take(5)}")
+    assert(members.size == 300, s"every hot member listed once: ${members.size}")
+  }
+
   test("lshTopK plan: corpus vectors do not ride the bucket join") {
     val plan = Similarity.lshTopK(vecs, "vec_id", "embedding",
       vecs.where(col("vec_id") < 3), "vec_id", "embedding", k = 3,
