@@ -141,3 +141,86 @@ final case class HyperplaneBuckets(
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 }
+
+/** Indices of the `nprobe` nearest centroids by squared L2 distance,
+  * ascending, ties broken toward the LOWER index — the IVF coarse
+  * quantizer. `centroidsFlat` is row-major `[k][dim]`. Distances are the
+  * exact sequential fold `0.0 + (x₀-c₀)² + (x₁-c₁)² + …` in double, so a
+  * SQL oracle restating the same fold (DuckDB `list_reduce`) computes
+  * bit-identical distances and the same argmin. A degenerate vector
+  * (NULL, length mismatch, null element) gets all-equal distances →
+  * cells `[0, 1, …, nprobe-1]`. */
+final case class NearestCells(
+    child: Expression,
+    centroidsFlat: Seq[Double],
+    k: Int,
+    dim: Int,
+    nprobe: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroidsFlat.length == k * dim, "centroid matrix shape mismatch")
+  require(nprobe >= 1 && nprobe <= k, "nprobe out of range")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.elemGetter(child.dataType) match {
+      case Right(_) => TypeCheckResult.TypeCheckSuccess
+      case Left(m)  => TypeCheckResult.TypeCheckFailure(s"graft_nearest_cells $m")
+    }
+
+  @transient private lazy val get = VectorKernels.elemGetter(child.dataType).toOption.get
+  @transient private lazy val c: Array[Double] = centroidsFlat.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val dists = new Array[Double](k)
+    val raw = child.eval(input)
+    var degenerate = raw == null
+    if (!degenerate) {
+      val v = raw.asInstanceOf[ArrayData]
+      degenerate = v.numElements() != dim
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim && !degenerate) {
+        if (v.isNullAt(i)) degenerate = true else x(i) = get(v, i)
+        i += 1
+      }
+      if (!degenerate) {
+        var j = 0
+        while (j < k) {
+          val base = j * dim
+          var d = 0.0
+          var i2 = 0
+          while (i2 < dim) { val t = x(i2) - c(base + i2); d += t * t; i2 += 1 }
+          dists(j) = d
+          j += 1
+        }
+      }
+    }
+    // partial selection sort: nprobe smallest, strict < keeps the lowest
+    // index on ties (and yields [0, 1, …] for all-equal degenerate dists)
+    val out = new Array[Long](nprobe)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        if (!used(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+        j += 1
+      }
+      // all remaining distances == Double.MaxValue: take the lowest index
+      if (best < 0) { best = 0; while (used(best)) best += 1 }
+      used(best) = true
+      out(p) = best.toLong
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}

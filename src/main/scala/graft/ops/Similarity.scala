@@ -132,6 +132,117 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
+
+  /** Driver-side Lloyd's k-means over a deterministic sample (ordered by
+    * id — every run trains the same centroids): the production centroid
+    * trainer for [[ivfTopK]]. The sample is driver-bounded
+    * (`sampleSize` rows × dim doubles); training cost never touches the
+    * cluster. Empty clusters keep their previous centroid; ties assign to
+    * the lower index (same rule as the [[graft.compile.NearestCells]]
+    * kernel). */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     k: Int, iters: Int = 5, seed: Long = 42L,
+                     sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .orderBy(col(idCol))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(sample.length >= k, s"k-means needs >= $k sample vectors")
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone()).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = x(i) - centroids(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+      }
+      (0 until k).foreach { j =>
+        if (counts(j) > 0)
+          (0 until dim).foreach(i => centroids(j)(i) = sums(j)(i) / counts(j))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** The `nprobe` nearest centroid indices of a vector (ascending
+    * distance, ties to the lower index), via the
+    * [[graft.compile.NearestCells]] kernel. */
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = centroids.head.length
+    ColumnBridge.column(graft.compile.NearestCells(
+      ColumnBridge.expression(vec), centroids.flatten, centroids.length, dim, nprobe))
+  }
+
+  /** The original Column-fold formulation of the single nearest cell
+    * (parity oracle for the kernel). */
+  private[graft] def nearestCellColumns(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = centroids.map { c =>
+      aggregate(zip_with(vec, typedlit(c),
+        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    dists.zipWithIndex.foldLeft((lit(Double.MaxValue), lit(0L))) {
+      case ((bd, bj), (d, j)) =>
+        (when(d < bd, d).otherwise(bd), when(d < bd, lit(j.toLong)).otherwise(bj))
+    }._2
+  }
+
+  /** IVF ANN top-k: the corpus is partitioned into centroid cells by ONE
+    * narrow projection (no shuffle); each query probes its `nprobe`
+    * nearest cells; candidates are re-ranked with exact cosine, so
+    * precision is 1 and recall ≈ the probed cells' coverage. Same output
+    * shape as [[bruteForceTopK]]/[[lshTopK]].
+    *
+    * Scale shape (same discipline as lshTopK): the cell join carries
+    * (neighbor_id, cell) only — vectors are re-joined by id for the
+    * re-rank; the query side broadcasts; each corpus row lives in exactly
+    * one cell and probe cells are distinct, so the candidate list needs
+    * no dedup. Centroids ride into the kernel as literals (k × dim
+    * doubles — KBs), not through a join. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, dim: Int, centroids: Seq[Seq[Double]],
+              nprobe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      "centroid matrix must be k x dim")
+    val corpusCells = corpus.select(col(corpusId).as("neighbor_id"),
+      element_at(nearestCells(col(corpusVec), centroids, 1), 1).as("cell"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      explode(nearestCells(col(queryVec), centroids, nprobe)).as("cell")))
+    val cand = corpusCells.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv")))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    val scored = cand
+      .join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
     * then exactly verified. The bucket self-join carries (id, bucket)
     * only; vectors are re-joined by id for the exact cosine (pairs are

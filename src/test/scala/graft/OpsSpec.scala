@@ -96,6 +96,65 @@ class OpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN: trained k-means centroids, exact precision, decent recall") {
+    val centroids = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      dim = 16, k = 4, iters = 5)
+    assert(centroids.length == 4 && centroids.forall(_.length == 16))
+    // training is deterministic: same sample order, same seed
+    assert(centroids == Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      dim = 16, k = 4, iters = 5))
+
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      dim = 16, centroids = centroids, nprobe = 2)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision: every returned sim is the exact cosine brute force
+    // computes for that pair (re-rank is exact)
+    ivf.foreach { case (pair, sim) =>
+      bf.get(pair).foreach(bfSim => assert(bfSim == sim, s"sim diverged for $pair"))
+    }
+    val recall = ivf.keySet.intersect(bf.keySet).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall $recall collapsed — cell probing broken")
+  }
+
+  test("NearestCells kernel matches the Column-fold argmin exactly") {
+    val centroids = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      dim = 16, k = 5, iters = 3)
+    val diff = vecs.where(
+      element_at(Similarity.nearestCells(col("embedding"), centroids, 1), 1) =!=
+        Similarity.nearestCellColumns(col("embedding"), centroids)).count()
+    assert(diff == 0, s"cell assignment diverged on $diff rows")
+    // degenerate vectors probe cells [0, 1, ...], never NULL
+    val deg = vecs.limit(1)
+      .select(Similarity.nearestCells(lit(null).cast("array<float>"), centroids, 2).as("p"))
+      .head().getSeq[Long](0)
+    assert(deg == Seq(0L, 1L))
+  }
+
+  test("ivfTopK plan: corpus vectors do not ride the cell join") {
+    val centroids = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      dim = 16, k = 4, iters = 2)
+    val plan = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      dim = 16, centroids = centroids, nprobe = 2)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val cellJoins = plan.collect {
+      case j: Join if j.left.output.exists(_.name == "cell") ||
+        j.right.output.exists(_.name == "cell") => j
+    }
+    assert(cellJoins.nonEmpty, "expected a cell join")
+    cellJoins.foreach { j =>
+      val arrays = j.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty, s"cell join carries vector payload: ${arrays.map(_.name)}")
+    }
+  }
+
   test("cosine of identical vectors is 1") {
     val one = vecs.limit(3)
       .withColumn("sim", round(Similarity.cosine(col("embedding"), col("embedding")), 9))
