@@ -126,7 +126,8 @@ object Bench {
     // (codegen + parquet footers) then best-of-N per query — this host
     // shows up to 10x one-shot variance under hypervisor steal (BENCH.md),
     // and a single draw measures weather, not the engine
-    val qIters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_ITERS", "3").toInt)
+    val qIters = math.max(1, sys.env.get("SPARK_GRAFT_QUERY_ITERS")
+      .flatMap(_.toIntOption).getOrElse(3))
     val queryTimes: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {

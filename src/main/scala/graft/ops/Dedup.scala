@@ -194,20 +194,22 @@ object Dedup {
                      seed: Long = 42L,
                      shingleId: Column => Column = xxhashShingleId,
                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
-      rowsPerBand, seed, shingleId)
-    banded.join(
-      oversizedBuckets(banded, Seq("band", "bucket"), maxBucket).drop("n"),
-      Seq("band", "bucket"))
+    // window count instead of agg+self-join: the (expensive) signature
+    // subtree is computed ONCE — this lazy helper has no persist to lean on
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId)
+      .withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") > maxBucket)
       .select("band", "bucket", "id")
   }
 
   /** Keep only rows of buckets within the population cap. The count
     * aggregation and the pair join partition on the same keys, so the
     * exchange is reused — the guard costs one cheap agg over the
-    * already-narrow bucketed frame, not an extra full shuffle. */
-  private def capBuckets(bucketed: DataFrame, keys: Seq[String],
-                         maxBucket: Int): DataFrame =
+    * already-narrow bucketed frame, not an extra full shuffle.
+    * (Shared with [[Similarity.cosineDuplicates]].) */
+  private[ops] def capBuckets(bucketed: DataFrame, keys: Seq[String],
+                              maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) bucketed
     else {
       val ok = bucketed.groupBy(keys.map(col): _*)

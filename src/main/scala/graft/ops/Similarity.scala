@@ -146,7 +146,11 @@ object Similarity {
                      sampleSize: Int = 4096): Seq[Seq[Double]] = {
     val sample: Array[Array[Double]] = df
       .select(col(idCol), col(vecCol))
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      // degenerate vectors (NULL, wrong length, null elements) are
+      // excluded from training — the NearestCells kernel tolerates them
+      // at assignment time, but a null element would NPE the driver fold
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+        !exists(col(vecCol), e => e.isNull))
       .orderBy(col(idCol))
       .limit(sampleSize)
       .collect()
@@ -256,13 +260,10 @@ object Similarity {
                        maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val t = df.select(col(idCol).as("id"),
       lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
-    val guarded =
-      if (maxBucket == Int.MaxValue) t
-      else {
-        val ok = t.groupBy("bucket").agg(count(lit(1)).as("_n"))
-          .where(col("_n") <= maxBucket)
-        t.join(ok, Seq("bucket")).drop("_n")
-      }
+    // same cap as the Dedup band/chunk joins; this API is fully lazy, so
+    // (like minhashDuplicates with materializePairs = false) there is no
+    // eager dropped-bucket metric — route via Dedup.oversizedBuckets
+    val guarded = Dedup.capBuckets(t, Seq("bucket"), maxBucket)
     val a = guarded.select(col("bucket"), col("id").as("id_a"))
     val b = guarded.select(col("bucket"), col("id").as("id_b"))
     // single-table blocking: each pair arises from exactly one bucket, so

@@ -35,10 +35,26 @@ final case class PipelineResult(
 final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
   import org.apache.spark.sql.types.DoubleType
 
-  def run(input: DataFrame): PipelineResult = {
-    val spark = input.sparkSession
+  def run(input0: DataFrame): PipelineResult = {
+    val spark = input0.sparkSession
     val checkpoint = new Checkpoint(cfg.checkpointDir)
     val committed = checkpoint.committedParts()
+
+    // Fail fast on NULL / non-castable partition values: the guard rides
+    // the scan of EVERY job over the input (checks, violation/verdict
+    // writes, row counts), so the first job touching a poisoned row
+    // aborts with a clear message before any output partition for it can
+    // commit. Silently dropping such rows would skip validation for
+    // them, and letting a null group through used to NPE during
+    // commit-metadata collection AFTER the output writes. The dynamic
+    // partition overwrite keeps an aborted run idempotent on re-run.
+    val partInt = col(cfg.partCol).cast("int")
+    val input = input0.where(
+      when(col(cfg.partCol).isNull || partInt.isNull,
+        raise_error(concat(
+          lit(s"graft: NULL or non-castable '${cfg.partCol}' partition value: "),
+          coalesce(col(cfg.partCol).cast("string"), lit("NULL")))).cast("boolean"))
+        .otherwise(lit(true)))
 
     val pending =
       if (committed.isEmpty) input
@@ -62,20 +78,8 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
     // `row_count` verdict rows, (b) the partition universe injected into
     // every check, and (c) the commit metadata collected from cache after
     // the writes.
-    // Fail fast on NULL / non-castable partition values (raise_error
-    // inside the group key, so the first job touching the data aborts with
-    // a clear message): silently dropping such rows would skip validation
-    // for them, and letting a null group through used to NPE during
-    // commit-metadata collection AFTER the output writes. The dynamic
-    // partition overwrite keeps an aborted run idempotent on re-run.
-    val partInt = col(cfg.partCol).cast("int")
-    val partKey = when(col(cfg.partCol).isNull || partInt.isNull,
-        raise_error(concat(
-          lit(s"graft: NULL or non-castable '${cfg.partCol}' partition value: "),
-          coalesce(col(cfg.partCol).cast("string"), lit("NULL")))).cast("int"))
-      .otherwise(partInt)
     val rowCounts = pending
-      .groupBy(partKey.as("part"))
+      .groupBy(col(cfg.partCol).cast("int").as("part"))
       .agg(count(lit(1)).as("n_rows"))
       .persist()
     val universe = rowCounts.select(col("part"))

@@ -212,8 +212,14 @@ class PipelineSpec extends SparkSpec {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("partition value")),
       s"expected the partition-value error, got: $ex")
-    // nothing was committed — the failed run resumes from scratch
+    // nothing was committed — the failed run resumes from scratch, and no
+    // output partition (in particular no __HIVE_DEFAULT_PARTITION__ from
+    // the null part) ever landed: the guard rides every job's scan, so
+    // the violations write itself aborts
     assert(new Checkpoint(s"$dir/ckpt").committedParts().isEmpty)
+    val violParts = Option(new java.io.File(s"$dir/out/violations").listFiles)
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("part="))
+    assert(violParts.isEmpty, s"poisoned output committed: $violParts")
   }
 
   test("global checks: a new partition appearing after commit cannot leak " +
