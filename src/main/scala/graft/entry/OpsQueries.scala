@@ -157,6 +157,54 @@ object OpsQueries {
             SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
             FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 16""")),
 
+    // connected components over a duplicate-pair list: the step real
+    // dedup needs between pair generation and survivor selection. The
+    // gate graph is synthesized from orders as 5-node chains (diameter 4,
+    // so label propagation genuinely iterates); the oracle restates the
+    // algorithm itself as a recursive closure, not the expected answer.
+    Q("q_dedup_groups",
+      (s, d) => {
+        val base = pmod(col("o_orderkey"), lit(200))
+        val lvl = pmod(col("o_orderkey"), lit(4)) + 1
+        val pairs = T(s, d, "orders").select(
+          (base + lvl * 200).as("id_a"),
+          (base + (lvl + 1) * 200).as("id_b")).distinct()
+        Dedup.duplicateGroups(pairs)
+      },
+      Some("""WITH RECURSIVE pairs AS (
+                SELECT DISTINCT
+                  (o_orderkey % 200) + ((o_orderkey % 4) + 1) * 200 AS id_a,
+                  (o_orderkey % 200) + ((o_orderkey % 4) + 2) * 200 AS id_b
+                FROM orders),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              reach AS (
+                SELECT id, id AS r FROM nodes
+                UNION
+                SELECT e.dst AS id, reach.r FROM reach JOIN edges e
+                  ON e.src = reach.id)
+              SELECT id, min(r) AS group_id FROM reach GROUP BY id""")),
+
+    // reproducible hash-mod sampling (curation): membership is a pure
+    // function of (doc_id, lang-stratum fraction) — the gate uses the
+    // portable fingerprint hash so DuckDB restates membership exactly
+    Q("q_sample_strata",
+      (s, d) => Sampling.hashSampleByStrata(
+        T(s, d, "documents"),
+        // salt the key past the hash's low range so short numeric ids
+        // spread over the full modulus (bare "123" hashes below every
+        // threshold and nothing would be filtered)
+        key = concat(col("doc_id").cast("string"), lit("#"), col("source")),
+        strata = col("lang"),
+        fractions = Map("en" -> 0.3, "zh" -> 1.0), defaultFraction = 0.6,
+        hash = TextAnalysis.fingerprint(_))
+        .select("doc_id", "lang", "source"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+               WHERE (${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")} % 1000000) <
+                 CASE lang WHEN 'en' THEN 300000
+                           WHEN 'zh' THEN 1000000 ELSE 600000 END""")),
+
     Q("q_embed_cosine_pairs",
       (s, d) => {
         val e = T(s, d, "embeddings").where(col("vec_id") < 100)

@@ -248,6 +248,42 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over an undirected duplicate-pair list
+    * (id_a, id_b) → (id, group_id), group_id = the minimum id reachable —
+    * the canonical cluster key for pair-based dedup (feed to
+    * [[keepCanonical]] to pick survivors). Label propagation to the
+    * neighborhood minimum: each round is one narrow union + hash
+    * aggregate + an equality check; rounds needed = O(graph diameter),
+    * which for near-dup clusters is tiny (pairs are near-cliques). Labels
+    * are `localCheckpoint`ed per round so the iterative plan's lineage
+    * stays flat instead of growing a join tree per round — the standard
+    * Spark iterative-algorithm discipline. `maxIter` bounds pathological
+    * chains; throws if not converged (a silent partial clustering would
+    * merge nothing worse than under-grouping, but callers must know). */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("group_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("group_id"))
+        .union(labels)
+        .groupBy("id").agg(min("group_id").as("group_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("group_id", "prev"), Seq("id"))
+        .where(col("group_id") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"duplicateGroups did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Exact n-gram Jaccard over candidate pairs carrying shingle arrays. */
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")

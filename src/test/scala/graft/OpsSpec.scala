@@ -59,6 +59,41 @@ class OpsSpec extends SparkSpec {
     assert(groups.agg(max("occurrences")).head().getLong(0) == 2)
   }
 
+  test("duplicateGroups: connected components, multi-round chain propagation") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain: diameter 4, needs >1 round
+      (10L, 11L), (11L, 10L),                 // duplicate/reversed edges
+      (20L, 21L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(groups(_) == 1L), s"chain collapsed wrong: $groups")
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+    assert(groups(20L) == 20L && groups(21L) == 20L)
+    assert(groups.size == 9)
+  }
+
+  test("hashSample: deterministic, monotone in fraction, stratified, shuffle-free") {
+    val df = spark.range(10000).select(col("id"),
+      pmod(col("id"), lit(3)).cast("int").as("s"))
+    val key = col("id").cast("string")
+    val a = Sampling.hashSample(df, key, 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, key, 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash sampling must be run-stable")
+    assert(math.abs(a.size / 10000.0 - 0.25) < 0.03, s"fraction off: ${a.size}")
+    // growing the fraction only ADDS rows (membership by hash threshold)
+    val c = Sampling.hashSample(df, key, 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c))
+    val st = Sampling.hashSampleByStrata(df, key, col("s").cast("string"),
+      Map("0" -> 0.0, "1" -> 1.0), defaultFraction = 0.5)
+      .groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!st.contains(0), "stratum with fraction 0 must vanish")
+    assert(st(1) == 3333L, s"fraction-1 stratum must be complete: ${st.get(1)}")
+    assert(math.abs(st(2) - 3333 * 0.5) < 150, s"default fraction off: ${st.get(2)}")
+    // narrow projection: no shuffle in the plan
+    assert(!Sampling.hashSample(df, key, 0.25)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   // ---- similarity ----
 
   lazy val vecs = {
