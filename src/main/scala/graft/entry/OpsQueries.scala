@@ -157,6 +157,54 @@ object OpsQueries {
             SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
             FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 16""")),
 
+    // the full near-dedup composition (banding → verified pairs →
+    // connected components → min-id survivors → anti-join) with the same
+    // portable hash and parameters as q_dedup_minhash_lsh, so the oracle
+    // extends that query's restatement with a recursive closure and an
+    // anti-join
+    Q("q_dedup_corpus",
+      (s, d) => Dedup.dedupCorpus(
+        T(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
+        threshold = 0.10, shingleN = 2, bands = 16, rowsPerBand = 2,
+        shingleId = Dedup.portableShingleId)
+        .select("doc_id", "lang", "n_chars"),
+      Some {
+        val fam = Dedup.hashFamily(16 * 2, 42L)
+        val slots = fam.map { case (a, b) =>
+          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+        }.mkString("[", ",\n                 ", "]")
+        s"""WITH RECURSIVE $duckShingles200,
+            ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM sh),
+            sig AS (SELECT doc_id, $slots AS sig FROM ids),
+            banded AS (
+              SELECT doc_id, t.b AS band, sig[t.b*2 + 1 : t.b*2 + 2] AS bucket
+              FROM sig, unnest(range(0, 16)) AS t(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            vp AS (
+              SELECT p.id_a, p.id_b
+              FROM cand p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.10),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+                      UNION ALL SELECT id_b, id_a FROM vp),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach AS (
+              SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.dst AS id, reach.r FROM reach JOIN edges e
+                ON e.src = reach.id),
+            losers AS (
+              SELECT id FROM (SELECT id, min(r) AS g FROM reach GROUP BY id)
+              WHERE id <> g)
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM losers)"""
+      }),
+
     // connected components over a duplicate-pair list: the step real
     // dedup needs between pair generation and survivor selection. The
     // gate graph is synthesized from orders as 5-node chains (diameter 4,

@@ -284,6 +284,51 @@ object Dedup {
     labels
   }
 
+  /** One-call near-duplicate REMOVAL: the full production composition —
+    * MinHash banding → hot-bucket split → exact-Jaccard-verified pairs →
+    * connected components → min-id survivor per cluster → anti-join.
+    * Returns the deduplicated corpus (all columns of `df`).
+    *
+    * Skew handling is semantic here, not just protective: members of an
+    * oversized band bucket (≥ maxBucket docs agreeing on a whole MinHash
+    * band — near-identical by construction) are clustered as a GROUP via
+    * star edges to the bucket minimum (O(m) edges, not O(m²) pairs), so
+    * the degenerate boilerplate group still collapses to one survivor
+    * while healthy buckets take the exact-verified pair path.
+    *
+    * One banding pass (persisted and released); pairs localCheckpoint'ed
+    * (the CC iteration re-reads them each round); the final anti-join
+    * broadcasts the (small) loser set, so the corpus never shuffles. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, shingleN: Int = 3,
+                  bands: Int = 16, rowsPerBand: Int = 4,
+                  seed: Long = 42L,
+                  shingleId: Column => Column = xxhashShingleId,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, seed, shingleId).persist()
+    val pairIds = bandPairs(banded, maxBucket)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val verified = verifyJaccard(
+      pairIds
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b")),
+      threshold).select("id_a", "id_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val hotPairs = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") > maxBucket)
+      .withColumn("_gmin", min("id").over(w))
+      .where(col("id") =!= col("_gmin"))
+      .select(col("_gmin").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val allPairs = verified.union(hotPairs).localCheckpoint(true)
+    banded.unpersist(false)
+    val losers = duplicateGroups(allPairs)
+      .where(col("id") =!= col("group_id"))
+    df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs carrying shingle arrays. */
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")

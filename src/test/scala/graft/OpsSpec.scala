@@ -449,6 +449,28 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("dedupCorpus: one survivor per cluster, hot group collapsed as a group") {
+    val corpus = docs.union(hotDocs)
+    val out = Dedup.dedupCorpus(corpus, "doc_id", "text",
+      threshold = 0.4, shingleN = 2, bands = 16, rowsPerBand = 4,
+      maxBucket = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly ONE of the 10^4 identical boilerplate docs survives (the
+    // min id), via group routing — not O(m²) pair verification
+    assert(out.count(_ >= 20000) == 1 && out.contains(20000L))
+    // every planted near-dup cluster keeps its min id and loses the clone
+    val truth = Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
+      blockCol = lit(1), threshold = 0.4, shingleN = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    truth.foreach { case (a, b) =>
+      assert(out.contains(math.min(a, b)) && !out.contains(math.max(a, b)),
+        s"cluster ($a,$b) misresolved")
+    }
+    // docs in no cluster are untouched
+    val clustered = truth.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((docs.collect().map(_.getLong(0)).toSet -- clustered).subsetOf(out))
+  }
+
   test("hotBandBuckets routes dropped groups: members listed, healthy docs absent") {
     val members = Dedup.hotBandBuckets(docs.union(hotDocs.limit(300)),
       "doc_id", "text", shingleN = 2, bands = 4, rowsPerBand = 4,
