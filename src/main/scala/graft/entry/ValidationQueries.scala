@@ -527,6 +527,40 @@ object ValidationQueries {
               + CASE WHEN (qty % 1) = 0 AND qty = 5 THEN 1 ELSE 0 END)::BIGINT AS nviol
              FROM t""")),
 
+    // validated ingest: the documents table round-trips through raw JSONL
+    // and is re-validated by the one-pass source reader (parse + spec in
+    // a single projection; the oracle restates the spec over the
+    // original table — the round trip is lossless for non-null scalars)
+    Q("q_source_jsonl",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-jsonl").toString
+        T(s, d, "documents")
+          .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        graft.sources.ValidatedSource.jsonl(s, tmp, schema,
+          Validator(
+            """{"required":["doc_id","lang"],
+                "properties":{"n_chars":{"minimum":100,"maximum":450},
+                              "lang":{"enum":["en","de","fr","es"]}}}""",
+            ValidatorOptions(greedy = true)))
+          .select(col("doc_id"), col("valid"),
+            size(col("errors")).cast("long").as("nviol"))
+      },
+      Some("""SELECT doc_id,
+             ((n_chars >= 100 AND n_chars <= 450)
+              AND lang IN ('en','de','fr','es')) AS valid,
+             (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END
+            + CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
     Q("q_defaults_build",
       (s, d) => DefaultsBuilder.build(
         T(s, d, "documents").select(col("doc_id"),
