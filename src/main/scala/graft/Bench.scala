@@ -232,3 +232,25 @@ object ScalingBench {
     }
   }
 }
+
+/** Time ONE named gate query (warm-up + best-of-N) — the single-query
+  * drill-down `graft.Bench` does for the whole suite.
+  * Usage: runMain graft.QueryBench <query_name> [sfDir] [iters] */
+object QueryBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QueryBench <query_name> [sfDir] [iters]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters = if (args.length > 2) args(2).toInt else 3
+    val spark = BenchCore.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    def once(): Double = BenchCore.time {
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    }._2
+    once() // warm-up
+    val times = (0 until iters).map(_ => once())
+    println(f"""{"query":"$name","best_sec":${times.min}%.3f,"times":[${times.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

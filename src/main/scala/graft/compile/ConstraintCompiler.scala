@@ -494,7 +494,16 @@ object ConstraintCompiler {
         Comp.check(ok, error)
       } else {
         val scale = math.min(2 * decimals, 18)
-        val decT = DecimalType(38, scale)
+        // decimal inputs: the exact integer-digit count is known, so cast
+        // to the TIGHTEST precision — a result precision ≤ 18 keeps
+        // Spark's Decimal in its compact-long representation (fast
+        // codegen arithmetic) instead of Int128/BigDecimal at (38, s).
+        // Doubles keep (38, s): their range is unknown until runtime.
+        val decT = v.dt match {
+          case dt: DecimalType =>
+            DecimalType(math.min(38, dt.precision - dt.scale + scale), scale)
+          case _ => DecimalType(38, scale)
+        }
         // try_cast: out-of-range doubles → NULL → `ok` NULL → error branch
         val scaled = v.col.try_cast(decT)
         val ok = scaled % lit(m.underlying).cast(decT) === lit(BigDecimal(0).underlying).cast(decT)

@@ -72,6 +72,28 @@ class OpsSpec extends SparkSpec {
     assert(groups.size == 9)
   }
 
+  test("duplicateGroups matches a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(123)
+    (0 until 5).foreach { round =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      val got = Dedup.duplicateGroups(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round: got=$got want=$want")
+    }
+  }
+
   test("hashSample: deterministic, monotone in fraction, stratified, shuffle-free") {
     val df = spark.range(10000).select(col("id"),
       pmod(col("id"), lit(3)).cast("int").as("s"))
