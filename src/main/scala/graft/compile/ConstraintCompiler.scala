@@ -494,14 +494,19 @@ object ConstraintCompiler {
         Comp.check(ok, error)
       } else {
         val scale = math.min(2 * decimals, 18)
-        // decimal inputs: the exact integer-digit count is known, so cast
-        // to the TIGHTEST precision — a result precision ≤ 18 keeps
-        // Spark's Decimal in its compact-long representation (fast
+        // decimal inputs: the integer-digit bound is known, so cast to
+        // the TIGHTEST sufficient precision — a result precision ≤ 18
+        // keeps Spark's Decimal in its compact-long representation (fast
         // codegen arithmetic) instead of Int128/BigDecimal at (38, s).
-        // Doubles keep (38, s): their range is unknown until runtime.
+        // "Sufficient" = the larger of the column's and the DIVISOR's
+        // integer digits (the divisor literal is cast into the same
+        // type), plus one headroom digit for the HALF_UP round-up carry
+        // (99.999 → 100.00). Doubles keep (38, s): range unknown.
         val decT = v.dt match {
           case dt: DecimalType =>
-            DecimalType(math.min(38, dt.precision - dt.scale + scale), scale)
+            val divisorIntDigits = math.max(1, m.precision - m.scale)
+            val intDigits = math.max(dt.precision - dt.scale, divisorIntDigits) + 1
+            DecimalType(math.min(38, intDigits + scale), scale)
           case _ => DecimalType(38, scale)
         }
         // try_cast: out-of-range doubles → NULL → `ok` NULL → error branch

@@ -533,7 +533,9 @@ object ValidationQueries {
     // original table — the round trip is lossless for non-null scalars)
     Q("q_source_jsonl",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-jsonl").toString
+        // fixed path + overwrite: repeated gate/bench invocations reuse
+        // one directory instead of leaking a table copy per run
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-gate-jsonl"
         T(s, d, "documents")
           .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
           .write.mode("overwrite").text(tmp)

@@ -277,6 +277,10 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("group_id", "prev"), Seq("id"))
         .where(col("group_id") =!= col("prev")).isEmpty
+      // the superseded round's checkpoint blocks are freed by the
+      // ContextCleaner once dereferenced here (Dataset.unpersist cannot
+      // release localCheckpoint storage); each copy is two long columns
+      // over the clustered ids, and rounds are bounded by maxIter
       labels = next
       iter += 1
     }
@@ -304,7 +308,8 @@ object Dedup {
                   bands: Int = 16, rowsPerBand: Int = 4,
                   seed: Long = 42L,
                   shingleId: Column => Column = xxhashShingleId,
-                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                  maxBucket: Int = DefaultMaxBucket,
+                  maxIter: Int = 25): DataFrame = {
     val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
       rowsPerBand, seed, shingleId).persist()
     val pairIds = bandPairs(banded, maxBucket)
@@ -314,17 +319,25 @@ object Dedup {
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b")),
       threshold).select("id_a", "id_b")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val hotPairs = banded
-      .withColumn("_n", count(lit(1)).over(w))
-      .where(col("_n") > maxBucket)
-      .withColumn("_gmin", min("id").over(w))
-      .where(col("id") =!= col("_gmin"))
-      .select(col("_gmin").as("id_a"), col("id").as("id_b"))
-      .distinct()
+    // hot-group star edges: ONE aggregate computes both the population
+    // and the min id per bucket (same (band, bucket) partitioning as the
+    // cap's count, so the exchange is shared — no window sort); skipped
+    // entirely when the guard is off
+    val hotPairs =
+      if (maxBucket == Int.MaxValue) verified.where(lit(false))
+      else {
+        val hot = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_n"), min("id").as("_gmin"))
+          .where(col("_n") > maxBucket)
+          .select("band", "bucket", "_gmin")
+        banded.join(hot, Seq("band", "bucket"))
+          .where(col("id") =!= col("_gmin"))
+          .select(col("_gmin").as("id_a"), col("id").as("id_b"))
+          .distinct()
+      }
     val allPairs = verified.union(hotPairs).localCheckpoint(true)
     banded.unpersist(false)
-    val losers = duplicateGroups(allPairs)
+    val losers = duplicateGroups(allPairs, maxIter)
       .where(col("id") =!= col("group_id"))
     df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }

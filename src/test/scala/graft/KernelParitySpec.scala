@@ -178,6 +178,33 @@ class KernelParitySpec extends SparkSpec {
     bothModes(
       """{"properties":{"price":{"enum":[0.5, 2, 3.75]}}}""",
       df)
+
+    // precision edges of the tightened multipleOf cast:
+    // (a) HALF_UP round-up carry into a new integer digit (99.99999 →
+    //     100.0000 at scale 4) must stay VALID, not overflow to a
+    //     violation;
+    // (b) a divisor literal wider than the column's integer digits must
+    //     fit the cast type (every 0 ≤ x < 10 fails multipleOf 150.5
+    //     except 0, which is a multiple)
+    val edge = spark.sql(
+      """SELECT CAST(99.99999 AS DECIMAL(7,5)) AS a,
+                CAST(0.00 AS DECIMAL(3,2)) AS b,
+                CAST(9.99 AS DECIMAL(3,2)) AS c""")
+    val vEdge = Validator(
+      """{"properties":{"a":{"multipleOf":0.01},
+                        "b":{"multipleOf":150.5},
+                        "c":{"multipleOf":150.5}}}""",
+      ValidatorOptions(greedy = true))
+    val row = vEdge.withValidation(edge)
+      .select(col("valid"), col("errors")).head()
+    assert(!row.getBoolean(0))
+    assert(row.getSeq[Row](1).map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("c", "multipleOf"))) // a and b are exact multiples
+    bothModes(
+      """{"properties":{"a":{"multipleOf":0.01},
+                        "b":{"multipleOf":150.5},
+                        "c":{"multipleOf":150.5}}}""",
+      edge)
   }
 
   test("kernel falls back to v1 for unsupported constructs") {
