@@ -1,0 +1,104 @@
+package graft.compile
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL image-header parsing over an opaque binary payload — format
+  * sniffing plus dimensions, from the container headers alone (PNG IHDR,
+  * JPEG SOF0/1/2/…, GIF logical screen descriptor). No codec library is
+  * involved: this is pure byte parsing, so unlike the pixel-decode stage
+  * (which stays honestly stubbed in [[graft.ops.Multimodal]] — no codecs
+  * in-sandbox) it runs for real at any scale as a narrow projection.
+  * Unrecognized / truncated / null payloads yield NULL, never throw —
+  * corrupt media must not kill a 10^12-row scan. */
+final case class ImageDims(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ImageDims.outType
+  override def prettyName: String = "graft_image_dims"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_image_dims requires binary, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    ImageDims.parse(b) match {
+      case null => null
+      case (fmt, w, h) => InternalRow(UTF8String.fromString(fmt), w, h)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}
+
+object ImageDims {
+  val outType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** (format, width, height) or null. */
+  private[graft] def parse(b: Array[Byte]): (String, Int, Int) = {
+    if (b == null) return null
+    // PNG: 8-byte signature, then the IHDR chunk (length=13, type "IHDR",
+    // width/height as big-endian uint32)
+    if (b.length >= 24 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0D && u8(b, 5) == 0x0A && u8(b, 6) == 0x1A && u8(b, 7) == 0x0A &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+      return ("png", w.toInt, h.toInt)
+    }
+    // GIF: "GIF87a"/"GIF89a", then width/height as little-endian uint16
+    if (b.length >= 10 &&
+        b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w <= 0 || h <= 0) return null
+      return ("gif", w, h)
+    }
+    // JPEG: SOI then marker segments; dimensions live in the first
+    // start-of-frame marker (C0-C3, C5-C7, C9-CB, CD-CF)
+    if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xFF) return null
+        val marker = u8(b, i + 1)
+        if (marker == 0xD8 || marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          i += 2 // standalone markers carry no length
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          return null // end of image / start of scan before any SOF
+        } else {
+          val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (i + 8 >= b.length) return null
+            val h = be16(b, i + 5); val w = be16(b, i + 7)
+            if (w <= 0 || h <= 0) return null
+            return ("jpeg", w, h)
+          }
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return null
+          i += 2 + segLen
+        }
+      }
+      return null
+    }
+    null
+  }
+}

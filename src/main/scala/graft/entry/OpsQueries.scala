@@ -462,6 +462,37 @@ object OpsQueries {
                   (a, b) -> (a * 31 + b) % 2147483647), 0) AS fp
               FROM documents""")),
 
+    // REAL header parsing over synthesized-but-genuine image bytes: PNG
+    // and JPEG containers are built per row with hex/unhex (both engines'
+    // byte-level primitives), parsed back by the ImageDims expression;
+    // the oracle restates the expected dimensions arithmetically — if the
+    // parser mis-read a single header byte the widths would diverge.
+    Q("q_image_dims",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val w = (pmod(col("doc_id"), lit(1920)) + 1).cast("int")
+        val h = (pmod(col("doc_id"), lit(1080)) + 1).cast("int")
+        val png = unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000")))
+        val jpg = unhex(concat(lit("FFD8FFC0000B08"),
+          lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("01011100")))
+        val payload = when(pmod(col("doc_id"), lit(3)) === 0, png)
+          .when(pmod(col("doc_id"), lit(3)) === 1, jpg)
+          .otherwise(encode(col("text"), "UTF-8"))
+        docs.select(col("doc_id"),
+          Multimodal.imageDims(payload).as("d"))
+          .select(col("doc_id"), col("d.format").as("format"),
+            col("d.width").as("width"), col("d.height").as("height"))
+      },
+      Some("""SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'png'
+                    WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
+               (CASE WHEN doc_id % 3 = 2 THEN NULL
+                     ELSE (doc_id % 1920) + 1 END)::INT AS width,
+               (CASE WHEN doc_id % 3 = 2 THEN NULL
+                     ELSE (doc_id % 1080) + 1 END)::INT AS height
+              FROM documents""")),
+
     Q("q_multimodal_media",
       (s, d) => {
         val media = Multimodal.asMedia(T(s, d, "documents").where(col("doc_id") < 50),

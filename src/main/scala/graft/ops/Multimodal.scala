@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, partition-friendly batch shapes,
   * and decode/feature hooks.
   *
-  * The Spark-side contract (schema, partitioning, batch shape) is real and
-  * tested; the actual byte decoding is STUBBED with a deterministic fake
-  * (this container has no image/audio codecs). A production deployment
-  * swaps `fakeDecode*` for a Pandas-UDF / mapInArrow stage with the same
+  * The Spark-side contract (schema, partitioning, batch shape) is real
+  * and tested, and so is container-header METADATA extraction
+  * ([[imageDims]]: PNG/JPEG/GIF format + dimensions, pure byte parsing).
+  * Only PIXEL decoding is STUBBED with a deterministic fake (this
+  * container has no image/audio codecs). A production deployment swaps
+  * `fakeDecode*` for a Pandas-UDF / mapInArrow stage with the same
   * input/output schema — nothing else changes.
   */
 object Multimodal {
@@ -37,6 +39,16 @@ object Multimodal {
       struct(
         octet_length(col(textCol)).as("n_bytes"),
         lit(s"application/x-fake-$modality").as("mime")).as("meta"))
+  }
+
+  /** REAL image metadata: format + dimensions parsed from PNG/JPEG/GIF
+    * container headers by the [[graft.compile.ImageDims]] expression —
+    * pure byte parsing, no codec. NULL for unrecognized/corrupt payloads
+    * (never throws — corrupt media must not kill a scan). */
+  def imageDims(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.ImageDims(
+      ColumnBridge.expression(payload)))
   }
 
   /** STUB image decode: deterministic fake dimensions derived from payload

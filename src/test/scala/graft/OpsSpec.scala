@@ -423,6 +423,33 @@ class OpsSpec extends SparkSpec {
     assert(marked.columns.toSeq == Seq("id", "extra"))
   }
 
+  // ---- multimodal: real header parsing ----
+
+  test("imageDims parses real PNG/JPEG/GIF headers; corrupt payloads are NULL") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a real 1x1 PNG header (signature + IHDR for 640x360)
+    val png = hex("89504E470D0A1A0A 0000000D 49484452 00000280 00000168 08 06 000000")
+    // JPEG: SOI, APP0 stub, SOF0 with height=240 width=320
+    val jpg = hex("FFD8 FFE0 0004 0000 FFC0 000B 08 00F0 0140 01 01 11 00")
+    // GIF89a 800x600 (little-endian)
+    val gif = hex("474946383961 2003 5802 00")
+    val rows = Seq(
+      (1L, png), (2L, jpg), (3L, gif),
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, png.take(10)), // truncated
+      (6L, null)).toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.imageDims(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else { val d = r.getStruct(1); (d.getString(0), d.getInt(1), d.getInt(2)) }))
+      .toMap
+    assert(got(1L) == ("png", 640, 360))
+    assert(got(2L) == ("jpeg", 320, 240))
+    assert(got(3L) == ("gif", 800, 600))
+    assert(got(4L) == null && got(5L) == null && got(6L) == null)
+  }
+
   // ---- LSH hot-bucket guards (the 100-TB skew hazard): 10^4 identical
   // ---- docs collapse every band/chunk bucket into one degenerate group
   // ---- whose unguarded self-join is O(10^8) pairs in a single task ----
