@@ -194,20 +194,40 @@ object ScalingBench {
     val times = scala.collection.mutable.Map.empty[Int, Vector[Double]]
       .withDefaultValue(Vector.empty)
 
+    // SPARK_GRAFT_SCALING_JOB: "validate" (default — the narrow
+    // whole-stage-codegen scan, the north-rule metric) or "dedup" (the
+    // MinHash band-join dedup over text synthesized from the token
+    // arrays — a genuinely shuffle-bearing workload, evidencing that the
+    // engine's shuffle shapes scale too, not just its scans)
+    val jobKind = sys.env.getOrElse("SPARK_GRAFT_SCALING_JOB", "validate")
+
     (0 to reps).foreach { rep =>
       levels.foreach { cores =>
         val spark = BenchCore.session(cores)
         val df = spark.read.parquet(dir)
-        val compiled = graft.compile.ConstraintCompiler
-          .compile(validator.spec, df.schema, validator.options)
-        // unmeasured codegen/footers warm-up on a slice
-        df.limit(50000).select(compiled.valid.as("v")).where(!col("v")).count()
-        val (_, t) = BenchCore.time {
-          df.select(compiled.valid.as("v")).where(!col("v")).count()
+        def job(input: org.apache.spark.sql.DataFrame): Unit = jobKind match {
+          case "dedup" =>
+            val txt = input.where(col("doc_id").isNotNull)
+              .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
+            // eager variant: banding runs once (persisted) instead of the
+            // lazy plan's one-pass-per-join-side — size the input with
+            // SPARK_GRAFT_SCALING_ROWS (dedup is ~10× heavier per row
+            // than the validation scan; ~200k rows ≈ a 1-minute 1-core
+            // level)
+            graft.ops.Dedup.minhashDuplicates(txt, "doc_id", "text",
+              threshold = 0.5, shingleN = 3, bands = 8, rowsPerBand = 4,
+              materializePairs = true).count()
+          case _ =>
+            val compiled = graft.compile.ConstraintCompiler
+              .compile(validator.spec, input.schema, validator.options)
+            input.select(compiled.valid.as("v")).where(!col("v")).count()
         }
+        // unmeasured codegen/footers warm-up on a slice
+        job(df.limit(50000))
+        val (_, t) = BenchCore.time(job(df))
         if (rep > 0) times(cores) = times(cores) :+ t
         spark.stop()
-        System.err.println(f"[scaling] rep=$rep cores=$cores t=$t%.3f s")
+        System.err.println(f"[scaling] job=$jobKind rep=$rep cores=$cores t=$t%.3f s")
       }
     }
 

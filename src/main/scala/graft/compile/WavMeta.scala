@@ -1,0 +1,72 @@
+package graft.compile
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** REAL audio-header parsing: RIFF/WAVE metadata (channels, sample rate,
+  * bit depth, data-chunk byte count) from the container header alone —
+  * the audio twin of [[ImageDims]]. Pure byte parsing, no codec; corrupt
+  * / truncated / non-WAV payloads yield NULL, never throw. The
+  * data-chunk size is read from its header field even when the payload
+  * bytes are truncated (metadata extraction, not decoding). */
+final case class WavMeta(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = WavMeta.outType
+  override def prettyName: String = "graft_wav_meta"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_meta requires binary, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
+}
+
+object WavMeta {
+  val outType: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("data_bytes", LongType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s(0) && b(i + 1) == s(1) && b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  private[graft] def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return null
+    var i = 12
+    var channels = -1; var rate = -1L; var bits = -1
+    var dataBytes: java.lang.Long = null
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 8 + 16 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataBytes = size
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      val step = 8 + size + (size & 1)
+      if (step <= 0 || size > Int.MaxValue) return null
+      i += step.toInt
+    }
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) null
+    else InternalRow(channels, rate.toInt, bits, dataBytes)
+  }
+}

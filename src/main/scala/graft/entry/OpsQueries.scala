@@ -1,6 +1,7 @@
 package graft.entry
 
 import graft.ops._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operator queries: dedup family, similarity
@@ -491,6 +492,45 @@ object OpsQueries {
                      ELSE (doc_id % 1920) + 1 END)::INT AS width,
                (CASE WHEN doc_id % 3 = 2 THEN NULL
                      ELSE (doc_id % 1080) + 1 END)::INT AS height
+              FROM documents""")),
+
+    // the audio twin of q_image_dims: genuine RIFF/WAVE headers built per
+    // row (little-endian fields via hex/unhex), parsed back by WavMeta,
+    // oracle restated arithmetically
+    Q("q_audio_meta",
+      (s, d) => {
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          lpad(hex(pmod(v, lit(256))), 2, "0"),
+          lpad(hex(pmod(floor(v / 256).cast("int"), lit(256))), 2, "0")) }
+        def le32h(v0: Column) = { val v = v0.cast("int"); concat(
+          le16h(pmod(v, lit(65536))), le16h(floor(v / 65536).cast("int"))) }
+        val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+        val rate = (lit(8000) + pmod(col("doc_id"), lit(8)) * 4000).cast("int")
+        val bits = when(pmod(col("doc_id"), lit(2)) === 0, 16).otherwise(8)
+        val dataB = ((pmod(col("doc_id"), lit(1000)) + 1) * 4).cast("int")
+        val wav = unhex(concat(
+          lit("52494646"), le32h(lit(36) + dataB), lit("57415645"),
+          lit("666D7420"), lit("10000000"), lit("0100"), le16h(ch),
+          le32h(rate), le32h((rate * ch * bits / 8).cast("int")),
+          le16h((ch * bits / 8).cast("int")),
+          le16h(bits), lit("64617461"), le32h(dataB)))
+        val payload = when(pmod(col("doc_id"), lit(4)) === 3,
+          encode(col("text"), "UTF-8")).otherwise(wav)
+        T(s, d, "documents").select(col("doc_id"),
+          Multimodal.wavMeta(payload).as("m"))
+          .select(col("doc_id"), col("m.channels").as("channels"),
+            col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+            col("m.data_bytes").as("data_bytes"))
+      },
+      Some("""SELECT doc_id,
+               (CASE WHEN doc_id % 4 = 3 THEN NULL
+                     ELSE (doc_id % 2) + 1 END)::INT AS channels,
+               (CASE WHEN doc_id % 4 = 3 THEN NULL
+                     ELSE 8000 + (doc_id % 8) * 4000 END)::INT AS sample_rate,
+               (CASE WHEN doc_id % 4 = 3 THEN NULL
+                     WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END)::INT AS bits,
+               (CASE WHEN doc_id % 4 = 3 THEN NULL
+                     ELSE ((doc_id % 1000) + 1) * 4 END)::BIGINT AS data_bytes
               FROM documents""")),
 
     Q("q_multimodal_media",

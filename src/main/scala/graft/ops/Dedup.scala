@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column. */
+  /** Word n-gram shingles of a text column, via the
+    * [[graft.compile.WordShingles]] kernel: the tokenization chain
+    * evaluates ONCE per row (the Column formulation below re-evaluated it
+    * per shingle position inside the interpreted lambda — ~length× the
+    * cost, dominating every text-dedup job). */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.WordShingles(
+      ColumnBridge.expression(TextAnalysis.words(text)), n))
+  }
+
+  /** The original Column formulation of [[shingles]] (parity oracle). */
+  private[graft] def shinglesColumns(text: Column, n: Int): Column = {
     val ws = TextAnalysis.words(text)
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - n),

@@ -51,6 +51,15 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
+  /** REAL audio metadata: RIFF/WAVE channels, sample rate, bit depth, and
+    * data-chunk byte count via [[graft.compile.WavMeta]] — same
+    * no-codec byte parsing as [[imageDims]]; NULL for non-WAV payloads. */
+  def wavMeta(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.WavMeta(
+      ColumnBridge.expression(payload)))
+  }
+
   /** STUB image decode: deterministic fake dimensions derived from payload
     * length and first bytes. Real impl: a mapInArrow batch decoder with
     * this exact output schema. */

@@ -52,6 +52,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs >= 12, s"expected >=12 of 20 planted pairs, got $pairs")
   }
 
+  test("WordShingles kernel matches the Column formulation exactly") {
+    val edge = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "one two"),               // fewer words than n=3 → single shingle
+      (3L, "solo"),
+      (4L, ""),                      // empty text
+      (5L, "a b a b a b a b"),       // heavy shingle repetition (dedup order)
+      (6L, "Héllo wörld ünïcode test case")).toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val diff = edge.where(
+        !(Dedup.shingles(col("text"), n) <=> Dedup.shinglesColumns(col("text"), n)))
+        .count()
+      assert(diff == 0, s"shingle kernel diverged for n=$n")
+    }
+    // docs corpus, both shingle sizes used by the gates
+    val diff = docs.where(
+      !(Dedup.shingles(col("text"), 2) <=> Dedup.shinglesColumns(col("text"), 2)))
+      .count()
+    assert(diff == 0)
+  }
+
   test("exact dedup groups") {
     val withClones = docs.union(docs.limit(5).withColumn("doc_id", col("doc_id") + 500))
     val groups = Dedup.exactDuplicates(withClones, col("text"))
@@ -448,6 +469,23 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ("jpeg", 320, 240))
     assert(got(3L) == ("gif", 800, 600))
     assert(got(4L) == null && got(5L) == null && got(6L) == null)
+  }
+
+  test("wavMeta parses a real RIFF/WAVE header; non-WAV payloads are NULL") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 44.1kHz stereo 16-bit with a 1000-byte data chunk (header only)
+    val wav = hex("52494646 24080000 57415645 666D7420 10000000 0100 0200" +
+      "44AC0000 10B10200 0400 1000 64617461 E8030000")
+    val rows = Seq((1L, wav), (2L, "RIFFnope".getBytes("UTF-8")), (3L, null))
+      .toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else { val m = r.getStruct(1); (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)) }))
+      .toMap
+    assert(got(1L) == (2, 44100, 16, 1000L))
+    assert(got(2L) == null && got(3L) == null)
   }
 
   // ---- LSH hot-bucket guards (the 100-TB skew hazard): 10^4 identical
