@@ -205,6 +205,14 @@ object ScalingBench {
       levels.foreach { cores =>
         val spark = BenchCore.session(cores)
         val df = spark.read.parquet(dir)
+        // compile once per level, OUTSIDE the timed region: the constant
+        // driver-side compile cost would otherwise bias the lo/hi ratio
+        // toward 1 ((t1+c)/(t4+c) < t1/t4) and break comparability with
+        // the recorded pre-r3 samples, which timed the scan only
+        val compiledValid =
+          if (jobKind == "dedup") None
+          else Some(graft.compile.ConstraintCompiler
+            .compile(validator.spec, df.schema, validator.options))
         def job(input: org.apache.spark.sql.DataFrame): Unit = jobKind match {
           case "dedup" =>
             val txt = input.where(col("doc_id").isNotNull)
@@ -218,9 +226,7 @@ object ScalingBench {
               threshold = 0.5, shingleN = 3, bands = 8, rowsPerBand = 4,
               materializePairs = true).count()
           case _ =>
-            val compiled = graft.compile.ConstraintCompiler
-              .compile(validator.spec, input.schema, validator.options)
-            input.select(compiled.valid.as("v")).where(!col("v")).count()
+            input.select(compiledValid.get.valid.as("v")).where(!col("v")).count()
         }
         // unmeasured codegen/footers warm-up on a slice
         job(df.limit(50000))

@@ -19,6 +19,8 @@ final case class ImageDims(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ImageDims.outType
+  // NULL for corrupt/unrecognized payloads regardless of input nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_image_dims"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -78,6 +80,9 @@ object ImageDims {
       var i = 2
       while (i + 3 < b.length) {
         if (u8(b, i) != 0xFF) return null
+        // any number of 0xFF fill bytes may precede a marker — consume them
+        while (i + 3 < b.length && u8(b, i + 1) == 0xFF) i += 1
+        if (i + 3 >= b.length) return null
         val marker = u8(b, i + 1)
         if (marker == 0xD8 || marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
           i += 2 // standalone markers carry no length

@@ -16,6 +16,8 @@ final case class WavMeta(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = WavMeta.outType
+  // NULL for corrupt/non-WAV payloads regardless of input nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_wav_meta"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -49,22 +51,25 @@ object WavMeta {
   private[graft] def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
       return null
-    var i = 12
+    // Long scan index: a crafted ~2^31 chunk size must walk PAST the
+    // payload (loop exits), never wrap an Int negative and read b(-x)
+    var i = 12L
     var channels = -1; var rate = -1L; var bits = -1
     var dataBytes: java.lang.Long = null
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 8 + 16 <= b.length) {
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val ii = i.toInt
+      val size = le32(b, ii + 4)
+      // fmt fields live in the chunk's own 16+ bytes — a shorter declared
+      // size means the bytes belong to the next chunk: reject, don't read
+      if (tag(b, ii, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = le16(b, ii + 10)
+        rate = le32(b, ii + 12)
+        bits = le16(b, ii + 22)
+      } else if (tag(b, ii, "data")) {
         dataBytes = size
       }
       // chunks are word-aligned: odd sizes carry one pad byte
-      val step = 8 + size + (size & 1)
-      if (step <= 0 || size > Int.MaxValue) return null
-      i += step.toInt
+      i += 8L + size + (size & 1L)
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) null
     else InternalRow(channels, rate.toInt, bits, dataBytes)

@@ -26,8 +26,15 @@ object Dedup {
     * cost, dominating every text-dedup job). */
   def shingles(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(graft.compile.WordShingles(
-      ColumnBridge.expression(TextAnalysis.words(text)), n))
+    // NULL text → [""] like the Column formulation (whose when/otherwise
+    // fell through to array(concat_ws(" ", null)) = [""]); the kernel
+    // itself is null-propagating, so coalesce restores the old contract
+    // and NULL-text docs keep clustering with empty docs instead of
+    // silently dropping out of the dedup exploded joins.
+    coalesce(
+      ColumnBridge.column(graft.compile.WordShingles(
+        ColumnBridge.expression(TextAnalysis.words(text)), n)),
+      array(lit("")))
   }
 
   /** The original Column formulation of [[shingles]] (parity oracle). */

@@ -59,7 +59,9 @@ class OpsSpec extends SparkSpec {
       (3L, "solo"),
       (4L, ""),                      // empty text
       (5L, "a b a b a b a b"),       // heavy shingle repetition (dedup order)
-      (6L, "Héllo wörld ünïcode test case")).toDF("id", "text")
+      (6L, "Héllo wörld ünïcode test case"),
+      (7L, null)                     // NULL text → [""], same as empty
+    ).toDF("id", "text")
     for (n <- Seq(2, 3)) {
       val diff = edge.where(
         !(Dedup.shingles(col("text"), n) <=> Dedup.shinglesColumns(col("text"), n)))
@@ -446,20 +448,24 @@ class OpsSpec extends SparkSpec {
 
   // ---- multimodal: real header parsing ----
 
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   test("imageDims parses real PNG/JPEG/GIF headers; corrupt payloads are NULL") {
-    def hex(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // a real 1x1 PNG header (signature + IHDR for 640x360)
     val png = hex("89504E470D0A1A0A 0000000D 49484452 00000280 00000168 08 06 000000")
     // JPEG: SOI, APP0 stub, SOF0 with height=240 width=320
     val jpg = hex("FFD8 FFE0 0004 0000 FFC0 000B 08 00F0 0140 01 01 11 00")
+    // same, with 0xFF fill bytes padding both markers (legal per spec)
+    val jpgFill = hex("FFD8 FFFFFFE0 0004 0000 FFFFC0 000B 08 00F0 0140 01 01 11 00")
     // GIF89a 800x600 (little-endian)
     val gif = hex("474946383961 2003 5802 00")
     val rows = Seq(
       (1L, png), (2L, jpg), (3L, gif),
       (4L, "not an image".getBytes("UTF-8")),
       (5L, png.take(10)), // truncated
-      (6L, null)).toDF("id", "payload")
+      (6L, null),
+      (7L, jpgFill)).toDF("id", "payload")
     val got = rows.select(col("id"), Multimodal.imageDims(col("payload")).as("d"))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null
@@ -469,11 +475,10 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ("jpeg", 320, 240))
     assert(got(3L) == ("gif", 800, 600))
     assert(got(4L) == null && got(5L) == null && got(6L) == null)
+    assert(got(7L) == ("jpeg", 320, 240))
   }
 
   test("wavMeta parses a real RIFF/WAVE header; non-WAV payloads are NULL") {
-    def hex(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // 44.1kHz stereo 16-bit with a 1000-byte data chunk (header only)
     val wav = hex("52494646 24080000 57415645 666D7420 10000000 0100 0200" +
       "44AC0000 10B10200 0400 1000 64617461 E8030000")
