@@ -548,5 +548,140 @@ object OpsQueries {
               SELECT media_id, i AS frame_idx,
                 octet_length(encode(substr(text, (i*flen + 1)::INT, flen::INT))) AS frame_len
               FROM f, unnest(range(0, 4)) AS t(i)""")),
+
+    // Gopher/C4-style repetition signals over word bigrams via the
+    // NgramStats kernel (one JVM HashMap pass); the oracle rebuilds the
+    // NON-distinct gram list and re-derives total/distinct/top relationally
+    Q("q_repetition",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionSignals(col("text"), 2).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_ngram_frac").as("dup_ngram_frac"),
+          col("r.top_ngram_frac").as("top_ngram_frac")),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               g AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 2
+                            THEN list_transform(range(0, len(w)-1),
+                                   i -> w[i+1] || ' ' || w[i+2])
+                            ELSE [] END AS g
+                     FROM w),
+               ex AS (SELECT doc_id, unnest(g) AS gram FROM g),
+               cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+               st AS (SELECT doc_id, sum(c) AS total, count(*) AS dis, max(c) AS top
+                      FROM cnt GROUP BY 1)
+               SELECT w.doc_id,
+                 coalesce(round(1.0 - st.dis / st.total::DOUBLE, 6), 0.0) AS dup_ngram_frac,
+                 coalesce(round(st.top / st.total::DOUBLE, 6), 0.0) AS top_ngram_frac
+               FROM w LEFT JOIN st ON w.doc_id = st.doc_id""")),
+
+    // PII detect + redact: deterministic synthetic PII is appended per row
+    // in BOTH engines (the corpus itself carries none — verified), then
+    // counts and the redacted text must agree span for span. Patterns are
+    // interpolated from TextAnalysis.piiPatterns so the two engines run
+    // the IDENTICAL (lookaround-free) regexes.
+    Q("q_pii", {
+      (s, d) => {
+        val id = col("doc_id")
+        val suffix = when(pmod(id, lit(3)) === 0,
+            concat(lit(" reach u"), id, lit("@ex"), pmod(id, lit(7)),
+              lit(".com from 10."), pmod(id, lit(256)), lit(".0."), pmod(id, lit(100))))
+          .when(pmod(id, lit(3)) === 1,
+            concat(lit(" call 555-01"), pmod(id, lit(10)), lit("-"),
+              lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))
+        T(s, d, "documents")
+          .select(id, concat(col("text"), suffix).as("_t"))
+          .select(col("doc_id"),
+            TextAnalysis.piiCounts(col("_t")).as("c"),
+            TextAnalysis.piiRedact(col("_t")).as("redacted"))
+          .select(col("doc_id"),
+            col("c.email").cast("long").as("n_email"),
+            col("c.phone").cast("long").as("n_phone"),
+            col("c.ipv4").cast("long").as("n_ipv4"),
+            col("redacted"))
+      }},
+      Some {
+        val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
+        s"""WITH t AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0
+                       THEN ' reach u' || doc_id || '@ex' || (doc_id % 7) ||
+                            '.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                     WHEN doc_id % 3 = 1
+                       THEN ' call 555-01' || (doc_id % 10) || '-' ||
+                            lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(t, '$email'))::BIGINT AS n_email,
+              len(regexp_extract_all(t, '$phone'))::BIGINT AS n_phone,
+              len(regexp_extract_all(t, '$ipv4'))::BIGINT AS n_ipv4,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '$email', '[EMAIL]', 'g'),
+                '$phone', '[PHONE]', 'g'),
+                '$ipv4', '[IPV4]', 'g') AS redacted
+            FROM t"""
+      }),
+
+    // fixed-size/strided token chunking (training-sequence prep): 40-word
+    // windows stepping by 32 (overlapping); the oracle restates the window
+    // arithmetic and the list slicing independently
+    Q("q_chunk_words",
+      (s, d) => TextAnalysis.chunkWords(T(s, d, "documents"),
+        "doc_id", "text", chunkSize = 40, stride = 32),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               n AS (SELECT doc_id, w,
+                       ((greatest(len(w) - 40, 0) + 31) // 32) + 1 AS nc
+                     FROM w WHERE len(w) > 0)
+               SELECT doc_id, i AS chunk_idx,
+                 list_aggregate(w[i*32 + 1 : i*32 + 40], 'string_agg', ' ') AS chunk,
+                 least(40, len(w) - i*32)::BIGINT AS n_tokens
+               FROM n, unnest(range(0, nc)) AS t(i)""")),
+
+    // benchmark decontamination: corpus docs sharing >= 2 distinct word
+    // bigrams with the benchmark set (every 50th doc). The broadcast
+    // semi-join shape is the operator's; the oracle re-derives membership
+    // from scratch with a relational shingle join.
+    Q("q_decontaminate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.decontaminate(docs, "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(50)) === 0), "text",
+          shingleN = 2, minMatches = 2)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               sh AS (SELECT doc_id,
+                        CASE WHEN len(w) >= 2
+                             THEN list_distinct(list_transform(range(0, len(w)-1),
+                                    i -> w[i+1] || ' ' || w[i+2]))
+                             ELSE [coalesce(list_aggregate(w, 'string_agg', ' '), '')]
+                        END AS sh
+                      FROM w),
+               bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+               ex AS (SELECT doc_id, unnest(sh) AS g FROM sh)
+               SELECT ex.doc_id AS id, count(*) AS matched_ngrams
+               FROM ex JOIN bg USING (g)
+               GROUP BY 1 HAVING count(*) >= 2""")),
+
+    // robust median/MAD outlier screen with planted corruption (every
+    // 97th doc +5000 chars); medians are exact and in-plan in both engines
+    Q("q_outlier_mad",
+      (s, d) => {
+        val v = (col("n_chars") +
+          when(pmod(col("doc_id"), lit(97)) === 0, 5000).otherwise(0)).cast("double")
+        Outliers.madOutliers(
+          T(s, d, "documents").select(col("doc_id"), v.as("value")), col("value"))
+          .select(col("doc_id"), col("value"),
+            round(col("robust_z"), 4).as("robust_z"))
+      },
+      Some("""WITH v AS (SELECT doc_id,
+                (n_chars + CASE WHEN doc_id % 97 = 0 THEN 5000 ELSE 0 END)::DOUBLE AS value
+              FROM documents),
+              med AS (SELECT median(value) AS m FROM v),
+              mad AS (SELECT median(abs(value - m)) AS md FROM v, med)
+              SELECT doc_id, value, round((value - m) / (md * 1.4826), 4) AS robust_z
+              FROM v, med, mad
+              WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
   )
 }

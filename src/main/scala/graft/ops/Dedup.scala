@@ -435,4 +435,34 @@ object Dedup {
       out
     } else joined
   }
+
+  /** Benchmark decontamination: corpus docs sharing at least `minMatches`
+    * DISTINCT word n-grams with the benchmark set (the published
+    * eval-overlap filter for training corpora — n-gram collision against
+    * held-out benchmarks). Output: (id, matched_ngrams).
+    *
+    * Scale shape: benchmark n-gram sets are small by construction (eval
+    * suites, not corpora) — the distinct gram set is BROADCAST, so the
+    * 100-TB corpus side never shuffles: tokenize → explode → broadcast
+    * hash semi-join → per-doc count with map-side partial aggregation.
+    * The only exchange carries (id, partial count). For a benchmark too
+    * large to broadcast, pass `broadcastBench = false` to fall back to a
+    * shuffled join. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    shingleN: Int = 3, minMatches: Int = 1,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams0 = benchmark
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("g"))
+      .distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    // shingles() is per-doc distinct, so the post-join count is the number
+    // of DISTINCT grams of this doc that hit the benchmark set
+    corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("g"))
+      .join(benchGrams, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("matched_ngrams"))
+      .where(col("matched_ngrams") >= minMatches)
+  }
 }

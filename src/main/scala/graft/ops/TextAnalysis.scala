@@ -80,6 +80,77 @@ object TextAnalysis {
     round((lengthOk * 0.4 + alphaRatio * 0.3 + wordLenOk * 0.3), 4)
   }
 
+  /** Raw n-gram frequency stats (total, distinct, most-frequent count)
+    * over a word list, one JVM pass ([[graft.compile.NgramStats]]). */
+  def ngramStats(ws: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.NgramStats(ColumnBridge.expression(ws), n))
+  }
+
+  /** Gopher/C4-style repetition quality signals over word n-grams:
+    *  - `dup_ngram_frac`: fraction of n-gram occurrences that repeat an
+    *    earlier occurrence (1 - distinct/total),
+    *  - `top_ngram_frac`: occurrences of the most frequent n-gram / total.
+    * Docs with fewer than n words score 0.0 on both (no signal ≠
+    * repetitive). Narrow per-row kernel — runs at scan speed; rounded to
+    * 6 places so SQL oracles can restate the arithmetic exactly. */
+  def repetitionSignals(text: Column, n: Int): Column = {
+    val st = ngramStats(words(text), n)
+    val total = st.getField("total_ngrams").cast("double")
+    val dup = when(total > 0,
+      round(lit(1.0) - st.getField("distinct_ngrams") / total, 6)).otherwise(lit(0.0))
+    val top = when(total > 0,
+      round(st.getField("top_ngram_count") / total, 6)).otherwise(lit(0.0))
+    struct(dup.as("dup_ngram_frac"), top.as("top_ngram_frac"))
+  }
+
+  /** PII detector patterns — deliberately lookaround-free so RE2-based
+    * engines (and SQL oracles) can restate them verbatim. Order matters
+    * for redaction: emails first (they contain dots that the ipv4 pattern
+    * could otherwise bite into). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Per-type PII match counts: struct(email, phone, ipv4). */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).as(name)
+    }: _*)
+
+  /** Redact PII in place: each match replaced by an upper-case type tag
+    * (`[EMAIL]`…). Tags contain no digits or dots, so later patterns
+    * cannot re-match inside an earlier redaction. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Fixed-size token chunking with stride: explode each doc into
+    * (chunk_idx, chunk, n_tokens) windows of `chunkSize` words stepping by
+    * `stride` (stride < chunkSize ⇒ overlapping windows, the standard
+    * shape for training-sequence preparation). The last chunk may be
+    * short; docs with zero words produce zero chunks. Narrow explode —
+    * no shuffle; output size is input size × ~(words/stride). */
+  def chunkWords(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    // bind the word list once — the explode lambda must slice an
+    // attribute, not re-run the tokenization chain per chunk
+    val ws = df.select(col(idCol), words(col(textCol)).as("_ws"))
+    val nChunks = floor((greatest(size(col("_ws")) - chunkSize, lit(0)) +
+      lit(stride - 1)) / stride) + lit(1)
+    ws.where(size(col("_ws")) > 0)
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0), (nChunks - 1).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_ws"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk"),
+        least(lit(chunkSize), size(col("_ws")) - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Polynomial rolling-hash fingerprint over code points, mod 2^31-1 —
     * deterministic across engines and platforms (no float, no JVM hash).
     * Computed by the custom [[graft.compile.Fingerprint32]] expression:

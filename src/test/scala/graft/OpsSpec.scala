@@ -593,4 +593,115 @@ class OpsSpec extends SparkSpec {
         s"bucket join carries vector payload: ${arrays.map(_.name)}")
     }
   }
+
+  test("repetitionSignals: hand-computed fractions, short-doc zeros") {
+    val rows = Seq(
+      (1L, "a b a b a"),          // bigrams: ab ba ab ba -> total 4, dis 2, top 2
+      (2L, "x x x x"),            // xx xx xx -> total 3, dis 1, top 3
+      (3L, "all distinct words here"), // 3 bigrams, all distinct
+      (4L, "one"),                // < 2 words -> zeros
+      (5L, ""))                   // no words -> zeros
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.dup_ngram_frac"), col("r.top_ngram_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == ((0.5, 0.5)))
+    assert(rows(2L) == ((1.0 - 1.0 / 3, 1.0)) ||
+      rows(2L) == ((0.666667, 1.0)), s"got ${rows(2L)}")
+    assert(rows(3L) == ((0.0, math.rint(1e6 / 3.0) / 1e6)))
+    assert(rows(4L) == ((0.0, 0.0)) && rows(5L) == ((0.0, 0.0)))
+  }
+
+  test("ngramStats matches a naive Scala recount on the shared corpus") {
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.ngramStats(TextAnalysis.words(col("text")), 3).as("st"))
+      .select(col("doc_id"), col("st.*")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    docs.collect().foreach { r =>
+      val ws = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      val expect = if (grams.isEmpty) (0, 0, 0)
+        else (grams.size, counts.size, counts.max)
+      assert(got(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("pii: counts and redaction round-trip, ordering-safe") {
+    val t = Seq((1L, "mail a.b+c@x-y.co now, call 555-123-4567 or ping 10.0.0.255 twice 10.1.2.3"),
+                (2L, "nothing here"),
+                (3L, "a@b.co a@b.co")) // duplicate emails both counted/redacted
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.piiCounts(col("text")).as("c"),
+        TextAnalysis.piiRedact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getStruct(1), r.getString(2)))).toMap
+    assert(t(1L)._1.toSeq == Seq(1, 1, 2))
+    assert(t(1L)._2 ==
+      "mail [EMAIL] now, call [PHONE] or ping [IPV4] twice [IPV4]")
+    assert(t(2L)._1.toSeq == Seq(0, 0, 0) && t(2L)._2 == "nothing here")
+    assert(t(3L)._2 == "[EMAIL] [EMAIL]")
+  }
+
+  test("chunkWords: coverage, overlap, short tail, empty-doc drop") {
+    val out = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+                  (2L, "only three words"),
+                  (3L, "   ")) // tokenizes to zero words -> no chunks
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkWords(out, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 10 words, size 4 stride 3 -> chunks at 0,3,6 (covers w10 via 6..9)
+    assert(d1.map(_._3).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.map(c => (c._3, c._4)).toSeq == Seq(("only three words", 3L)))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
+  test("chunkWords covers every word: last chunk reaches the end") {
+    (1 to 30 by 7).foreach { m =>
+      val text = (1 to m).map(i => s"t$i").mkString(" ")
+      val chunks = TextAnalysis.chunkWords(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 5, stride = 4)
+        .orderBy("chunk_idx").collect()
+      val last = chunks.last
+      assert(last.getString(2).endsWith(s"t$m"), s"m=$m last=${last.getString(2)}")
+      // no chunk is empty and every n_tokens is in [1, 5]
+      chunks.foreach(c => assert(c.getLong(3) >= 1 && c.getLong(3) <= 5))
+    }
+  }
+
+  test("decontaminate flags exactly the docs sharing grams with the benchmark") {
+    // benchmark = doc 0's text; clones of doc 0 (ids 100..119 share all
+    // but one bigram) must be flagged; disjoint-vocabulary docs must not
+    val bench = docs.where(col("doc_id") === 0).select(col("text"))
+    val hit = Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+      shingleN = 2, minMatches = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hit.contains(0L) && hit.contains(100L), s"got ${hit.keySet}")
+    assert(hit.keySet.forall(id => id == 0L || id == 100L),
+      s"false positives: ${hit.keySet -- Set(0L, 100L)}")
+    // doc 0 matches all 29 of its own bigrams; the clone all but two
+    // (perturbed word 17 breaks bigrams 16-17 and 17-18)
+    assert(hit(0L) == 29L && hit(100L) == 27L, s"$hit")
+  }
+
+  test("decontaminate plan: benchmark grams are broadcast, corpus side shuffle-free") {
+    val bench = docs.where(col("doc_id") < 2).select(col("text"))
+    val plan = Dedup.decontaminate(docs, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join for the benchmark grams:\n$plan")
+  }
+
+  test("madOutliers flags planted corruption and nothing else; mad=0 yields no flags") {
+    val base = (1 to 200).map(i => (i.toLong, 100.0 + (i % 11))) ++
+      Seq((900L, 5000.0), (901L, -4000.0))
+    val out = Outliers.madOutliers(base.toDF("id", "v"), col("v"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(900L, 901L), s"got $out")
+    // constant column: robust scale is undefined -> empty, not everything
+    val const = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    assert(Outliers.madOutliers(const, col("v")).isEmpty)
+  }
 }
