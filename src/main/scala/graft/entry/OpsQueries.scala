@@ -683,5 +683,59 @@ object OpsQueries {
               SELECT doc_id, value, round((value - m) / (md * 1.4826), 4) AS robust_z
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
+
+    // gap-based sessionization (per-event labels): lag + running sum over
+    // the entity window; boundaries compared as exact integer micros. The
+    // 6 h gap sits at the events table's median per-user spacing, so both
+    // multi-event sessions and breaks are exercised.
+    Q("q_sessionize",
+      (s, d) => Sessions.sessionize(T(s, d, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 21600)
+        .select("event_id", "user_id", "session_seq"),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+              l AS (SELECT event_id, user_id, us,
+                      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+                    FROM e),
+              b AS (SELECT event_id, user_id, us,
+                      CASE WHEN pus IS NULL OR us - pus > 21600::BIGINT * 1000000 THEN 1 ELSE 0 END AS brk
+                    FROM l)
+              SELECT event_id, user_id,
+                (sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
+              FROM b""")),
+
+    // per-session aggregates via Spark's NATIVE session_window (the
+    // streaming-capable path — no per-event sort); the oracle re-derives
+    // the identical sessions from scratch with the lag formulation
+    // (boundary parity: a gap exactly equal to the threshold merges, as
+    // SessionsSpec pins) and aggregates them relationally. Values sum as
+    // DECIMAL(18,2) in both engines — order-independent, exact.
+    Q("q_session_stats",
+      (s, d) => Sessions.sessionStats(T(s, d, "events"),
+        "user_id", "ts", "value", gapSeconds = 21600),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events),
+              l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+                    FROM e),
+              b AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 21600::BIGINT * 1000000
+                                   THEN 1 ELSE 0 END AS brk
+                    FROM l),
+              sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS seq
+                       FROM b)
+              SELECT user_id, min(us) AS session_start_us,
+                max(us) + 21600::BIGINT * 1000000 AS session_end_us,
+                count(*)::BIGINT AS n_events,
+                sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+              FROM sess GROUP BY user_id, seq""")),
+
+    // global top-k vocabulary: partial-agg counts + TakeOrderedAndProject
+    // (per-task top-k heaps, no global sort); the (count desc, term asc)
+    // total order makes the k-boundary cut deterministic in both engines
+    Q("q_vocab_topk",
+      (s, d) => TextAnalysis.topTerms(T(s, d, "documents"), "text", 20),
+      Some(s"""WITH w AS (SELECT $duckWords AS w FROM documents),
+               t AS (SELECT unnest(w) AS term FROM w)
+               SELECT term, count(*)::BIGINT AS occurrences FROM t GROUP BY 1
+               ORDER BY occurrences DESC, term LIMIT 20""")),
   )
 }

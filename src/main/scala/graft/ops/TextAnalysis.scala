@@ -151,6 +151,19 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Global top-k vocabulary: (term, occurrences), the k most frequent
+    * words, ties broken by term so the cut is total and reproducible.
+    * Scale shape: partial (map-side) count aggregation, then Spark plans
+    * the ordered limit as TakeOrderedAndProject — each task keeps only
+    * its local top-k heap and the driver merges k·tasks rows; no global
+    * sort, no full-result shuffle. */
+  def topTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+               k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(k)
+
   /** Polynomial rolling-hash fingerprint over code points, mod 2^31-1 —
     * deterministic across engines and platforms (no float, no JVM hash).
     * Computed by the custom [[graft.compile.Fingerprint32]] expression:
