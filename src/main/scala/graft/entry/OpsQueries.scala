@@ -737,5 +737,48 @@ object OpsQueries {
                t AS (SELECT unnest(w) AS term FROM w)
                SELECT term, count(*)::BIGINT AS occurrences FROM t GROUP BY 1
                ORDER BY occurrences DESC, term LIMIT 20""")),
+
+    // LEFT as-of join (every 5th event is a reference mark; each event
+    // matches its user's latest mark at-or-before its timestamp): the
+    // union + window carry-forward formulation vs DuckDB's NATIVE ASOF
+    // JOIN — two entirely independent algorithms must agree row for row.
+    // (user_id, ts) is unique in events, so the match is well-defined.
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val marks = ev.where(pmod(col("event_id"), lit(5)) === 0)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        TemporalJoins.asofJoin(ev.select("event_id", "user_id", "ts"),
+          marks, "user_id", "ts", Seq("event_id", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"), col("asof_value"))
+      },
+      Some("""WITH marks AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_id % 5 = 0)
+              SELECT l.event_id, l.user_id,
+                m.event_id AS asof_event_id, m.value AS asof_value
+              FROM events l ASOF LEFT JOIN marks m
+                ON l.user_id = m.user_id AND m.ts <= l.ts""")),
+
+    // bucketized range join (documents' n_chars into overlapping nation
+    // intervals): the equi-join-on-bucket formulation vs the oracle's
+    // direct non-equi join — membership must agree exactly, including
+    // the [lo, hi) boundary semantics
+    Q("q_range_join",
+      (s, d) => {
+        val iv = T(s, d, "nation").select(col("n_nationkey"),
+          (col("n_nationkey") * 20 + 40).cast("long").as("lo"),
+          (col("n_nationkey") * 20 + 85).cast("long").as("hi"))
+        TemporalJoins.rangeJoin(T(s, d, "documents").select("doc_id", "n_chars"),
+          "n_chars", iv, "lo", "hi", bucketWidth = 32)
+          .select("doc_id", "n_chars", "n_nationkey", "lo", "hi")
+      },
+      Some("""SELECT d.doc_id, d.n_chars, n.n_nationkey,
+                (n.n_nationkey*20 + 40)::BIGINT AS lo,
+                (n.n_nationkey*20 + 85)::BIGINT AS hi
+              FROM documents d JOIN nation n
+                ON d.n_chars >= n.n_nationkey*20 + 40
+               AND d.n_chars <  n.n_nationkey*20 + 85""")),
   )
 }

@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   *    [[Dedup.exactDuplicates]]-style degenerates), the same discipline
   *    as the LSH hot-bucket guard.
   *  - [[sessionStats]]: per-session aggregates via Spark's native
-  *    `session_window`, which runs as a streaming-capable session
-  *    aggregation (map-side partial merge, no per-event sort) — the
-  *    scale/streaming path. [[streamingSessionStats]] is the same call
-  *    with a watermark; SessionsSpec pins the two formulations to each
-  *    other.
+  *    `session_window` — plans as partial hash-aggregation of per-event
+  *    candidate sessions, exchange on the entity, then a per-partition
+  *    sort + MergingSessions pass (the sort is shuffle-local, and
+  *    map-side session merging can be enabled via
+  *    `spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition`
+  *    to shrink the exchange further). Unlike [[sessionize]] it emits
+  *    one row per SESSION, not per event, and is streaming-capable:
+  *    [[streamingSessionStats]] is the same call with a watermark.
+  *    SessionsSpec pins the two formulations to each other.
   *
   * Timestamps are compared as exact integer microseconds (`unix_micros`),
   * so session boundaries are deterministic and SQL-oracle-restateable —
