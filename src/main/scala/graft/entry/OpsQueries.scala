@@ -780,5 +780,48 @@ object OpsQueries {
               FROM documents d JOIN nation n
                 ON d.n_chars >= n.n_nationkey*20 + 40
                AND d.n_chars <  n.n_nationkey*20 + 85""")),
+
+    // mergeable space-saving heavy-hitters sketch (the 100-TB vocabulary
+    // path: bounded blobs through the shuffle instead of the full term
+    // key space). Capacity 256 exceeds the corpus vocabulary, so the
+    // sketch is provably exact here regardless of partitioning/merge
+    // order — the oracle is the exact count with max_error pinned to 0;
+    // the lossy regime's guarantees are property-tested in FreqSketchSpec.
+    Q("q_vocab_sketch",
+      (s, d) => {
+        import graft.sketch.FreqFunctions._
+        T(s, d, "documents")
+          .select(explode(TextAnalysis.words(col("text"))).as("term"))
+          .agg(freq_topk(freq_sketch(col("term"), capacity = 256), 20).as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.term").as("term"), col("e.estimate").as("estimate"),
+            col("e.max_error").as("max_error"))
+      },
+      Some(s"""WITH w AS (SELECT $duckWords AS w FROM documents),
+               t AS (SELECT unnest(w) AS term FROM w)
+               SELECT term, count(*)::BIGINT AS estimate, 0::BIGINT AS max_error
+               FROM t GROUP BY 1
+               ORDER BY estimate DESC, term LIMIT 20""")),
+
+    // GPT-style sequence packing (concat-and-chunk): documents laid end
+    // to end per lang shard in doc_id order, 2048-token packs, docs may
+    // straddle boundaries; the oracle re-derives every pack coordinate
+    // from a window cumulative sum
+    Q("q_pack_stream",
+      (s, d) => Packing.packStream(T(s, d, "documents"),
+        "lang", "doc_id", "n_chars", capacity = 2048)
+        .select("doc_id", "lang", "tok_start", "pack_id", "pack_offset",
+          "n_packs_spanned"),
+      Some("""WITH c AS (
+                SELECT doc_id, lang, n_chars,
+                  (sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_chars)::BIGINT AS tok_start
+                FROM documents)
+              SELECT doc_id, lang, tok_start,
+                (tok_start // 2048)::BIGINT AS pack_id,
+                (tok_start % 2048)::BIGINT AS pack_offset,
+                (((tok_start + greatest(n_chars, 1) - 1) // 2048)
+                  - (tok_start // 2048) + 1)::BIGINT AS n_packs_spanned
+              FROM c""")),
   )
 }

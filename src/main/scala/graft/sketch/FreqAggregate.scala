@@ -1,0 +1,101 @@
+package graft.sketch
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `freq_sketch(col, capacity)` — aggregates a string column into a
+  * serialized [[FreqSketch]] (BinaryType). Same partial/final shape as
+  * [[KllSketchAgg]]: each task builds a local sketch, the shuffle carries
+  * one bounded blob per group per task, reducers merge — the heavy-hitter
+  * path when the exact term aggregation's key space is the problem. */
+final case class FreqSketchAgg(
+    child: Expression,
+    capacity: Int = FreqSketch.DefaultCapacity,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqSketch]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch requires string input, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_sketch"
+
+  override def createAggregationBuffer(): FreqSketch = FreqSketch.empty(capacity)
+
+  override def update(buffer: FreqSketch, input: InternalRow): FreqSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: FreqSketch, other: FreqSketch): FreqSketch =
+    buffer.merge(other)
+
+  override def eval(buffer: FreqSketch): Any = buffer.serialize()
+  override def serialize(buffer: FreqSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): FreqSketch = FreqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketchAgg =
+    copy(child = newChild)
+}
+
+/** `freq_topk(sketch, n)` — scalar over a sketch blob: the top-n entries
+  * as array<struct<term, estimate, max_error>> in (estimate desc, term)
+  * order. Runs on aggregated rows only (CodegenFallback is fine). */
+final case class FreqTopK(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("estimate", LongType, nullable = false),
+    StructField("max_error", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "freq_topk"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_topk requires binary sketch, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sk = FreqSketch.deserialize(input.asInstanceOf[Array[Byte]])
+    if (sk.isEmpty) null
+    else new GenericArrayData(sk.topK(n).map { case (t, c, e) =>
+      InternalRow(UTF8String.fromString(t), c, e)
+    }.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FreqTopK =
+    copy(child = newChild)
+}
+
+object FreqFunctions {
+  /** Aggregate a string column into a serialized space-saving sketch. */
+  def freq_sketch(c: Column, capacity: Int = FreqSketch.DefaultCapacity): Column =
+    ColumnBridge.column(
+      FreqSketchAgg(ColumnBridge.expression(c), capacity).toAggregateExpression())
+
+  /** Top-n heavy hitters from a sketch blob. */
+  def freq_topk(sketch: Column, n: Int): Column =
+    ColumnBridge.column(FreqTopK(ColumnBridge.expression(sketch), n))
+}
