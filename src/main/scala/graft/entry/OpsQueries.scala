@@ -553,12 +553,8 @@ object OpsQueries {
     // NgramStats kernel (one JVM HashMap pass); the oracle rebuilds the
     // NON-distinct gram list and re-derives total/distinct/top relationally
     Q("q_repetition",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.repetitionSignals(col("text"), 2).as("r"))
-        .select(col("doc_id"),
-          col("r.dup_ngram_frac").as("dup_ngram_frac"),
-          col("r.top_ngram_frac").as("top_ngram_frac")),
+      (s, d) => TextAnalysis.repetitionSignals(T(s, d, "documents"), "text", 2)
+        .select("doc_id", "dup_ngram_frac", "top_ngram_frac"),
       Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
                g AS (SELECT doc_id,
                        CASE WHEN len(w) >= 2

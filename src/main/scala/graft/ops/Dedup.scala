@@ -452,8 +452,12 @@ object Dedup {
                     benchmark: DataFrame, benchTextCol: String,
                     shingleN: Int = 3, minMatches: Int = 1,
                     broadcastBench: Boolean = true): DataFrame = {
+    // shingles() maps empty/NULL-text docs to [""] — a stray blank line
+    // in the benchmark file would otherwise flag EVERY short corpus doc
+    // (whose shingle set is also [""]) as contaminated
     val benchGrams0 = benchmark
       .select(explode(shingles(col(benchTextCol), shingleN)).as("g"))
+      .where(col("g") =!= "")
       .distinct()
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     // shingles() is per-doc distinct, so the post-join count is the number

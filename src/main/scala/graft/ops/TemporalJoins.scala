@@ -41,7 +41,10 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_pay", lit(null).cast(
       right.select(payload).schema.head.dataType)).withColumn("_side", lit(1))
-    val r = right
+    // a NULL-ts right row would sort FIRST (ascending nulls-first) and be
+    // carried into every left row preceding the first real mark — it can
+    // match nothing under "greatest ts <= left.ts", so drop it up front
+    val r = right.where(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol), payload.as("_pay"))
       .withColumn("_side", lit(0))
     // align columns for the union: left's extra columns are NULL on the

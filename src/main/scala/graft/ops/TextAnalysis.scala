@@ -87,15 +87,11 @@ object TextAnalysis {
     ColumnBridge.column(graft.compile.NgramStats(ColumnBridge.expression(ws), n))
   }
 
-  /** Gopher/C4-style repetition quality signals over word n-grams:
-    *  - `dup_ngram_frac`: fraction of n-gram occurrences that repeat an
-    *    earlier occurrence (1 - distinct/total),
-    *  - `top_ngram_frac`: occurrences of the most frequent n-gram / total.
-    * Docs with fewer than n words score 0.0 on both (no signal ≠
-    * repetitive). Narrow per-row kernel — runs at scan speed; rounded to
-    * 6 places so SQL oracles can restate the arithmetic exactly. */
-  def repetitionSignals(text: Column, n: Int): Column = {
-    val st = ngramStats(words(text), n)
+  /** Fractions from a PRECOMPUTED [[ngramStats]] struct — bind the stats
+    * in their own projection and feed the attribute here (see
+    * [[repetitionSignals]] for why). Rounded to 6 places so SQL oracles
+    * can restate the arithmetic exactly. */
+  def repetitionFromStats(st: Column): Column = {
     val total = st.getField("total_ngrams").cast("double")
     val dup = when(total > 0,
       round(lit(1.0) - st.getField("distinct_ngrams") / total, 6)).otherwise(lit(0.0))
@@ -103,6 +99,28 @@ object TextAnalysis {
       round(st.getField("top_ngram_count") / total, 6)).otherwise(lit(0.0))
     struct(dup.as("dup_ngram_frac"), top.as("top_ngram_frac"))
   }
+
+  /** Gopher/C4-style repetition quality signals over word n-grams:
+    *  - `dup_ngram_frac`: fraction of n-gram occurrences that repeat an
+    *    earlier occurrence (1 - distinct/total),
+    *  - `top_ngram_frac`: occurrences of the most frequent n-gram / total.
+    * Docs with fewer than n words score 0.0 on both (no signal ≠
+    * repetitive).
+    *
+    * The stats struct is referenced six times by the fraction arithmetic,
+    * and Spark's subexpression elimination skips any tree containing a
+    * lambda variable (`words`' filter), so this DataFrame form binds the
+    * O(doc) kernel in its OWN projection — CollapseProject keeps a
+    * non-cheap multiply-referenced alias un-inlined, so tokenization +
+    * the kernel run once per row, not six times. Adds
+    * `dup_ngram_frac` / `top_ngram_frac` columns. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        n: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("_ngst", ngramStats(words(col(textCol)), n))
+      .withColumn("_rep", repetitionFromStats(col("_ngst")))
+      .withColumn("dup_ngram_frac", col("_rep.dup_ngram_frac"))
+      .withColumn("top_ngram_frac", col("_rep.top_ngram_frac"))
+      .drop("_ngst", "_rep")
 
   /** PII detector patterns — deliberately lookaround-free so RE2-based
     * engines (and SQL oracles) can restate them verbatim. Order matters
@@ -136,6 +154,9 @@ object TextAnalysis {
   def chunkWords(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                  chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) silently drops the words " +
+        "between consecutive windows; use a gap-free configuration")
     // bind the word list once — the explode lambda must slice an
     // attribute, not re-run the tokenization chain per chunk
     val ws = df.select(col(idCol), words(col(textCol)).as("_ws"))

@@ -602,14 +602,13 @@ class OpsSpec extends SparkSpec {
       (4L, "one"),                // < 2 words -> zeros
       (5L, ""))                   // no words -> zeros
       .toDF("doc_id", "text")
-      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text"), 2).as("r"))
-      .select(col("doc_id"), col("r.dup_ngram_frac"), col("r.top_ngram_frac"))
+    val rows2 = TextAnalysis.repetitionSignals(rows, "text", 2)
+      .select(col("doc_id"), col("dup_ngram_frac"), col("top_ngram_frac"))
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    assert(rows(1L) == ((0.5, 0.5)))
-    assert(rows(2L) == ((1.0 - 1.0 / 3, 1.0)) ||
-      rows(2L) == ((0.666667, 1.0)), s"got ${rows(2L)}")
-    assert(rows(3L) == ((0.0, math.rint(1e6 / 3.0) / 1e6)))
-    assert(rows(4L) == ((0.0, 0.0)) && rows(5L) == ((0.0, 0.0)))
+    assert(rows2(1L) == ((0.5, 0.5)))
+    assert(rows2(2L) == ((0.666667, 1.0)), s"got ${rows2(2L)}")
+    assert(rows2(3L) == ((0.0, math.rint(1e6 / 3.0) / 1e6)))
+    assert(rows2(4L) == ((0.0, 0.0)) && rows2(5L) == ((0.0, 0.0)))
   }
 
   test("ngramStats matches a naive Scala recount on the shared corpus") {
@@ -684,6 +683,21 @@ class OpsSpec extends SparkSpec {
     // doc 0 matches all 29 of its own bigrams; the clone all but two
     // (perturbed word 17 breaks bigrams 16-17 and 17-18)
     assert(hit(0L) == 29L && hit(100L) == 27L, s"$hit")
+  }
+
+  test("decontaminate: a blank benchmark line cannot flag short corpus docs") {
+    val corpus = docs.union(Seq((500L, ""), (501L, "tiny")).toDF("doc_id", "text"))
+    val bench = Seq("", "   ").toDF("text") // degenerate benchmark rows only
+    assert(Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+      shingleN = 2, minMatches = 1).isEmpty,
+      "empty-gram benchmark rows must match nothing")
+  }
+
+  test("chunkWords rejects gap-producing stride > chunkSize") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWords(df, "doc_id", "text", chunkSize = 4, stride = 6)
+    }
   }
 
   test("decontaminate plan: benchmark grams are broadcast, corpus side shuffle-free") {

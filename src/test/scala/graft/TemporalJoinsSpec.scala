@@ -47,6 +47,15 @@ class TemporalJoinsSpec extends SparkSpec {
       s"diff=${got.toSet -- naive.toSet} / ${naive.toSet -- got.toSet}")
   }
 
+  test("asofJoin: NULL-timestamp right rows match nothing") {
+    val left = Seq((1L, 7L, 50L)).toDF("event_id", "key", "ts")
+    val right = Seq((7L, Option.empty[Long], "ghost"), (7L, Some(100L), "late"))
+      .toDF("key", "ts", "tag")
+    val got = TemporalJoins.asofJoin(left, right, "key", "ts", Seq("tag"))
+      .select("asof_tag").head()
+    assert(got.isNullAt(0), s"NULL-ts mark leaked into the carry: $got")
+  }
+
   test("asofJoin plan: one hash exchange on the key, no nested-loop join") {
     val left = Seq((1L, 7L, 100L)).toDF("event_id", "key", "ts")
     val right = Seq((7L, 100L, "a")).toDF("key", "ts", "tag")
