@@ -261,6 +261,35 @@ object CheckQueries {
                 round(sum(pow(o - p*n, 2) / greatest(p*n, 0.5)), 4) AS chi2
               FROM j, t""")),
 
+    // categorical drift via the mergeable FreqSketch profile (persisted
+    // blob, bounded per-partition state): capacity far exceeds the lang
+    // cardinality, so the sketch is exact here and the oracle recomputes
+    // the restricted chi² from exact counts
+    Q("q_drift_freq",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val profile = FreqDriftCheck.buildProfile(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), "lang", capacity = 64)
+        FreqDriftCheck("lang", profile, threshold = 100.0, capacity = 64)
+          .run(docs.where(pmod(col("doc_id"), lit(2)) === 1)
+            .withColumn("part", lit(0)))
+          .verdicts.select(col("part"), round(col("metric_value"), 4).as("chi2"))
+      },
+      Some("""WITH ref AS (
+                SELECT lang AS key, count(*)::DOUBLE AS r FROM documents
+                WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+              obs AS (
+                SELECT lang AS key, count(*)::DOUBLE AS o FROM documents
+                WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+              j AS (
+                SELECT coalesce(o, 0) AS o,
+                       r / (SELECT sum(r) FROM ref) AS p
+                FROM ref LEFT JOIN obs USING (key)),
+              t AS (SELECT sum(o) AS n FROM j)
+              SELECT 0 AS part,
+                round(sum(pow(o - p*n, 2) / greatest(p*n, 0.5)), 4) AS chi2
+              FROM j, t""")),
+
     Q("q_verdicts",
       (s, d) => {
         val df = T(s, d, "documents")

@@ -89,6 +89,34 @@ final case class FreqTopK(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `freq_chi2(sketch, refSketch)` — scalar: the restricted chi² drift
+  * statistic between two sketch blobs ([[graft.checks.FreqDriftCheck]]'s
+  * arithmetic), so windowed streaming drift can run INSIDE the plan
+  * against a broadcast profile literal. Aggregated rows only. */
+final case class FreqChi2(
+    left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "freq_chi2"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"freq_chi2 requires two binary sketches, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.checks.FreqDriftCheck.chiSquare(
+      FreqSketch.deserialize(l.asInstanceOf[Array[Byte]]),
+      FreqSketch.deserialize(r.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqChi2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object FreqFunctions {
   /** Aggregate a string column into a serialized space-saving sketch. */
   def freq_sketch(c: Column, capacity: Int = FreqSketch.DefaultCapacity): Column =
@@ -98,4 +126,10 @@ object FreqFunctions {
   /** Top-n heavy hitters from a sketch blob. */
   def freq_topk(sketch: Column, n: Int): Column =
     ColumnBridge.column(FreqTopK(ColumnBridge.expression(sketch), n))
+
+  /** Restricted chi² drift between two sketch blobs (use
+    * `lit(profileBytes)` for a persisted reference profile). */
+  def freq_chi2(a: Column, b: Column): Column =
+    ColumnBridge.column(FreqChi2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

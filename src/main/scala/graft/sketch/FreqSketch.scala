@@ -110,6 +110,9 @@ final class FreqSketch(val capacity: Int) {
 
   def estimate(term: String): Long = counts.get(term).map(_._1).getOrElse(offsetVar)
   def maxError(term: String): Long = counts.get(term).map(_._2).getOrElse(offsetVar)
+  /** Estimate if the term survives in the sketch, else None (unlike
+    * [[estimate]], which reports the absent-term upper bound). */
+  def countIfPresent(term: String): Option[Long] = counts.get(term).map(_._1)
 
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -132,6 +132,32 @@ object StreamingValidation {
         col("_ks").as("metric_value"))
   }
 
+  /** Watermarked per-window categorical drift against a persisted
+    * frequency profile: the streaming twin of
+    * [[graft.checks.FreqDriftCheck]], same shape as
+    * [[windowedSketchDrift]] — bounded per-(window × part) sketch state,
+    * chi² computed in-plan via `freq_chi2`. */
+  def windowedFreqDrift(stream: DataFrame, column: String,
+                        referenceSketch: Array[Byte],
+                        tsCol: String, partCol: String,
+                        threshold: Double,
+                        capacity: Int = graft.sketch.FreqSketch.DefaultCapacity,
+                        windowDuration: String = "1 minute",
+                        watermarkDelay: String = "2 minutes"): DataFrame = {
+    import graft.sketch.FreqFunctions
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(partCol).as("part"))
+      .agg(FreqFunctions.freq_sketch(col(column), capacity).as("sketch"))
+      .withColumn("_chi2", FreqFunctions.freq_chi2(col("sketch"), lit(referenceSketch)))
+      .select(
+        col("window"), col("part"),
+        lit(s"drift_freq_chi2:$column").as("check"),
+        (col("_chi2") <= threshold).as("passed"),
+        lit(0L).as("violation_count"),
+        col("_chi2").as("metric_value"))
+  }
+
   /** Watermarked per-window verdicts: (window, part, passed,
     * violation_count, rows). */
   def windowedVerdicts(stream: DataFrame, validator: Validator,

@@ -64,6 +64,24 @@ class FreqSketchSpec extends SparkSpec {
     assert(back.topK(1).head._1 == "a")
   }
 
+  test("freq drift: shifted categorical distribution fails, matching one passes") {
+    import graft.checks.FreqDriftCheck
+    val clean = (0 until 2000).map(i => (i.toLong, s"c${i % 5}"))
+      .toDF("id", "cat").withColumn("part", lit(0))
+    val profile = FreqDriftCheck.buildProfile(clean, "cat", capacity = 32)
+    // same distribution -> tiny chi2
+    val same = FreqDriftCheck("cat", profile, threshold = 10.0, capacity = 32)
+      .run(clean).verdicts.head()
+    assert(same.getBoolean(2), s"identical distribution flagged: $same")
+    // collapse to one category -> massive chi2
+    val shifted = clean.withColumn("cat", lit("c0"))
+    val bad = FreqDriftCheck("cat", profile, threshold = 10.0, capacity = 32)
+      .run(shifted).verdicts.head()
+    assert(!bad.getBoolean(2) && bad.getDouble(4) > 1000.0, bad.toString)
+    // profile round-trips through bytes (persistability)
+    assert(graft.sketch.FreqSketch.deserialize(profile).size == 5)
+  }
+
   test("packStream: straddling docs, per-group streams, hand-checked coordinates") {
     val df = Seq(
       (1L, "en", 100L), (2L, "en", 80L), (3L, "en", 150L), // en stream: 0,100,180

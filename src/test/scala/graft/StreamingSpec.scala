@@ -120,4 +120,39 @@ class StreamingSpec extends SparkSpec {
       assert(!driftPassed && driftKs > 0.5, s"shifted KS=$driftKs")
     } finally q.stop()
   }
+
+  test("windowed categorical drift against a persisted frequency profile") {
+    implicit val sqlCtx = spark.sqlContext
+    // profile: doc_id values spread over 5 categories c0..c4
+    val profileDf = spark.range(1000)
+      .select(concat(lit("c"), col("id") % 5).as("cat"))
+    val profile = graft.checks.FreqDriftCheck.buildProfile(profileDf, "cat", 32)
+
+    val source = MemoryStream[Ev]
+    // categorical column derived from n_tok so we can reuse Ev
+    val df = source.toDF().withColumn("part", lit(0))
+      .withColumn("cat", concat(lit("c"), col("n_tok") % 5))
+    val q = StreamingValidation.windowedFreqDrift(
+      df, "cat", profile, "ts", "part",
+      threshold = 10.0, capacity = 32,
+      windowDuration = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sv_fdrift").outputMode("update").start()
+    try {
+      // window 0: uniform over the 5 categories; window 1: all c0
+      val w0 = (1 to 50).map(i =>
+        Ev(s"a$i", i, Timestamp.valueOf("2026-01-01 00:00:10")))
+      val w1 = (1 to 50).map(i =>
+        Ev(s"b$i", 5, Timestamp.valueOf("2026-01-01 00:01:10")))
+      source.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      val out = spark.table("sv_fdrift")
+        .select(col("window.start").cast("string"), col("passed"),
+          col("metric_value")).collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(1), r.getDouble(2)))).toMap
+      val (samePassed, sameChi2) = out("2026-01-01 00:00:00")
+      val (driftPassed, driftChi2) = out("2026-01-01 00:01:00")
+      assert(samePassed && sameChi2 < 10.0, s"same-distribution chi2=$sameChi2")
+      assert(!driftPassed && driftChi2 > 100.0, s"collapsed chi2=$driftChi2")
+    } finally q.stop()
+  }
 }
