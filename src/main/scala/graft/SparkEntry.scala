@@ -34,7 +34,10 @@ object SparkEntry {
         ColumnStatsSpec("doc_id", maxNullRate = Some(0.0)))),
       SketchDriftCheck("n_chars",
         SketchDriftCheck.buildProfile(docs.where(col("doc_id") % 2 === 0), "n_chars"),
-        threshold = 0.2))
+        threshold = 0.2),
+      FreqDriftCheck("lang",
+        FreqDriftCheck.buildProfile(docs.where(col("doc_id") % 2 === 0), "lang"),
+        threshold = 100.0))
     checks.map(_.run(docs).verdicts).reduce(_ unionAll _)
   }
 

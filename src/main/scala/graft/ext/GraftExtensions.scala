@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   *  - `kll_quantiles(sketch, probs)`    → array<double>, probs a foldable
   *    array literal, e.g. `kll_quantiles(kll_sketch(v), array(0.5, 0.9))`
   *  - `kll_cdf(sketch, points)`         → array<double>
+  *  - `kll_ks(a, b)`                    → double, two-sample KS distance
+  *  - `freq_sketch(col[, capacity])`    → binary (space-saving heavy hitters)
+  *  - `freq_topk(sketch, n)`            → array<struct<term,estimate,max_error>>
+  *  - `freq_chi2(a, b)`                 → double, restricted chi² drift
   *  - `array_bounds(arr, lo, hi)`       → boolean, the fused single-pass
   *    bounds check (inclusive; NULL elements skipped)
   */
@@ -100,6 +104,32 @@ object GraftFunctions {
         case Seq(a, b) => KllKsDistance(a, b)
         case _ => throw new IllegalArgumentException(
           "kll_ks expects (sketch_a, sketch_b)")
+      }),
+
+    (FunctionIdentifier("freq_sketch"),
+      info("freq_sketch", "freq_sketch(col[, capacity]) - mergeable space-saving heavy-hitters sketch (binary)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.sketch.FreqSketchAgg(c)
+        case Seq(c, k) => graft.sketch.FreqSketchAgg(c,
+          foldLong(k, "capacity", "freq_sketch").toInt)
+        case _ => throw new IllegalArgumentException(
+          "freq_sketch expects (col[, capacity])")
+      }),
+
+    (FunctionIdentifier("freq_topk"),
+      info("freq_topk", "freq_topk(sketch, n) - top-n heavy hitters with error bounds"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, n) => graft.sketch.FreqTopK(s, foldLong(n, "n", "freq_topk").toInt)
+        case _ => throw new IllegalArgumentException(
+          "freq_topk expects (sketch, n)")
+      }),
+
+    (FunctionIdentifier("freq_chi2"),
+      info("freq_chi2", "freq_chi2(sketch_a, sketch_b) - restricted chi2 drift between frequency sketches"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.sketch.FreqChi2(a, b)
+        case _ => throw new IllegalArgumentException(
+          "freq_chi2 expects (sketch_a, sketch_b)")
       }),
 
     (FunctionIdentifier("array_bounds"),

@@ -34,6 +34,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 9995, s"n=$n")
   }
 
+  test("live-session registration: freq functions usable from spark.sql") {
+    GraftFunctions.register(spark)
+    spark.range(1000)
+      .selectExpr("concat('t', cast(id % 7 as string)) as term")
+      .createOrReplaceTempView("ext_terms")
+    // exact regime (7 distinct << 64): counts exact, errors zero
+    val tk = spark.sql(
+      "SELECT freq_topk(freq_sketch(term, 64), 3) AS tk FROM ext_terms")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.length == 3)
+    assert(tk.forall(_.getLong(2) == 0L), tk.mkString(","))
+    assert(tk.head.getLong(1) == 143L, tk.head.toString) // 1000/7 rounded up
+    // chi2 of a sketch against itself is 0
+    val chi = spark.sql(
+      """SELECT freq_chi2(s, s) FROM
+         (SELECT freq_sketch(term, 64) AS s FROM ext_terms)""")
+      .head().getDouble(0)
+    assert(chi == 0.0, chi.toString)
+  }
+
   test("FuseArrayBounds rule: forall(arr, bounds) → fused codegen, same 3-valued results") {
     import graft.ext.FuseArrayBounds
     // materialize through parquet so ConvertToLocalRelation can't fold the
