@@ -3,6 +3,7 @@ package graft.entry
 import graft.Validator
 import graft.checks._
 import graft.compile.ValidatorOptions
+import graft.ops.Rounding
 import org.apache.spark.sql.functions._
 
 /** Typed row of the documents test table (for the typed-Dataset gate
@@ -65,7 +66,7 @@ object CheckQueries {
         s.read.parquet(s"$dir/out/verdicts")
           .select(col("part").cast("int").as("part"), col("check"),
             col("passed"), col("violation_count"),
-            round(col("metric_value"), 6).as("metric_value"))
+            Rounding.roundAt(col("metric_value"), 6).as("metric_value"))
       },
       Some("""WITH rc AS (
                 SELECT (doc_id % 4)::INT AS part, 'row_constraint' AS check,
@@ -101,8 +102,8 @@ object CheckQueries {
           pmod(col("o_orderkey"), lit(4)).cast("int"))
         df.groupBy("part").agg(
           count(lit(1)).as("n_rows"),
-          round(min("o_totalprice"), 2).as("price_min"),
-          round(max("o_totalprice"), 2).as("price_max"),
+          Rounding.roundAt(min("o_totalprice"), 2).as("price_min"),
+          Rounding.roundAt(max("o_totalprice"), 2).as("price_max"),
           sum(col("o_custkey").isNull.cast("long")).as("cust_nulls"),
           countDistinct("o_custkey").as("cust_distinct"))
       },
@@ -124,9 +125,9 @@ object CheckQueries {
         val df = T(s, d, "orders").withColumn("part",
           pmod(col("o_orderkey"), lit(4)).cast("int"))
         df.groupBy("part").agg(
-          round(expr("percentile(o_totalprice, 0.25D)"), 2).as("price_q25"),
-          round(expr("percentile(o_totalprice, 0.5D)"), 2).as("price_q50"),
-          round(expr("percentile(o_totalprice, 0.75D)"), 2).as("price_q75"))
+          Rounding.roundAt(expr("percentile(o_totalprice, 0.25D)"), 2).as("price_q25"),
+          Rounding.roundAt(expr("percentile(o_totalprice, 0.5D)"), 2).as("price_q50"),
+          Rounding.roundAt(expr("percentile(o_totalprice, 0.75D)"), 2).as("price_q75"))
       },
       Some("""SELECT (o_orderkey % 4)::INT AS part,
                 round(quantile_cont(o_totalprice, 0.25), 2) AS price_q25,
@@ -218,7 +219,7 @@ object CheckQueries {
         val ref = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
         KsDriftCheck("o_totalprice", ref, threshold = 0.05,
           bin = c => floor(c / 10000)).run(obs)
-          .verdicts.select(col("part"), round(col("metric_value"), 6).as("ks_d"))
+          .verdicts.select(col("part"), Rounding.roundAt(col("metric_value"), 6).as("ks_d"))
       },
       Some("""WITH obs AS (
                 SELECT floor(o_totalprice/10000) AS bin, count(*) AS o_cnt
@@ -244,7 +245,7 @@ object CheckQueries {
         val ref = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
         Chi2DriftCheck("l_returnflag", col("l_returnflag"), ref,
           col("l_returnflag"), threshold = 100.0).run(obs)
-          .verdicts.select(col("part"), round(col("metric_value"), 4).as("chi2"))
+          .verdicts.select(col("part"), Rounding.roundAt(col("metric_value"), 4).as("chi2"))
       },
       Some("""WITH obs AS (
                 SELECT l_returnflag AS key, count(*)::DOUBLE AS o
@@ -273,7 +274,7 @@ object CheckQueries {
         FreqDriftCheck("lang", profile, threshold = 100.0, capacity = 64)
           .run(docs.where(pmod(col("doc_id"), lit(2)) === 1)
             .withColumn("part", lit(0)))
-          .verdicts.select(col("part"), round(col("metric_value"), 4).as("chi2"))
+          .verdicts.select(col("part"), Rounding.roundAt(col("metric_value"), 4).as("chi2"))
       },
       Some("""WITH ref AS (
                 SELECT lang AS key, count(*)::DOUBLE AS r FROM documents
@@ -298,7 +299,7 @@ object CheckQueries {
           Validator("""{"properties":{"n_chars":{"minimum":100,"maximum":450}}}""",
             ValidatorOptions(greedy = true))).run(df)
           .verdicts.select(col("part"), col("check"), col("passed"),
-            col("violation_count"), round(col("metric_value"), 6).as("valid_rate"))
+            col("violation_count"), Rounding.roundAt(col("metric_value"), 6).as("valid_rate"))
       },
       Some("""SELECT (doc_id % 4)::INT AS part, 'row_constraint' AS check,
                 bool_and(n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS passed,

@@ -260,7 +260,7 @@ object OpsQueries {
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
         a.join(b, col("id_a") < col("id_b"))
-          .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+          .withColumn("sim", Rounding.roundAt(Similarity.cosine(col("v_a"), col("v_b")), 6))
           .where(col("sim") >= 0.25)
           .select("id_a", "id_b", "sim")
       },
@@ -669,7 +669,7 @@ object OpsQueries {
         Outliers.madOutliers(
           T(s, d, "documents").select(col("doc_id"), v.as("value")), col("value"))
           .select(col("doc_id"), col("value"),
-            round(col("robust_z"), 4).as("robust_z"))
+            Rounding.roundAt(col("robust_z"), 4).as("robust_z"))
       },
       Some("""WITH v AS (SELECT doc_id,
                 (n_chars + CASE WHEN doc_id % 97 = 0 THEN 5000 ELSE 0 END)::DOUBLE AS value

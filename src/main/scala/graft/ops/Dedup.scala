@@ -366,7 +366,7 @@ object Dedup {
     val union = size(col("sh_a")) + size(col("sh_b")) -
       size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
-      .withColumn("jaccard", round(inter / union, 6))
+      .withColumn("jaccard", Rounding.roundAt(inter / union, 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -46,7 +46,7 @@ object Similarity {
       col(queryVec).as("qv")))
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", Rounding.roundAt(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -124,7 +124,7 @@ object Similarity {
     val scored = cand
       .join(cv, Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", Rounding.roundAt(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -239,7 +239,7 @@ object Similarity {
     val scored = cand
       .join(cv, Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", Rounding.roundAt(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -275,7 +275,7 @@ object Similarity {
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("sim", Rounding.roundAt(cosine(col("v_a"), col("v_b")), 6))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -77,7 +77,7 @@ object TextAnalysis {
     val lengthOk = when(n >= 100 && n <= 20000, lit(1.0))
       .when(n >= 20 && n < 100, lit(0.5)).otherwise(lit(0.0))
     val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 12, lit(1.0)).otherwise(lit(0.3))
-    round((lengthOk * 0.4 + alphaRatio * 0.3 + wordLenOk * 0.3), 4)
+    Rounding.roundAt(lengthOk * 0.4 + alphaRatio * 0.3 + wordLenOk * 0.3, 4)
   }
 
   /** Raw n-gram frequency stats (total, distinct, most-frequent count)
@@ -94,9 +94,9 @@ object TextAnalysis {
   def repetitionFromStats(st: Column): Column = {
     val total = st.getField("total_ngrams").cast("double")
     val dup = when(total > 0,
-      round(lit(1.0) - st.getField("distinct_ngrams") / total, 6)).otherwise(lit(0.0))
+      Rounding.roundAt(lit(1.0) - st.getField("distinct_ngrams") / total, 6)).otherwise(lit(0.0))
     val top = when(total > 0,
-      round(st.getField("top_ngram_count") / total, 6)).otherwise(lit(0.0))
+      Rounding.roundAt(st.getField("top_ngram_count") / total, 6)).otherwise(lit(0.0))
     struct(dup.as("dup_ngram_frac"), top.as("top_ngram_frac"))
   }
 
