@@ -680,6 +680,25 @@ object OpsQueries {
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
 
+    // TF-IDF over a 100-doc sub-corpus: per-doc tf agg joined to the
+    // broadcast document-frequency table, corpus size attached in-plan;
+    // the oracle re-derives tf/df/N relationally with the identical
+    // smoothed-idf arithmetic
+    Q("q_tfidf",
+      (s, d) => TfIdf.tfidf(
+        T(s, d, "documents").where(col("doc_id") < 100), "doc_id", "text"),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents
+                          WHERE doc_id < 100),
+               terms AS (SELECT doc_id AS id, unnest(w) AS term FROM w),
+               tf AS (SELECT id, term, count(*)::BIGINT AS tf
+                      FROM terms GROUP BY 1, 2),
+               dfq AS (SELECT term, count(*)::BIGINT AS doc_freq
+                       FROM (SELECT DISTINCT id, term FROM terms) GROUP BY 1),
+               n AS (SELECT count(*) AS n FROM w)
+               SELECT tf.id, tf.term, tf.tf,
+                 round(tf.tf * (ln((n.n + 1)::DOUBLE / (dfq.doc_freq + 1)) + 1), 6) AS tfidf
+               FROM tf JOIN dfq USING (term), n""")),
+
     // gap-based sessionization (per-event labels): lag + running sum over
     // the entity window; boundaries compared as exact integer micros. The
     // 6 h gap sits at the events table's median per-user spacing, so both

@@ -708,6 +708,27 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("tfidf: hand-computed scores, rare terms outweigh common ones") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana durian"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.tfidf(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def idf(df: Int) = math.log(4.0 / (df + 1)) + 1
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got((1L, "apple")) == ((2L, r6(2 * idf(1)))), got.toString)
+    assert(got((3L, "banana")) == ((2L, r6(2 * idf(3)))), got.toString)
+    assert(got((2L, "cherry")) == ((1L, r6(1 * idf(1)))), got.toString)
+    // banana appears in every doc: per-occurrence weight below any rare term
+    assert(got((2L, "banana"))._2 < got((2L, "cherry"))._2)
+    // df table is broadcast by default
+    val plan = TfIdf.tfidf(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("madOutliers flags planted corruption and nothing else; mad=0 yields no flags") {
     val base = (1 to 200).map(i => (i.toLong, 100.0 + (i % 11))) ++
       Seq((900L, 5000.0), (901L, -4000.0))
