@@ -14,14 +14,21 @@ import org.apache.spark.sql.types._
   * statistic over the PROFILE's categories is computed driver-side on
   * the collected blobs.
   *
-  * The statistic is restricted to the profile's surviving categories
-  * (both distributions renormalized over them) — that is what a bounded
-  * sketch can support honestly, and for drift purposes the profile
-  * defines the contract: a category the clean profile never surfaced is
-  * drift the moment it carries mass, which the restricted statistic
-  * reflects through the shrunken observed share of profiled categories.
+  * Cells are the profile's surviving categories PLUS an "other" cell
+  * holding the mass outside them (totalSeen − Σ entries, both sides), so
+  * drift into categories the clean profile never surfaced is visible:
+  * novel mass lands in "other", whose clean expectation is (near) zero,
+  * and the 0.5 expected-count floor turns it into a large statistic.
   * Arithmetic is rational (no transcendentals), so a SQL oracle can
   * restate it exactly.
+  *
+  * Lossy-regime honesty: size `capacity` comfortably above the column's
+  * categorical cardinality (the sketch exists to stay bounded if an
+  * upstream bug explodes cardinality, not to run permanently saturated).
+  * If a profiled category is evicted from the observed sketch, its
+  * space-saving UPPER bound (the sketch offset) is used as the cell
+  * count — per-cell error is ≤ offset + err, and the failure direction
+  * under saturation is a drift FLAG, never a silent pass.
   */
 final case class FreqDriftCheck(
     column: String,
@@ -39,7 +46,8 @@ final case class FreqDriftCheck(
     val perPart = df
       .where(col(partCol).isNotNull)
       .groupBy(col(partCol).cast(IntegerType).as("part"))
-      .agg(FreqFunctions.freq_sketch(col(column), capacity).as("sketch"))
+      .agg(FreqFunctions.freq_sketch(col(column).cast(StringType), capacity)
+        .as("sketch"))
       .collect()
 
     val rows = perPart.toSeq.filterNot(_.isNullAt(0)).map { r =>
@@ -65,20 +73,28 @@ object FreqDriftCheck {
     * persist the bytes in the profile/checkpoint table). */
   def buildProfile(df: DataFrame, column: String,
                    capacity: Int = FreqSketch.DefaultCapacity): Array[Byte] =
-    df.agg(FreqFunctions.freq_sketch(col(column), capacity))
+    df.agg(FreqFunctions.freq_sketch(col(column).cast(StringType), capacity))
       .head().getAs[Array[Byte]](0)
 
-  /** Chi²-style statistic over the reference's categories: expected cell
-    * mass = ref share × observed total over those categories, with the
-    * standard 0.5 expected-count floor ([[Chi2DriftCheck]] uses the
-    * same). Deterministic: cells are summed in sorted category order. */
+  /** Chi²-style statistic over the reference's categories plus an
+    * "other" cell (mass outside them): expected cell mass = ref share ×
+    * observed total, with the standard 0.5 expected-count floor
+    * ([[Chi2DriftCheck]] uses the same). A profiled category evicted
+    * from the observed sketch counts as its space-saving upper bound
+    * (the offset) — see the class doc for the bias direction.
+    * Deterministic: cells are summed in sorted category order. */
   def chiSquare(obs: FreqSketch, ref: FreqSketch): Double = {
     val cats = ref.topK(ref.size).sortBy(_._1)
-    val refTotal = cats.map(_._2).sum.toDouble
+    val refEntries = cats.map(_._2).sum
+    val refTotal = math.max(ref.totalSeen, refEntries).toDouble
     if (refTotal == 0) return 0.0
-    val o = cats.map { case (t, _, _) => obs.countIfPresent(t).getOrElse(0L).toDouble }
-    val n = o.sum
-    cats.zip(o).map { case ((_, r, _), oi) =>
+    val o = cats.map { case (t, _, _) =>
+      obs.countIfPresent(t).getOrElse(obs.offset).toDouble }
+    val n = obs.totalSeen.toDouble
+    val cells =
+      cats.zip(o).map { case ((_, r, _), oi) => (r.toDouble, oi) } :+
+        ((refTotal - refEntries, math.max(n - o.sum, 0.0))) // "other"
+    cells.map { case (r, oi) =>
       val e = (r / refTotal) * n
       math.pow(oi - e, 2) / math.max(e, 0.5)
     }.sum

@@ -32,7 +32,11 @@ object TfIdf {
     val terms = df
       .select(col(idCol).as("id"), explode(TextAnalysis.words(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfTable0 = docFrequencies(df, textCol)
+    // df table derived from the SAME (id, term) aggregation — terms has
+    // one row per distinct (doc, term), so counting rows per term IS the
+    // document frequency, the corpus tokenizes once, and Spark reuses
+    // the (id, term) partial-aggregate exchange for both branches
+    val dfTable0 = terms.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val dfTable = if (broadcastDf) broadcast(dfTable0) else dfTable0
     val n = df.agg(count(lit(1)).as("_n"))
     terms

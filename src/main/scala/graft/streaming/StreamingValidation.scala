@@ -148,7 +148,8 @@ object StreamingValidation {
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration), col(partCol).as("part"))
-      .agg(FreqFunctions.freq_sketch(col(column), capacity).as("sketch"))
+      .agg(FreqFunctions.freq_sketch(col(column).cast("string"), capacity)
+        .as("sketch"))
       .withColumn("_chi2", FreqFunctions.freq_chi2(col("sketch"), lit(referenceSketch)))
       .select(
         col("window"), col("part"),

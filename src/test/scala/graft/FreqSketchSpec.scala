@@ -80,6 +80,24 @@ class FreqSketchSpec extends SparkSpec {
     assert(!bad.getBoolean(2) && bad.getDouble(4) > 1000.0, bad.toString)
     // profile round-trips through bytes (persistability)
     assert(graft.sketch.FreqSketch.deserialize(profile).size == 5)
+    // novel-category drift: mass moves to a category the profile never
+    // saw while the conditional distribution over profiled cats stays
+    // uniform — the "other" cell must catch it
+    val novel = (0 until 2000).map { i =>
+      // i%50 in 45..49 -> c0..c4 exactly uniform: the conditional
+      // distribution over profiled categories is UNCHANGED
+      (i.toLong, if (i % 50 < 45) "novel" else s"c${i % 5}")
+    }.toDF("id", "cat").withColumn("part", lit(0))
+    val nv = FreqDriftCheck("cat", profile, threshold = 10.0, capacity = 32)
+      .run(novel).verdicts.head()
+    assert(!nv.getBoolean(2) && nv.getDouble(4) > 1000.0,
+      s"novel-category drift missed: $nv")
+    // integer-coded categorical columns are coerced, not rejected
+    val intCat = (0 until 100).map(i => (i.toLong, i % 5)).toDF("id", "cat")
+      .withColumn("part", lit(0))
+    val ip = FreqDriftCheck.buildProfile(intCat, "cat", 32)
+    assert(FreqDriftCheck("cat", ip, threshold = 10.0, capacity = 32)
+      .run(intCat).verdicts.head().getBoolean(2))
   }
 
   test("packStream: straddling docs, per-group streams, hand-checked coordinates") {
