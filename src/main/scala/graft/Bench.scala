@@ -195,10 +195,13 @@ object ScalingBench {
       .withDefaultValue(Vector.empty)
 
     // SPARK_GRAFT_SCALING_JOB: "validate" (default — the narrow
-    // whole-stage-codegen scan, the north-rule metric) or "dedup" (the
+    // whole-stage-codegen scan, the north-rule metric), "dedup" (the
     // MinHash band-join dedup over text synthesized from the token
     // arrays — a genuinely shuffle-bearing workload, evidencing that the
-    // engine's shuffle shapes scale too, not just its scans)
+    // engine's shuffle shapes scale too, not just its scans), or
+    // "session" (native session_window aggregation over events derived
+    // deterministically from the token table — the exchange + sort +
+    // MergingSessions shape)
     val jobKind = sys.env.getOrElse("SPARK_GRAFT_SCALING_JOB", "validate")
 
     (0 to reps).foreach { rep =>
@@ -210,10 +213,21 @@ object ScalingBench {
         // toward 1 ((t1+c)/(t4+c) < t1/t4) and break comparability with
         // the recorded pre-r3 samples, which timed the scan only
         val compiledValid =
-          if (jobKind == "dedup") None
+          if (jobKind != "validate") None
           else Some(graft.compile.ConstraintCompiler
             .compile(validator.spec, df.schema, validator.options))
         def job(input: org.apache.spark.sql.DataFrame): Unit = jobKind match {
+          case "session" =>
+            // deterministic synthetic event stream: ~50k entities, event
+            // times hashed over ~28 h, 10-minute session gap → a mix of
+            // multi-event sessions and breaks at any input size
+            val ev = input.where(col("doc_id").isNotNull).select(
+              pmod(xxhash64(col("doc_id")), lit(50000L)).as("user"),
+              timestamp_micros(pmod(xxhash64(col("doc_id"), lit(1L)),
+                lit(100000000000L))).as("ts"),
+              col("n_tok").cast("double").as("value"))
+            graft.ops.Sessions.sessionStats(ev, "user", "ts", "value",
+              gapSeconds = 600).count()
           case "dedup" =>
             val txt = input.where(col("doc_id").isNotNull)
               .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
