@@ -54,6 +54,42 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("property: sketch bounds hold over random streams and random merge trees") {
+    val rnd = new scala.util.Random(99)
+    (0 until 25).foreach { trial =>
+      val k = 4 + rnd.nextInt(60)
+      val vocab = 1 + rnd.nextInt(200)
+      val n = 200 + rnd.nextInt(3000)
+      // zipf-ish draw so some terms are heavy
+      val stream = Vector.fill(n)(s"w${(math.pow(rnd.nextDouble(), 2.5) * vocab).toInt}")
+      // random merge tree: split into 1..8 chunks, build sketches,
+      // fold-merge in random order (serialize round-trip on some)
+      val chunks = rnd.shuffle(stream).grouped(n / (1 + rnd.nextInt(8)) + 1).toVector
+      val sketches = chunks.map { c =>
+        val sk = FreqSketch.empty(k); c.foreach(sk.update)
+        if (rnd.nextBoolean()) FreqSketch.deserialize(sk.serialize()) else sk
+      }
+      val merged = rnd.shuffle(sketches).reduce(_ merge _)
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      assert(merged.totalSeen == n, s"trial $trial: total")
+      assert(merged.size <= k, s"trial $trial: size")
+      val present = merged.topK(k).map(_._1).toSet
+      merged.topK(k).foreach { case (t, est, err) =>
+        val truth = exact(t)
+        assert(est >= truth && truth >= est - err,
+          s"trial $trial k=$k: $t est=$est err=$err true=$truth")
+      }
+      // presence guarantee + absent-term bound
+      exact.foreach { case (t, truth) =>
+        if (truth > n / (k + 1))
+          assert(present.contains(t), s"trial $trial k=$k: hitter $t evicted")
+        if (!present.contains(t))
+          assert(truth <= merged.offset,
+            s"trial $trial k=$k: absent $t true=$truth > offset=${merged.offset}")
+      }
+    }
+  }
+
   test("sketch serialize/deserialize round-trips and keeps accepting updates") {
     val sk = FreqSketch.empty(4)
     Seq("a", "a", "b", "c", "d", "e").foreach(sk.update)

@@ -87,6 +87,19 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(b == Set(1L), b.toString)
   }
 
+  test("rangeJoin handles negative values (floor-division bucketing)") {
+    val points = Seq((1L, -15L), (2L, -8L), (3L, 0L), (4L, -20L)).toDF("pid", "p")
+    val intervals = Seq((1L, -20L, -10L), (2L, -10L, 5L), (3L, -3L, -1L))
+      .toDF("iid", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = key(TemporalJoins.rangeJoin(points, "p", intervals, "lo", "hi", 8))
+    val naive = key(points.join(intervals,
+      col("p") >= col("lo") && col("p") < col("hi")))
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(naive == Set((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
   test("rangeJoin plan: hash equi-join on the bucket, not BroadcastNestedLoopJoin") {
     val points = Seq((1L, 10L)).toDF("pid", "p")
     val intervals = Seq((1L, 5L, 15L)).toDF("iid", "lo", "hi")
