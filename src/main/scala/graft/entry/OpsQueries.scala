@@ -680,6 +680,37 @@ object OpsQueries {
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
 
+    // C4-style line-level dedup: a shared banner line (planted in every
+    // doc) and an every-other-doc footer line must be stripped from all
+    // docs while each doc's own lines survive in order; the oracle
+    // re-derives hot lines and the rebuild relationally
+    Q("q_dedup_lines",
+      (s, d) => {
+        val t2 = concat(substring(col("text"), 1, 40),
+          lit("\nSHARED COOKIE BANNER\n"), substring(col("text"), 41, 1000000),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("\nEVEN FOOTER"))
+            .otherwise(lit("")))
+        Dedup.dedupLines(
+          T(s, d, "documents").select(col("doc_id"), t2.as("text")),
+          "doc_id", "text", minDocs = 3)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  substr(text, 1, 40) || chr(10) || 'SHARED COOKIE BANNER' ||
+                  chr(10) || substr(text, 41) ||
+                  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'EVEN FOOTER'
+                       ELSE '' END AS text
+                FROM documents),
+              ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+              lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
+                        FROM ls, unnest(range(0, len(ls))) AS u(i)),
+              hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+                      GROUP BY line HAVING count(*) >= 3)
+              SELECT doc_id,
+                coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE line NOT IN (SELECT line FROM hot)), '') AS text
+              FROM lines GROUP BY doc_id""")),
+
     // TF-IDF over a 100-doc sub-corpus: per-doc tf agg joined to the
     // broadcast document-frequency table, corpus size attached in-plan;
     // the oracle re-derives tf/df/N relationally with the identical

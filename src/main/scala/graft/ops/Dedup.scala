@@ -436,6 +436,42 @@ object Dedup {
     } else joined
   }
 
+  /** C4-style line-level dedup: every line whose exact text occurs in at
+    * least `minDocs` DISTINCT documents (site boilerplate — navigation,
+    * cookie banners, license footers) is removed from every document;
+    * line order is preserved and documents are never dropped (a doc whose
+    * every line is boilerplate becomes the empty string — the caller's
+    * quality filter handles it from there).
+    *
+    * Scale shape: the boilerplate line set is SMALL by construction
+    * (only lines repeated across ≥ minDocs docs) — it is aggregated from
+    * the exploded (doc, line) frame with partial combine, then BROADCAST
+    * back, so the only full shuffle is the per-doc rebuild groupBy. The
+    * boilerplate membership join is conditional (left + null check), not
+    * an anti-join, precisely so all-boilerplate docs keep their group.
+    * For corpora where even the repeated-line set is too large to
+    * broadcast, pass `broadcastHot = false`. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int = 3, sep: String = "\n",
+                 broadcastHot: Boolean = true): DataFrame = {
+    // NULL text → "" so posexplode keeps the document's group
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val hot0 = lines.select("id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select(col("line"), lit(true).as("_hot"))
+    val hot = if (broadcastHot) broadcast(hot0) else hot0
+    lines.join(hot, Seq("line"), "left")
+      .groupBy("id")
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(when(col("_hot").isNull,
+          struct(col("pos"), col("line"))))),
+        s => s.getField("line"))).as("text"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least `minMatches`
     * DISTINCT word n-grams with the benchmark set (the published
     * eval-overlap filter for training corpora — n-gram collision against

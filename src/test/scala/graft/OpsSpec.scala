@@ -708,6 +708,30 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("dedupLines strips corpus-wide boilerplate, keeps order, never drops docs") {
+    val corpus = Seq(
+      (1L, "unique one\nBOILER\nunique two"),
+      (2L, "BOILER\nown line"),
+      (3L, "third doc\nBOILER"),
+      (4L, "BOILER"), // all-boilerplate: must survive as empty text
+      (5L, "no boiler here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unique one\nunique two",
+      2L -> "own line",
+      3L -> "third doc",
+      4L -> "",
+      5L -> "no boiler here"), out.toString)
+  }
+
+  test("dedupLines plan: hot-line set broadcast back, no corpus anti-join shuffle") {
+    val plan = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tfidf: hand-computed scores, rare terms outweigh common ones") {
     val corpus = Seq(
       (1L, "apple banana apple"),
