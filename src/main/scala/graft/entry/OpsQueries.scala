@@ -680,6 +680,32 @@ object OpsQueries {
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
 
+    // training-data mixing: 2:1:1 target over three sources at the
+    // largest feasible total (the weight-2 source is fully kept, the
+    // others hash-downsample); the oracle recomputes counts → feasible
+    // total → fractions → truncated hash cuts with identical arithmetic
+    Q("q_mix_sources",
+      (s, d) => Sampling.mixSources(
+        T(s, d, "documents"),
+        key = concat(col("doc_id").cast("string"), lit("#"), col("source")),
+        sourceCol = "source",
+        weights = Map("src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        hash = TextAnalysis.fingerprint(_))._1
+        .select("doc_id", "source"),
+      Some(s"""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+                          WHERE source IN ('src1','src2','src3') GROUP BY 1),
+               t AS (SELECT min(n / (CASE source WHEN 'src1' THEN 2.0/4.0
+                                     WHEN 'src2' THEN 1.0/4.0
+                                     ELSE 1.0/4.0 END)) AS total FROM c),
+               f AS (SELECT source,
+                       trunc(least(1.0, ((CASE source WHEN 'src1' THEN 2.0/4.0
+                                          WHEN 'src2' THEN 1.0/4.0
+                                          ELSE 1.0/4.0 END) * total) / n)
+                             * 1000000)::BIGINT AS cut
+                     FROM c, t)
+               SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
+               WHERE (${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")} % 1000000) < f.cut""")),
+
     // C4-style line-level dedup: a shared banner line (planted in every
     // doc) and an every-other-doc footer line must be stripped from all
     // docs while each doc's own lines survive in order; the oracle

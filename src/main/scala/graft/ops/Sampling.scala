@@ -42,4 +42,36 @@ object Sampling {
     }
     df.where(pmod(hash(key), lit(Denom)) < cut)
   }
+
+  /** Training-data mixing: sample the corpus so source proportions match
+    * `weights` (need not sum to 1 — they are normalized), at the LARGEST
+    * total the data can support: T = min over sources of count_s/share_s,
+    * so exactly one source is fully kept and the rest downsample to it.
+    * Sources absent from `weights` are dropped (weight 0).
+    *
+    * Per-source counts are one small driver-side aggregation (rows =
+    * source cardinality); membership is then the same pure hash function
+    * as [[hashSampleByStrata]] — reproducible across runs, partitionings,
+    * and engines. Returns (sampled df, fractions used). Hash-mod sampling
+    * hits the target share within the hash's uniformity (±O(1/√n) per
+    * source), which is what a mixture needs — exact row quotas would
+    * require a global per-source ordering (a sort) for no curation
+    * benefit. */
+  def mixSources(df: DataFrame, key: Column, sourceCol: String,
+                 weights: Map[String, Double],
+                 hash: Column => Column = xxhash64(_)): (DataFrame, Map[String, Double]) = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wsum = weights.values.sum
+    val counts = df.where(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weights.keySet.subsetOf(counts.keySet),
+      s"sources with zero rows: ${weights.keySet -- counts.keySet}")
+    val total = weights.map { case (s, w) => counts(s) / (w / wsum) }.min
+    val fractions = weights.map { case (s, w) =>
+      s -> math.min(1.0, (w / wsum) * total / counts(s)) }
+    (hashSampleByStrata(df, key, col(sourceCol), fractions,
+      defaultFraction = 0.0, hash), fractions)
+  }
 }

@@ -708,6 +708,28 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("mixSources: largest feasible total, proportions near target, reproducible") {
+    // 1000 rows of a, 300 of b, 4000 of c; target 1:1:2
+    val corpus = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (1000 until 1300).map(i => (i.toLong, "b")) ++
+      (1300 until 5300).map(i => (i.toLong, "c"))).toDF("id", "src")
+    val (out, fr) = Sampling.mixSources(corpus, col("id").cast("string"), "src",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+    // b is the binding source: T = 300/0.25 = 1200 -> a 300/1000, b 1.0, c 600/4000
+    assert(fr("b") == 1.0 && math.abs(fr("a") - 0.3) < 1e-12 &&
+      math.abs(fr("c") - 0.15) < 1e-12, fr.toString)
+    val got = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("b") == 300L)
+    // hash-uniformity tolerance: ±10% of the per-source quota
+    assert(math.abs(got("a") - 300L) < 30 && math.abs(got("c") - 600L) < 60, got.toString)
+    // reproducible: second run selects the identical rows
+    val again = Sampling.mixSources(corpus, col("id").cast("string"), "src",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))._1
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("dedupLines strips corpus-wide boilerplate, keeps order, never drops docs") {
     val corpus = Seq(
       (1L, "unique one\nBOILER\nunique two"),
