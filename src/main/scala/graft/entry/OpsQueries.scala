@@ -680,6 +680,24 @@ object OpsQueries {
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
 
+    // reproducible 8:1:1 train/val/test assignment by disjoint hash
+    // ranges; the oracle recomputes the cumulative truncated cut points
+    // with identical double arithmetic
+    Q("q_assign_splits",
+      (s, d) => Sampling.assignSplits(
+        T(s, d, "documents"),
+        key = concat(col("doc_id").cast("string"), lit("#"), col("source")),
+        splits = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0),
+        hash = TextAnalysis.fingerprint(_))
+        .select("doc_id", "split"),
+      Some(s"""SELECT doc_id,
+                 CASE WHEN h < trunc((8.0/10.0) * 1000000)::BIGINT THEN 'train'
+                      WHEN h < trunc((8.0/10.0 + 1.0/10.0) * 1000000)::BIGINT THEN 'val'
+                      ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                       (${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")} % 1000000) AS h
+                     FROM documents)""")),
+
     // training-data mixing: 2:1:1 target over three sources at the
     // largest feasible total (the weight-2 source is fully kept, the
     // others hash-downsample); the oracle recomputes counts → feasible

@@ -74,4 +74,26 @@ object Sampling {
     (hashSampleByStrata(df, key, col(sourceCol), fractions,
       defaultFraction = 0.0, hash), fractions)
   }
+
+  /** Reproducible train/val/test assignment: each row gets the split
+    * whose DISJOINT hash range its key falls in (ranges partition
+    * [0, 1e6) in the given order, remainders to the last split), so the
+    * splits are exhaustive, non-overlapping, stable across runs and
+    * engines, and joinable — the same doc lands in the same split
+    * everywhere. Adds a `split` column; weights are normalized. */
+  def assignSplits(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val wsum = splits.map(_._2).sum
+    // cumulative upper bounds; the last is pinned to the full range so
+    // truncation never leaves an unassigned remainder
+    val uppers = splits.map(_._2 / wsum).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * Denom).toLong).dropRight(1) :+ Denom
+    val h = pmod(hash(key), lit(Denom))
+    val expr = splits.map(_._1).zip(uppers).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, up)) =>
+        when(h < up, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
 }

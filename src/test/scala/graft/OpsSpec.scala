@@ -708,6 +708,23 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("assignSplits: exhaustive, disjoint, near-target, stable") {
+    val corpus = (0 until 10000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val out = Sampling.assignSplits(corpus, col("k"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit.values.sum == 10000L) // exhaustive: no row unassigned
+    assert(math.abs(bySplit("train") - 8000L) < 200, bySplit.toString)
+    assert(math.abs(bySplit("val") - 1000L) < 100, bySplit.toString)
+    // stable: same assignment on re-run
+    val again = Sampling.assignSplits(corpus, col("k"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+      again.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
+  }
+
   test("mixSources: largest feasible total, proportions near target, reproducible") {
     // 1000 rows of a, 300 of b, 4000 of c; target 1:1:2
     val corpus = ((0 until 1000).map(i => (i.toLong, "a")) ++
