@@ -680,6 +680,92 @@ object OpsQueries {
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
 
+    // the full curation composition, end to end: planted boilerplate
+    // lines + PII + duplicate texts run through line dedup → redaction →
+    // quality floor → exact dedup → split assignment, and the oracle
+    // chains the (individually proven) relational restatements of every
+    // stage into one derivation
+    Q("q_curate", {
+      (s, d) => {
+        val id = col("doc_id")
+        val suffix = when(pmod(id, lit(3)) === 0,
+            concat(lit(" reach u"), id, lit("@ex"), pmod(id, lit(7)),
+              lit(".com from 10."), pmod(id, lit(256)), lit(".0."), pmod(id, lit(100))))
+          .when(pmod(id, lit(3)) === 1,
+            concat(lit(" call 555-01"), pmod(id, lit(10)), lit("-"),
+              lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))
+        val t2 = concat(substring(col("text"), 1, 40),
+          lit("\nSHARED COOKIE BANNER\n"), substring(col("text"), 41, 1000000),
+          suffix,
+          when(pmod(id, lit(2)) === 0, lit("\nEVEN FOOTER")).otherwise(lit("")))
+        Curation.curate(
+          T(s, d, "documents").select(id, t2.as("text")), "doc_id", "text",
+          Curation.CurationConfig(
+            splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+            splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
+      }},
+      Some {
+        val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
+        s"""WITH t AS (
+              SELECT doc_id,
+                substr(text, 1, 40) || chr(10) || 'SHARED COOKIE BANNER' ||
+                chr(10) || substr(text, 41) ||
+                CASE WHEN doc_id % 3 = 0
+                       THEN ' reach u' || doc_id || '@ex' || (doc_id % 7) ||
+                            '.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                     WHEN doc_id % 3 = 1
+                       THEN ' call 555-01' || (doc_id % 10) || '-' ||
+                            lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END ||
+                CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'EVEN FOOTER'
+                     ELSE '' END AS text
+              FROM documents),
+            lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+            lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
+                      FROM lls, unnest(range(0, len(ls))) AS u(i)),
+            hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+                    GROUP BY line HAVING count(*) >= 3),
+            ld AS (SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE line NOT IN (SELECT line FROM hot)), '') AS text
+                   FROM lines GROUP BY doc_id),
+            red AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(text,
+                        '$email', '[EMAIL]', 'g'),
+                        '$phone', '[PHONE]', 'g'),
+                        '$ipv4', '[IPV4]', 'g') AS text
+                    FROM ld),
+            qm AS (SELECT doc_id, text, length(text) AS n, $duckWords AS w,
+                     length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS alpha_ratio
+                   FROM red),
+            qq AS (SELECT doc_id, text, n, alpha_ratio,
+                     CASE WHEN len(w) > 0
+                          THEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)
+                          ELSE 0.0 END AS mwl
+                   FROM qm),
+            q AS (SELECT doc_id, text, round(
+                    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                          WHEN n >= 20 AND n < 100 THEN 0.5 ELSE 0.0 END) * 0.4
+                    + alpha_ratio * 0.3
+                    + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.3,
+                    4) AS quality
+                  FROM qq),
+            qa AS (SELECT * FROM q WHERE quality >= 0.5),
+            keep AS (SELECT doc_id, text, quality FROM (
+                       SELECT *, row_number() OVER (PARTITION BY text
+                                                    ORDER BY doc_id) AS rn
+                       FROM qa) WHERE rn = 1)
+            SELECT doc_id, text, quality,
+              CASE WHEN h < trunc((98.0/100.0) * 1000000)::BIGINT THEN 'train'
+                   WHEN h < trunc((98.0/100.0 + 1.0/100.0) * 1000000)::BIGINT THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT *,
+                    (${duckFp("CAST(doc_id AS VARCHAR) || '#salt'")} % 1000000) AS h
+                  FROM keep)"""
+      }),
+
     // reproducible 8:1:1 train/val/test assignment by disjoint hash
     // ranges; the oracle recomputes the cumulative truncated cut points
     // with identical double arithmetic

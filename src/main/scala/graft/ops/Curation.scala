@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation: the standard web-corpus pipeline composed
+  * from this library's oracled operators, in the order production
+  * pipelines run them —
+  *
+  *  1. line-level boilerplate removal ([[Dedup.dedupLines]]),
+  *  2. PII redaction ([[TextAnalysis.piiRedact]]) — before quality
+  *     scoring so scores reflect the text that will be trained on,
+  *  3. quality floor ([[TextAnalysis.qualityScore]] ≥ `minQuality`),
+  *  4. exact dedup — one survivor (lowest id) per identical cleaned
+  *     text ([[Dedup.keepCanonical]] on the text fingerprint + text),
+  *  5. optional MinHash near-dedup ([[Dedup.dedupCorpus]]),
+  *  6. optional benchmark decontamination ([[Dedup.decontaminate]] —
+  *     flagged docs are DROPPED),
+  *  7. reproducible split assignment ([[Sampling.assignSplits]]).
+  *
+  * Output: (id, text, quality, split) with the cleaned text. Every stage
+  * is narrow or broadcast-joined except the line-dedup rebuild and the
+  * dedup aggregations (each one shuffle); nothing collects to the driver.
+  */
+object Curation {
+
+  final case class CurationConfig(
+    lineDedupMinDocs: Int = 3,
+    lineSep: String = "\n",
+    redactPii: Boolean = true,
+    minQuality: Double = 0.5,
+    nearDedup: Boolean = false,
+    nearDedupThreshold: Double = 0.8,
+    decontaminateAgainst: Option[(DataFrame, String)] = None,
+    decontaminateMinMatches: Int = 8,
+    splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+    splitHash: Column => Column = xxhash64(_))
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val deboiled = Dedup.dedupLines(df.select(col(idCol), col(textCol)),
+      idCol, textCol, cfg.lineDedupMinDocs, cfg.lineSep)
+    val redacted = deboiled.withColumn("text",
+      if (cfg.redactPii) TextAnalysis.piiRedact(col("text")) else col("text"))
+    val scored = redacted
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .where(col("quality") >= cfg.minQuality)
+    val exactDeduped = Dedup.keepCanonical(scored,
+      struct(TextAnalysis.fingerprint(col("text")), col("text")),
+      Seq(col(idCol)))
+    val nearDeduped =
+      if (cfg.nearDedup)
+        Dedup.dedupCorpus(exactDeduped, idCol, "text", cfg.nearDedupThreshold)
+      else exactDeduped
+    val decontaminated = cfg.decontaminateAgainst match {
+      case Some((bench, benchCol)) =>
+        val hits = Dedup.decontaminate(nearDeduped, idCol, "text",
+          bench, benchCol, minMatches = cfg.decontaminateMinMatches)
+        nearDeduped.join(broadcast(hits.select(col("id").as(idCol))),
+          Seq(idCol), "left_anti")
+      case None => nearDeduped
+    }
+    Sampling.assignSplits(decontaminated, col(idCol).cast("string"),
+      cfg.splits, cfg.splitHash)
+      .select(col(idCol), col("text"), col("quality"), col("split"))
+  }
+}

@@ -708,6 +708,26 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("curate: boilerplate stripped, PII redacted, low quality and dup texts dropped") {
+    val body = (1 to 60).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$body\nCOOKIE BANNER"),
+      (2L, s"$body other tail\nCOOKIE BANNER"),
+      (3L, s"contact a@b.co now $body\nCOOKIE BANNER"),
+      (4L, s"$body"),                    // duplicate of 1's cleaned text
+      (5L, "x@#!$ ~~ ??"))               // garbage: quality floor drops it
+      .toDF("doc_id", "text")
+    val out = Curation.curate(corpus, "doc_id", "text",
+      Curation.CurationConfig(lineDedupMinDocs = 3))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    // banner removed everywhere; doc 4 (== cleaned doc 1) deduped away;
+    // doc 5 below the quality floor; PII redacted in doc 3
+    assert(out.keySet == Set(1L, 2L, 3L), out.keySet.toString)
+    assert(out(1L)._1 == body)
+    assert(out(3L)._1.startsWith("contact [EMAIL] now"), out(3L)._1)
+    assert(out.values.forall(v => Set("train", "val", "test").contains(v._2)))
+  }
+
   test("assignSplits: exhaustive, disjoint, near-target, stable") {
     val corpus = (0 until 10000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
     val out = Sampling.assignSplits(corpus, col("k"),
