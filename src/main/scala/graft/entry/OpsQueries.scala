@@ -724,7 +724,8 @@ object OpsQueries {
             lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
             lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
                       FROM lls, unnest(range(0, len(ls))) AS u(i)),
-            hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+            hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines
+                                      WHERE trim(line) <> '')
                     GROUP BY line HAVING count(*) >= 3),
             ld AS (SELECT doc_id,
                      coalesce(string_agg(line, chr(10) ORDER BY pos)
@@ -798,15 +799,21 @@ object OpsQueries {
         .select("doc_id", "source"),
       Some(s"""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
                           WHERE source IN ('src1','src2','src3') GROUP BY 1),
-               t AS (SELECT min(n / (CASE source WHEN 'src1' THEN 2.0/4.0
-                                     WHEN 'src2' THEN 1.0/4.0
-                                     ELSE 1.0/4.0 END)) AS total FROM c),
+               b AS (SELECT source AS bsrc,
+                       n / (CASE source WHEN 'src1' THEN 2.0/4.0
+                            WHEN 'src2' THEN 1.0/4.0 ELSE 1.0/4.0 END) AS total
+                     FROM c
+                     ORDER BY n / (CASE source WHEN 'src1' THEN 2.0/4.0
+                                   WHEN 'src2' THEN 1.0/4.0 ELSE 1.0/4.0 END), source
+                     LIMIT 1),
                f AS (SELECT source,
-                       trunc(least(1.0, ((CASE source WHEN 'src1' THEN 2.0/4.0
-                                          WHEN 'src2' THEN 1.0/4.0
-                                          ELSE 1.0/4.0 END) * total) / n)
-                             * 1000000)::BIGINT AS cut
-                     FROM c, t)
+                       CASE WHEN source = bsrc THEN 1000000
+                            ELSE trunc(least(1.0,
+                              ((CASE source WHEN 'src1' THEN 2.0/4.0
+                                WHEN 'src2' THEN 1.0/4.0
+                                ELSE 1.0/4.0 END) * total) / n) * 1000000)::BIGINT
+                       END AS cut
+                     FROM c, b)
                SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
                WHERE (${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")} % 1000000) < f.cut""")),
 
@@ -834,7 +841,8 @@ object OpsQueries {
               ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
               lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
                         FROM ls, unnest(range(0, len(ls))) AS u(i)),
-              hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+              hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines
+                                        WHERE trim(line) <> '')
                       GROUP BY line HAVING count(*) >= 3)
               SELECT doc_id,
                 coalesce(string_agg(line, chr(10) ORDER BY pos)

@@ -45,9 +45,10 @@ object Curation {
     val scored = redacted
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .where(col("quality") >= cfg.minQuality)
-    val exactDeduped = Dedup.keepCanonical(scored,
-      struct(TextAnalysis.fingerprint(col("text")), col("text")),
-      Seq(col(idCol)))
+    // key on the text alone: the payload already carries it, and a
+    // fingerprint prefix adds no discriminating power over the text it
+    // accompanies — it only widens the dedup exchange
+    val exactDeduped = Dedup.keepCanonical(scored, col("text"), Seq(col(idCol)))
     val nearDeduped =
       if (cfg.nearDedup)
         Dedup.dedupCorpus(exactDeduped, idCol, "text", cfg.nearDedupThreshold)

@@ -441,24 +441,31 @@ object Dedup {
     * cookie banners, license footers) is removed from every document;
     * line order is preserved and documents are never dropped (a doc whose
     * every line is boilerplate becomes the empty string — the caller's
-    * quality filter handles it from there).
+    * quality filter handles it from there). Whitespace-only lines are
+    * structure, not boilerplate: they never enter the hot set, so
+    * paragraph breaks survive (a blank line occurs in virtually every
+    * document and would otherwise be stripped corpus-wide).
     *
-    * Scale shape: the boilerplate line set is SMALL by construction
-    * (only lines repeated across ≥ minDocs docs) — it is aggregated from
-    * the exploded (doc, line) frame with partial combine, then BROADCAST
-    * back, so the only full shuffle is the per-doc rebuild groupBy. The
-    * boilerplate membership join is conditional (left + null check), not
-    * an anti-join, precisely so all-boilerplate docs keep their group.
-    * For corpora where even the repeated-line set is too large to
-    * broadcast, pass `broadcastHot = false`. */
+    * Scale shape: the exploded (doc, line) frame is exchanged twice to
+    * derive the hot set (per-doc distinct, then the per-line doc count —
+    * both with partial combine) and once more for the per-doc rebuild;
+    * the hot SET itself is small by construction and is BROADCAST back,
+    * so corpus lines never shuffle for the membership test. The
+    * membership join is conditional (left + null check), not an
+    * anti-join, precisely so all-boilerplate docs keep their group. For
+    * corpora where even the repeated-line set is too large to broadcast,
+    * pass `broadcastHot = false`. Returns (idCol, textCol) only. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  minDocs: Int = 3, sep: String = "\n",
                  broadcastHot: Boolean = true): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs ($minDocs) < 2 would mark every line hot and blank the corpus")
     // NULL text → "" so posexplode keeps the document's group
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
-    val hot0 = lines.select("id", "line").distinct()
+    val hot0 = lines.where(trim(col("line")) =!= "")
+      .select("id", "line").distinct()
       .groupBy("line").agg(count(lit(1)).as("_docs"))
       .where(col("_docs") >= minDocs)
       .select(col("line"), lit(true).as("_hot"))
@@ -468,7 +475,7 @@ object Dedup {
       .agg(concat_ws(sep, transform(
         array_sort(collect_list(when(col("_hot").isNull,
           struct(col("pos"), col("line"))))),
-        s => s.getField("line"))).as("text"))
+        s => s.getField("line"))).as(textCol))
       .withColumnRenamed("id", idCol)
   }
 

@@ -68,9 +68,15 @@ object Sampling {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(weights.keySet.subsetOf(counts.keySet),
       s"sources with zero rows: ${weights.keySet -- counts.keySet}")
-    val total = weights.map { case (s, w) => counts(s) / (w / wsum) }.min
+    // the binding source (smallest feasible total, ties by name) is
+    // pinned to fraction 1.0 EXACTLY — the divide-then-multiply float
+    // round-trip can land a hair below 1.0 and silently drop rows from
+    // the source the contract says is fully kept
+    val binding = weights.keys.minBy(s => (counts(s) / (weights(s) / wsum), s))
+    val total = counts(binding) / (weights(binding) / wsum)
     val fractions = weights.map { case (s, w) =>
-      s -> math.min(1.0, (w / wsum) * total / counts(s)) }
+      s -> (if (s == binding) 1.0
+            else math.min(1.0, (w / wsum) * total / counts(s))) }
     (hashSampleByStrata(df, key, col(sourceCol), fractions,
       defaultFraction = 0.0, hash), fractions)
   }
@@ -80,7 +86,10 @@ object Sampling {
     * [0, 1e6) in the given order, remainders to the last split), so the
     * splits are exhaustive, non-overlapping, stable across runs and
     * engines, and joinable — the same doc lands in the same split
-    * everywhere. Adds a `split` column; weights are normalized. */
+    * everywhere. Adds a `split` column; weights are normalized. Rows
+    * whose key hashes to NULL (null key with a null-propagating hash)
+    * are assigned the FIRST split — exhaustiveness holds, and broken
+    * upstream keys contaminate train, never the eval splits. */
   def assignSplits(df: DataFrame, key: Column, splits: Seq[(String, Double)],
                    hash: Column => Column = xxhash64(_)): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
@@ -89,11 +98,17 @@ object Sampling {
     // truncation never leaves an unassigned remainder
     val uppers = splits.map(_._2 / wsum).scanLeft(0.0)(_ + _).tail
       .map(c => (c * Denom).toLong).dropRight(1) :+ Denom
-    val h = pmod(hash(key), lit(Denom))
+    require(uppers == uppers.distinct.sorted,
+      s"split ranges must be strictly increasing at 1e-6 granularity " +
+        s"(got cut points $uppers) — a weight truncated to zero width")
+    // bind the hash ONCE in its own projection: the fold references it
+    // per branch, and kernel hashes (CodegenFallback) get no CSE
     val expr = splits.map(_._1).zip(uppers).reverse
       .foldLeft(lit(null).cast("string")) { case (acc, (name, up)) =>
-        when(h < up, lit(name)).otherwise(acc)
+        when(col("_h") < up, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", expr)
+    df.withColumn("_h", pmod(hash(key), lit(Denom)))
+      .withColumn("split", coalesce(expr, lit(splits.head._1)))
+      .drop("_h")
   }
 }
