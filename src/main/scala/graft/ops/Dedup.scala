@@ -266,6 +266,46 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Cross-corpus near-dup pairs: each NEW document against an existing
+    * REFERENCE corpus (the incremental-ingestion shape — a day's crawl is
+    * deduped against the index, not the whole corpus against itself).
+    * Output: (new_id, ref_id, jaccard) with jaccard >= threshold.
+    *
+    * Same de-payloaded discipline as [[minhashDuplicates]]: both sides
+    * band to (id, band, bucket); the band join is new×ref (no self-join,
+    * no id ordering); candidate id pairs dedup while narrow; shingles
+    * re-join by id for the exact verification. The hot-bucket cap
+    * applies to BOTH sides' bucket populations. At scale the reference
+    * side's banded frame is the thing to precompute and persist — it is
+    * a pure function of the reference corpus. */
+  def crossCorpusDuplicates(newDf: DataFrame, refDf: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double, shingleN: Int = 3,
+                            bands: Int = 16, rowsPerBand: Int = 4,
+                            seed: Long = 42L,
+                            shingleId: Column => Column = xxhashShingleId,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def banded(df: DataFrame) = capBuckets(
+      bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId),
+      Seq("band", "bucket"), maxBucket)
+    val pairs = banded(newDf).select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(banded(refDf).select(col("band"), col("bucket"), col("id").as("ref_id")),
+        Seq("band", "bucket"))
+      .select("new_id", "ref_id")
+      .dropDuplicates("new_id", "ref_id")
+    val shN = newDf.select(col(idCol).as("new_id"),
+      shingles(col(textCol), shingleN).as("sh_a"))
+    val shR = refDf.select(col(idCol).as("ref_id"),
+      shingles(col(textCol), shingleN).as("sh_b"))
+    pairs.join(shN, Seq("new_id")).join(shR, Seq("ref_id"))
+      .withColumn("jaccard", Rounding.roundAt(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))), 6))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** Connected components over an undirected duplicate-pair list
     * (id_a, id_b) → (id, group_id), group_id = the minimum id reachable —
     * the canonical cluster key for pair-based dedup (feed to

@@ -708,6 +708,16 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("crossCorpusDuplicates: each clone pairs with its base, nothing else") {
+    val newBatch = docs.where(col("doc_id") >= 100) // the 20 clones
+    val ref = docs.where(col("doc_id") < 100)       // the originals
+    val got = Dedup.crossCorpusDuplicates(newBatch, ref, "doc_id", "text",
+      threshold = 0.4, shingleN = 2, bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 20).map(i => ((i + 100).toLong, i.toLong)).toSet,
+      got.toString)
+  }
+
   test("curate: boilerplate stripped, PII redacted, low quality and dup texts dropped") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ")
     val corpus = Seq(
