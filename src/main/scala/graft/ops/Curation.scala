@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * Output: (id, text, quality, split) with the cleaned text. Every stage
   * is narrow or broadcast-joined except the line-dedup rebuild and the
   * dedup aggregations (each one shuffle); nothing collects to the driver.
+  *
+  * Resume story: several stages are corpus-GLOBAL (hot lines, duplicate
+  * groups), so partition-granular checkpointing à la
+  * [[graft.pipeline.ValidationPipeline]] cannot apply — instead every
+  * decision here is a PURE function of the input bytes (hash membership,
+  * exact counts, min-id survivors; no rand(), no timestamps), so a
+  * restarted run recomputes the identical output and an atomic
+  * write-then-commit of the final result is all the durability needed.
   */
 object Curation {
 
