@@ -680,6 +680,27 @@ object OpsQueries {
               FROM v, med, mad
               WHERE abs((value - m) / (md * 1.4826)) > 3.5""")),
 
+    // Unicode NFC normalization: decomposed combining sequences are
+    // planted on every row (e + U+0301, o + U+0308) and must compose to
+    // the identical bytes in both engines (the Unicode standard fixes
+    // the answer; DuckDB's independent nfc_normalize is the oracle)
+    Q("q_normalize",
+      (s, d) => {
+        val t2 = concat(col("text"), lit(" cafe\u0301 o\u0308k"))
+        T(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.normalizeText(t2).as("text_norm"),
+          length(t2).cast("long").as("len_raw"),
+          length(TextAnalysis.normalizeText(t2)).cast("long").as("len_norm"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                  text || ' cafe' || chr(769) || ' o' || chr(776) || 'k' AS t2
+                FROM documents)
+              SELECT doc_id,
+                trim(regexp_replace(nfc_normalize(t2), '\\s+', ' ', 'g')) AS text_norm,
+                length(t2)::BIGINT AS len_raw,
+                length(trim(regexp_replace(nfc_normalize(t2), '\\s+', ' ', 'g')))::BIGINT AS len_norm
+              FROM t""")),
+
     // cross-corpus (incremental-ingestion) dedup: docs 100-299 as the new
     // batch against docs <100 as the reference index, exact DuckDB oracle
     // via the portable hash family (same restatement as q_dedup_minhash_lsh

@@ -172,6 +172,21 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Unicode NFC canonical composition ([[graft.compile.NormalizeNfc]]):
+    * decomposed sequences (e + combining acute) become their composed
+    * forms, so visually-identical strings hash/dedupe identically —
+    * run it BEFORE fingerprints, shingles, or exact dedup on corpora
+    * with mixed encoders. ASCII rows pass through untouched. */
+  def normalizeNfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.NormalizeNfc(ColumnBridge.expression(text)))
+  }
+
+  /** Full text normalization: NFC + whitespace runs collapsed to single
+    * spaces + trimmed — the canonical pre-tokenization cleanup. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(normalizeNfc(text), "\\s+", " "))
+
   /** Global top-k vocabulary: (term, occurrences), the k most frequent
     * words, ties broken by term so the cut is total and reproducible.
     * Scale shape: partial (map-side) count aggregation, then Spark plans

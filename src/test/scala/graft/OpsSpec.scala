@@ -708,6 +708,26 @@ class OpsSpec extends SparkSpec {
       s"expected a broadcast join for the benchmark grams:\n$plan")
   }
 
+  test("normalizeNfc: composes decomposed sequences, ASCII passthrough, idempotent") {
+    val rows = Seq(
+      (1L, "cafe\u0301"),        // e + combining acute -> é
+      (2L, "caf\u00e9"),         // already composed
+      (3L, "plain ascii"),
+      (4L, "ö  and \t tabs"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.normalizeNfc(col("t")).as("nfc"),
+        TextAnalysis.normalizeText(col("t")).as("full"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows(1L)._1 == "caf\u00e9" && rows(1L)._1 == rows(2L)._1)
+    assert(rows(3L)._1 == "plain ascii")
+    assert(rows(4L)._1 == "ö  and \t tabs")
+    assert(rows(4L)._2 == "\u00f6 and tabs") // whitespace collapsed + trimmed
+    // idempotent: normalizing the normalized form is the identity
+    val again = Seq(rows(1L)._1).toDF("t")
+      .select(TextAnalysis.normalizeNfc(col("t"))).head().getString(0)
+    assert(again == rows(1L)._1)
+  }
+
   test("crossCorpusDuplicates: each clone pairs with its base, nothing else") {
     val newBatch = docs.where(col("doc_id") >= 100) // the 20 clones
     val ref = docs.where(col("doc_id") < 100)       // the originals
