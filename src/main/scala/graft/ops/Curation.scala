@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * from this library's oracled operators, in the order production
   * pipelines run them —
   *
+  *  0. Unicode NFC normalization ([[TextAnalysis.normalizeNfc]]) —
+  *     composes mixed-encoder variants so every later hash/shingle/
+  *     equality sees canonical bytes (line structure untouched),
   *  1. line-level boilerplate removal ([[Dedup.dedupLines]]),
   *  2. PII redaction ([[TextAnalysis.piiRedact]]) — before quality
   *     scoring so scores reflect the text that will be trained on,
   *  3. quality floor ([[TextAnalysis.qualityScore]] ≥ `minQuality`),
   *  4. exact dedup — one survivor (lowest id) per identical cleaned
-  *     text ([[Dedup.keepCanonical]] on the text fingerprint + text),
+  *     text ([[Dedup.keepCanonical]] keyed on the text),
   *  5. optional MinHash near-dedup ([[Dedup.dedupCorpus]]),
   *  6. optional benchmark decontamination ([[Dedup.decontaminate]] —
   *     flagged docs are DROPPED),
@@ -41,13 +44,17 @@ object Curation {
     nearDedupThreshold: Double = 0.8,
     decontaminateAgainst: Option[(DataFrame, String)] = None,
     decontaminateMinMatches: Int = 8,
+    nfcNormalize: Boolean = true,
     splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
     splitHash: Column => Column = xxhash64(_))
 
   def curate(df: DataFrame, idCol: String, textCol: String,
              cfg: CurationConfig = CurationConfig()): DataFrame = {
-    val deboiled = Dedup.dedupLines(df.select(col(idCol), col(textCol)),
-      idCol, textCol, cfg.lineDedupMinDocs, cfg.lineSep)
+    val canonical = df.select(col(idCol),
+      (if (cfg.nfcNormalize) TextAnalysis.normalizeNfc(col(textCol))
+       else col(textCol)).as(textCol))
+    val deboiled = Dedup.dedupLines(canonical, idCol, textCol,
+      cfg.lineDedupMinDocs, cfg.lineSep)
     val redacted = deboiled.withColumn("text",
       if (cfg.redactPii) TextAnalysis.piiRedact(col("text")) else col("text"))
     val scored = redacted
