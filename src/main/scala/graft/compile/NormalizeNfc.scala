@@ -28,10 +28,12 @@ final case class NormalizeNfc(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val bytes = s.getBytes
+    // zero-copy ASCII probe: getBytes would clone the backing bytes for
+    // off-heap/UnsafeRow-backed strings on every row
+    val n = s.numBytes()
     var ascii = true
     var i = 0
-    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
     if (ascii) s
     else {
       val str = s.toString

@@ -686,19 +686,21 @@ object OpsQueries {
     // the answer; DuckDB's independent nfc_normalize is the oracle)
     Q("q_normalize",
       (s, d) => {
-        val t2 = concat(col("text"), lit(" cafe\u0301 o\u0308k"))
-        T(s, d, "documents").select(col("doc_id"),
-          TextAnalysis.normalizeText(t2).as("text_norm"),
-          length(t2).cast("long").as("len_raw"),
-          length(TextAnalysis.normalizeText(t2)).cast("long").as("len_norm"))
+        val t2 = concat(col("text"), lit(" cafe\u0301 \t  o\u0308k"))
+        T(s, d, "documents")
+          .select(col("doc_id"), t2.as("_t2"),
+            TextAnalysis.normalizeText(t2).as("text_norm"))
+          .select(col("doc_id"), col("text_norm"),
+            length(col("_t2")).cast("long").as("len_raw"),
+            length(col("text_norm")).cast("long").as("len_norm"))
       },
       Some("""WITH t AS (SELECT doc_id,
-                  text || ' cafe' || chr(769) || ' o' || chr(776) || 'k' AS t2
+                  text || ' cafe' || chr(769) || ' ' || chr(9) || '  o' || chr(776) || 'k' AS t2
                 FROM documents)
               SELECT doc_id,
-                trim(regexp_replace(nfc_normalize(t2), '\\s+', ' ', 'g')) AS text_norm,
+                trim(regexp_replace(nfc_normalize(t2), '\s+', ' ', 'g')) AS text_norm,
                 length(t2)::BIGINT AS len_raw,
-                length(trim(regexp_replace(nfc_normalize(t2), '\\s+', ' ', 'g')))::BIGINT AS len_norm
+                length(trim(regexp_replace(nfc_normalize(t2), '\s+', ' ', 'g')))::BIGINT AS len_norm
               FROM t""")),
 
     // cross-corpus (incremental-ingestion) dedup: docs 100-299 as the new

@@ -277,33 +277,48 @@ object Dedup {
     * re-join by id for the exact verification. The hot-bucket cap
     * applies to BOTH sides' bucket populations. At scale the reference
     * side's banded frame is the thing to precompute and persist — it is
-    * a pure function of the reference corpus. */
+    * a pure function of the reference corpus.
+    *
+    * `materializePairs = true` (default) persists both banded frames,
+    * eagerly materializes the (narrow) candidate pairs, and LOGS dropped
+    * hot buckets per side — the [[minhashDuplicates]] discipline, so the
+    * verify re-join sees a small sized relation and broadcasts instead
+    * of shuffling both corpora's shingle arrays. Pass false for a fully
+    * lazy, lineage-preserving plan (the caller owns caching). */
   def crossCorpusDuplicates(newDf: DataFrame, refDf: DataFrame,
                             idCol: String, textCol: String,
                             threshold: Double, shingleN: Int = 3,
                             bands: Int = 16, rowsPerBand: Int = 4,
                             seed: Long = 42L,
                             shingleId: Column => Column = xxhashShingleId,
+                            materializePairs: Boolean = true,
                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def banded(df: DataFrame) = capBuckets(
-      bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId),
-      Seq("band", "bucket"), maxBucket)
-    val pairs = banded(newDf).select(col("band"), col("bucket"), col("id").as("new_id"))
-      .join(banded(refDf).select(col("band"), col("bucket"), col("id").as("ref_id")),
-        Seq("band", "bucket"))
-      .select("new_id", "ref_id")
-      .dropDuplicates("new_id", "ref_id")
-    val shN = newDf.select(col(idCol).as("new_id"),
+    def banded(df: DataFrame) =
+      bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId)
+    def pairsOf(bn: DataFrame, br: DataFrame) =
+      capBuckets(bn, Seq("band", "bucket"), maxBucket)
+        .select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(capBuckets(br, Seq("band", "bucket"), maxBucket)
+          .select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+    val pairs = if (materializePairs) {
+      val bn = banded(newDf).persist(); val br = banded(refDf).persist()
+      val p = pairsOf(bn, br).localCheckpoint(true)
+      logDroppedBuckets("crossCorpusDuplicates(new)", bn, Seq("band", "bucket"), maxBucket)
+      logDroppedBuckets("crossCorpusDuplicates(ref)", br, Seq("band", "bucket"), maxBucket)
+      bn.unpersist(false); br.unpersist(false)
+      p
+    } else pairsOf(banded(newDf), banded(refDf))
+    // shared verification path (oracle-proven arithmetic lives in ONE place)
+    val shN = newDf.select(col(idCol).as("id_a"),
       shingles(col(textCol), shingleN).as("sh_a"))
-    val shR = refDf.select(col(idCol).as("ref_id"),
+    val shR = refDf.select(col(idCol).as("id_b"),
       shingles(col(textCol), shingleN).as("sh_b"))
-    pairs.join(shN, Seq("new_id")).join(shR, Seq("ref_id"))
-      .withColumn("jaccard", Rounding.roundAt(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))), 6))
-      .where(col("jaccard") >= threshold)
-      .select("new_id", "ref_id", "jaccard")
+    verifyJaccard(pairs.join(shN, Seq("id_a")).join(shR, Seq("id_b")), threshold)
+      .withColumnRenamed("id_a", "new_id")
+      .withColumnRenamed("id_b", "ref_id")
   }
 
   /** Connected components over an undirected duplicate-pair list
