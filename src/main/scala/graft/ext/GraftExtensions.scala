@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   *  - `freq_sketch(col[, capacity])`    → binary (space-saving heavy hitters)
   *  - `freq_topk(sketch, n)`            → array<struct<term,estimate,max_error>>
   *  - `freq_chi2(a, b)`                 → double, restricted chi² drift
+  *  - `graft_nfc(str)`                  → string, Unicode NFC composition
   *  - `array_bounds(arr, lo, hi)`       → boolean, the fused single-pass
   *    bounds check (inclusive; NULL elements skipped)
   */
@@ -130,6 +131,13 @@ object GraftFunctions {
         case Seq(a, b) => graft.sketch.FreqChi2(a, b)
         case _ => throw new IllegalArgumentException(
           "freq_chi2 expects (sketch_a, sketch_b)")
+      }),
+
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(str) - Unicode NFC canonical composition (ASCII fast path)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.compile.NormalizeNfc(c)
+        case _ => throw new IllegalArgumentException("graft_nfc expects (str)")
       }),
 
     (FunctionIdentifier("array_bounds"),

@@ -52,6 +52,9 @@ class ExtensionsSpec extends SparkSpec {
          (SELECT freq_sketch(term, 64) AS s FROM ext_terms)""")
       .head().getDouble(0)
     assert(chi == 0.0, chi.toString)
+    // NFC composition from SQL
+    val nfc = spark.sql("SELECT graft_nfc('cafe\u0301')").head().getString(0)
+    assert(nfc == "caf\u00e9", nfc)
   }
 
   test("FuseArrayBounds rule: forall(arr, bounds) → fused codegen, same 3-valued results") {
