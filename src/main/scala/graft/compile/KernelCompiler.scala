@@ -101,17 +101,33 @@ object KernelCompiler {
     * the per-call [[ErrBuf]]. Without this, CodegenFallback expressions
     * deserialized per task would recompile the kernel (including Pattern
     * compilation) once per task, and the driver would compile the same
-    * spec again for its support probe. Bounded: cleared when it outgrows
-    * the cap (distinct spec×type pairs per JVM are few; a clear only costs
-    * a recompile). */
+    * spec again for its support probe. Bounded: a true LRU (access-ordered
+    * LinkedHashMap evicting the eldest entry past the cap) — a clear-all
+    * policy under pathological spec churn would make every task thread
+    * recompile (including Pattern compilation) simultaneously. */
   private val cacheCap = 512
+  private type CacheKey = (String, DataType, KernelCfg)
   private val kernelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, DataType, KernelCfg), Option[Ev]]()
+    new java.util.LinkedHashMap[CacheKey, Option[Ev]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CacheKey, Option[Ev]]): Boolean =
+        size() > cacheCap
+    }
 
   def compileCached(specJson: String, dt: DataType, cfg: KernelCfg): Option[Ev] = {
-    if (kernelCache.size > cacheCap) kernelCache.clear()
-    kernelCache.computeIfAbsent((specJson, dt, cfg),
-      key => compile(Json.parse(key._1), key._2, key._3))
+    val key = (specJson, dt, cfg)
+    val hit = kernelCache.synchronized(kernelCache.get(key))
+    if (hit != null) hit
+    else {
+      // compile OUTSIDE the lock: a cold-start race compiles the same
+      // kernel at most once per racing thread, but never serializes every
+      // thread behind one Pattern compilation
+      val v = compile(Json.parse(specJson), dt, cfg)
+      kernelCache.synchronized {
+        val again = kernelCache.get(key)
+        if (again != null) again else { kernelCache.put(key, v); v }
+      }
+    }
   }
 
   def compileOrThrow(spec: JValue, dt: DataType, cfg: KernelCfg): Ev = {

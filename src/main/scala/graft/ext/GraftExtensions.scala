@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   *  - `kll_ks(a, b)`                    → double, two-sample KS distance
   *  - `freq_sketch(col[, capacity])`    → binary (space-saving heavy hitters)
   *  - `freq_topk(sketch, n)`            → array<struct<term,estimate,max_error>>
-  *  - `freq_chi2(a, b)`                 → double, restricted chi² drift
+  *  - `freq_chi2(observed, reference)`  → double, restricted chi² drift
+  *    (ORDER-SENSITIVE: cells come from the reference profile)
   *  - `graft_nfc(str)`                  → string, Unicode NFC composition
   *  - `array_bounds(arr, lo, hi)`       → boolean, the fused single-pass
   *    bounds check (inclusive; NULL elements skipped)
@@ -126,7 +127,7 @@ object GraftFunctions {
       }),
 
     (FunctionIdentifier("freq_chi2"),
-      info("freq_chi2", "freq_chi2(sketch_a, sketch_b) - restricted chi2 drift between frequency sketches"),
+      info("freq_chi2", "freq_chi2(observed, reference) - restricted chi2 drift of an observed frequency sketch against a reference profile (cells come from the reference; order matters)"),
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => graft.sketch.FreqChi2(a, b)
         case _ => throw new IllegalArgumentException(

@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   *  4. exact dedup — one survivor (lowest id) per identical cleaned
   *     text ([[Dedup.keepCanonical]] keyed on the text),
   *  5. optional MinHash near-dedup ([[Dedup.dedupCorpus]]),
-  *  6. optional benchmark decontamination ([[Dedup.decontaminate]] —
+  *  6. optional cross-corpus near-dedup against an already-ingested
+  *     reference corpus ([[Dedup.crossCorpusDuplicates]] — the
+  *     incremental-ingestion shape; docs near-duplicating the reference
+  *     are DROPPED),
+  *  7. optional benchmark decontamination ([[Dedup.decontaminate]] —
   *     flagged docs are DROPPED),
-  *  7. reproducible split assignment ([[Sampling.assignSplits]]).
+  *  8. reproducible split assignment ([[Sampling.assignSplits]]).
   *
-  * Output: (id, text, quality, split) with the cleaned text. Every stage
-  * is narrow or broadcast-joined except the line-dedup rebuild and the
-  * dedup aggregations (each one shuffle); nothing collects to the driver.
+  * Output: (idCol, textCol, quality, split) with the cleaned text. Every
+  * stage is narrow or broadcast-joined except the line-dedup rebuild and
+  * the dedup aggregations (each one shuffle); nothing collects to the
+  * driver.
   *
   * Resume story: several stages are corpus-GLOBAL (hot lines, duplicate
   * groups), so partition-granular checkpointing à la
@@ -42,6 +47,11 @@ object Curation {
     minQuality: Double = 0.5,
     nearDedup: Boolean = false,
     nearDedupThreshold: Double = 0.8,
+    /** Reference corpus for incremental cross-corpus near-dedup; must
+      * carry the same (idCol, textCol) columns as the input. Docs whose
+      * Jaccard vs ANY reference doc reaches [[nearDedupThreshold]] are
+      * dropped. */
+    dedupAgainst: Option[DataFrame] = None,
     decontaminateAgainst: Option[(DataFrame, String)] = None,
     decontaminateMinMatches: Int = 8,
     nfcNormalize: Boolean = true,
@@ -55,29 +65,38 @@ object Curation {
        else col(textCol)).as(textCol))
     val deboiled = Dedup.dedupLines(canonical, idCol, textCol,
       cfg.lineDedupMinDocs, cfg.lineSep)
-    val redacted = deboiled.withColumn("text",
-      if (cfg.redactPii) TextAnalysis.piiRedact(col("text")) else col("text"))
+    val redacted = deboiled.withColumn(textCol,
+      if (cfg.redactPii) TextAnalysis.piiRedact(col(textCol)) else col(textCol))
     val scored = redacted
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .where(col("quality") >= cfg.minQuality)
     // key on the text alone: the payload already carries it, and a
     // fingerprint prefix adds no discriminating power over the text it
     // accompanies — it only widens the dedup exchange
-    val exactDeduped = Dedup.keepCanonical(scored, col("text"), Seq(col(idCol)))
+    val exactDeduped = Dedup.keepCanonical(scored, col(textCol), Seq(col(idCol)))
     val nearDeduped =
       if (cfg.nearDedup)
-        Dedup.dedupCorpus(exactDeduped, idCol, "text", cfg.nearDedupThreshold)
+        Dedup.dedupCorpus(exactDeduped, idCol, textCol, cfg.nearDedupThreshold)
       else exactDeduped
-    val decontaminated = cfg.decontaminateAgainst match {
-      case Some((bench, benchCol)) =>
-        val hits = Dedup.decontaminate(nearDeduped, idCol, "text",
-          bench, benchCol, minMatches = cfg.decontaminateMinMatches)
-        nearDeduped.join(broadcast(hits.select(col("id").as(idCol))),
+    val crossDeduped = cfg.dedupAgainst match {
+      case Some(ref) =>
+        val hits = Dedup.crossCorpusDuplicates(nearDeduped, ref, idCol, textCol,
+          cfg.nearDedupThreshold)
+        nearDeduped.join(
+          broadcast(hits.select(col("new_id").as(idCol)).distinct()),
           Seq(idCol), "left_anti")
       case None => nearDeduped
     }
+    val decontaminated = cfg.decontaminateAgainst match {
+      case Some((bench, benchCol)) =>
+        val hits = Dedup.decontaminate(crossDeduped, idCol, textCol,
+          bench, benchCol, minMatches = cfg.decontaminateMinMatches)
+        crossDeduped.join(broadcast(hits.select(col("id").as(idCol))),
+          Seq(idCol), "left_anti")
+      case None => crossDeduped
+    }
     Sampling.assignSplits(decontaminated, col(idCol).cast("string"),
       cfg.splits, cfg.splitHash)
-      .select(col(idCol), col("text"), col("quality"), col("split"))
+      .select(col(idCol), col(textCol), col("quality"), col("split"))
   }
 }

@@ -62,19 +62,27 @@ object Sessions {
     * (entity, session_start_us, session_end_us, n_events, sum_value).
     * `session_end_us` is the LAST EVENT's timestamp + gap (Spark's
     * session_window end semantics). `valueCol` is summed as
-    * DECIMAL(18,2) so the result is order-independent and exact, then
-    * returned as double. */
+    * DECIMAL(sumPrecision, sumScale) so the result is order-independent
+    * and exact, then returned as double — NOTE each event's value is
+    * rounded to `sumScale` fractional digits BEFORE summing (default
+    * (18,2) suits currency-like values; raise `sumScale` for
+    * finer-grained inputs). */
   def sessionStats(df: DataFrame, entityCol: String, tsCol: String,
-                   valueCol: String, gapSeconds: Long): DataFrame =
+                   valueCol: String, gapSeconds: Long,
+                   sumPrecision: Int = 18, sumScale: Int = 2): DataFrame = {
+    require(sumPrecision >= 1 && sumPrecision <= 38 &&
+      sumScale >= 0 && sumScale < sumPrecision,
+      s"invalid decimal($sumPrecision,$sumScale) for the session sum")
     df.groupBy(col(entityCol),
         session_window(col(tsCol), s"$gapSeconds seconds").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("_sv"))
+        sum(col(valueCol).cast(s"decimal($sumPrecision,$sumScale)")).as("_sv"))
       .select(col(entityCol),
         micros(col("w.start")).as("session_start_us"),
         micros(col("w.end")).as("session_end_us"),
         col("n_events"),
         col("_sv").cast("double").as("sum_value"))
+  }
 
   /** Streaming twin of [[sessionStats]]: identical aggregation with a
     * watermark bounding session state (sessions older than the watermark

@@ -89,10 +89,13 @@ final case class FreqTopK(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** `freq_chi2(sketch, refSketch)` — scalar: the restricted chi² drift
-  * statistic between two sketch blobs ([[graft.checks.FreqDriftCheck]]'s
-  * arithmetic), so windowed streaming drift can run INSIDE the plan
-  * against a broadcast profile literal. Aggregated rows only. */
+/** `freq_chi2(observed, reference)` — scalar: the restricted chi² drift
+  * statistic of an observed sketch blob against a reference profile blob
+  * ([[graft.checks.FreqDriftCheck]]'s arithmetic), so windowed streaming
+  * drift can run INSIDE the plan against a broadcast profile literal.
+  * ORDER-SENSITIVE: the chi² cells are the REFERENCE's surviving terms —
+  * swapped arguments silently yield a different statistic. Aggregated
+  * rows only. */
 final case class FreqChi2(
     left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
@@ -127,9 +130,13 @@ object FreqFunctions {
   def freq_topk(sketch: Column, n: Int): Column =
     ColumnBridge.column(FreqTopK(ColumnBridge.expression(sketch), n))
 
-  /** Restricted chi² drift between two sketch blobs (use
-    * `lit(profileBytes)` for a persisted reference profile). */
-  def freq_chi2(a: Column, b: Column): Column =
+  /** Restricted chi² drift of `observed` against `reference` — the
+    * argument order is SIGNIFICANT: the chi² cells are the reference
+    * profile's surviving terms, the reference's totals set the expected
+    * counts, and swapping the arguments yields a different statistic
+    * (see [[graft.checks.FreqDriftCheck.chiSquare]]). Use
+    * `lit(profileBytes)` for a persisted reference profile. */
+  def freq_chi2(observed: Column, reference: Column): Column =
     ColumnBridge.column(FreqChi2(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(observed), ColumnBridge.expression(reference)))
 }

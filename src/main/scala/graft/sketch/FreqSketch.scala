@@ -117,6 +117,7 @@ final class FreqSketch(val capacity: Int) {
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeInt(FreqSketch.Magic) // format tag + version (see deserialize)
     out.writeInt(capacity)
     out.writeLong(total)
     out.writeLong(offsetVar)
@@ -131,18 +132,42 @@ final class FreqSketch(val capacity: Int) {
 }
 
 object FreqSketch {
+  /** "FQS1" — format tag + version. Bump the last byte on any layout
+    * change so persisted profiles are format-versioned instead of
+    * surfacing as executor EOF/NegativeArraySize errors. */
+  private[sketch] val Magic = 0x46515331
   val DefaultCapacity = 1024
 
   def empty(capacity: Int = DefaultCapacity) = new FreqSketch(capacity)
 
+  /** Inverse of [[FreqSketch.serialize]]. Rejects foreign or corrupt
+    * blobs with a descriptive IllegalArgumentException: the magic/version
+    * word is checked first, and every blob-encoded length is validated
+    * against the remaining byte budget before allocation. */
   def deserialize(bytes: Array[Byte]): FreqSketch = {
+    def bad(msg: String) =
+      throw new IllegalArgumentException(s"not a FreqSketch v1 blob: $msg")
+    if (bytes.length < 28) bad(s"${bytes.length} bytes is shorter than the header")
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val sk = new FreqSketch(in.readInt())
+    val magic = in.readInt()
+    if (magic != Magic)
+      bad(f"magic word 0x$magic%08x != 0x$Magic%08x ('FQS1')")
+    val capacity = in.readInt()
+    if (capacity < 1) bad(s"capacity $capacity < 1")
+    val sk = new FreqSketch(capacity)
     val total = in.readLong()
     val off = in.readLong()
+    if (total < 0 || off < 0) bad(s"negative total ($total) or offset ($off)")
     val n = in.readInt()
+    if (n < 0 || n > capacity) bad(s"entry count $n outside [0, capacity=$capacity]")
+    // fixed header = 28 bytes; each entry needs >= 4 (len) + 16 (counts)
+    var remaining = bytes.length - 28
     (0 until n).foreach { _ =>
-      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      val len = in.readInt(); remaining -= 4
+      if (len < 0 || len > remaining - 16)
+        bad(s"term length $len exceeds the $remaining bytes left in the blob")
+      val b = new Array[Byte](len); in.readFully(b)
+      remaining -= len + 16
       val term = new String(b, "UTF-8")
       val c = in.readLong(); val e = in.readLong()
       sk.put(term, c, e) // keeps the eviction index consistent

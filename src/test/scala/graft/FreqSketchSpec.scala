@@ -100,6 +100,28 @@ class FreqSketchSpec extends SparkSpec {
     assert(back.topK(1).head._1 == "a")
   }
 
+  test("deserialize rejects foreign and corrupt blobs with a descriptive error") {
+    def expectBad(bytes: Array[Byte], clue: String): Unit = {
+      val e = intercept[IllegalArgumentException](FreqSketch.deserialize(bytes))
+      assert(e.getMessage.contains("FreqSketch"), s"$clue: ${e.getMessage}")
+    }
+    expectBad(Array[Byte](1, 2, 3), "truncated header")
+    expectBad(new Array[Byte](64), "zeroed blob (wrong magic)")
+    expectBad(graft.sketch.KllSketch.empty().serialize(), "KLL blob (foreign magic)")
+    // valid prefix, then lie about an entry length: must reject, not allocate
+    val sk = FreqSketch.empty(4)
+    Seq("alpha", "beta", "alpha").foreach(sk.update)
+    val blob = sk.serialize()
+    val evil = blob.clone()
+    evil(28) = 0x7f.toByte // first entry's term length -> ~2^31
+    expectBad(evil, "oversized term length")
+    // and an entry count beyond capacity
+    val evil2 = blob.clone()
+    evil2(27) = 99.toByte
+    expectBad(evil2, "entry count beyond capacity")
+    FreqSketch.deserialize(blob) // the untouched blob still parses
+  }
+
   test("freq drift: shifted categorical distribution fails, matching one passes") {
     import graft.checks.FreqDriftCheck
     val clean = (0 until 2000).map(i => (i.toLong, s"c${i % 5}"))

@@ -758,6 +758,37 @@ class OpsSpec extends SparkSpec {
     assert(out.values.forall(v => Set("train", "val", "test").contains(v._2)))
   }
 
+  test("curate: textCol other than 'text' threads through every stage") {
+    val body = (1 to 60).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$body\nCOOKIE BANNER"),
+      (2L, s"$body other tail\nCOOKIE BANNER"),
+      (3L, s"contact a@b.co now $body\nCOOKIE BANNER"),
+      (4L, s"$body"),
+      (5L, "x@#!$ ~~ ??"))
+      .toDF("doc_id", "body") // regression: every post-dedupLines stage once hardcoded "text"
+    val out = Curation.curate(corpus, "doc_id", "body",
+      Curation.CurationConfig(lineDedupMinDocs = 3))
+    assert(out.columns.toSeq == Seq("doc_id", "body", "quality", "split"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.keySet.toString)
+    assert(got(1L) == body)
+    assert(got(3L).startsWith("contact [EMAIL] now"), got(3L))
+  }
+
+  test("curate: dedupAgainst drops docs near-duplicating the reference corpus") {
+    val ref = docs.where(col("doc_id") < 20)                  // bases 0-19
+    // re-ingested copies of the reference (jaccard 1.0 — LSH finds them
+    // deterministically, every band collides) plus 10 novel docs
+    val input = ref.withColumn("doc_id", col("doc_id") + 100)
+      .union(docs.where(col("doc_id").between(20, 29)))
+    val out = Curation.curate(input, "doc_id", "text",
+      Curation.CurationConfig(minQuality = 0.0, redactPii = false,
+        dedupAgainst = Some(ref)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == (20L until 30L).toSet, out.toString)
+  }
+
   test("assignSplits: exhaustive, disjoint, near-target, stable") {
     val corpus = (0 until 10000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
     val out = Sampling.assignSplits(corpus, col("k"),

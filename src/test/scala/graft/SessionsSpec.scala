@@ -74,6 +74,19 @@ class SessionsSpec extends SparkSpec {
       s"native-only=${native -- labeled}\nlabeled-only=${labeled -- native}")
   }
 
+  test("sessionStats sum scale is configurable; defaults round to 2 digits") {
+    // one 2-event session with 4 fractional digits per value
+    val rows = Seq(ev(0, 1, 0, 0.1234), ev(1, 1, 1_000_000L, 0.1111))
+    def sumOf(scale: Int) =
+      Sessions.sessionStats(toDf(rows), "user_id", "ts", "value", 60,
+        sumScale = scale).head().getDouble(4)
+    assert(sumOf(2) == 0.23) // per-event HALF_UP rounding before the sum
+    assert(sumOf(4) == 0.2345)
+    intercept[IllegalArgumentException](
+      Sessions.sessionStats(toDf(rows), "user_id", "ts", "value", 60,
+        sumPrecision = 4, sumScale = 7).head())
+  }
+
   test("streamingSessionStats: finalized sessions match the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[SessEvent]
