@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *
   * Group by a real shard key (e.g. lang, source, or hash(doc_id) % S) so
   * the per-group window sort is bounded; the group is also the unit a
-  * trainer shard reads, so co-locating it is what you want anyway.
+  * trainer shard reads, so co-locating it is what you want anyway. A
+  * [[HotKeys.SkewGuard]] enforces that bound when the grouping is not
+  * under the caller's control.
   */
 object Packing {
 
@@ -30,9 +32,13 @@ object Packing {
     * that position falls in, and the offset inside that pack. Documents
     * longer than the remaining pack space continue into the next
     * pack(s) — `n_packs_spanned` reports how many packs the doc touches. */
-  def packStream(df: DataFrame, groupCol: String, idCol: String,
-                 lenCol: String, capacity: Long): DataFrame = {
+  def packStream(df0: DataFrame, groupCol: String, idCol: String,
+                 lenCol: String, capacity: Long,
+                 guard: HotKeys.SkewGuard = HotKeys.SkewGuard.Off): DataFrame = {
     require(capacity >= 1, "capacity must be >= 1")
+    // guard caps per-GROUP document counts ahead of the window sort (one
+    // giant pack group is the skew hazard here — see HotKeys); default Off
+    val df = HotKeys.applyGuard(df0, Seq(groupCol), guard, "packStream")
     val w = Window.partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("tok_start", (sum(col(lenCol)).over(w) - col(lenCol)).cast("long"))

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *    window partitioned by the entity. One shuffle on the entity key;
   *    the sort is per-entity (bounded by an entity's event count), never
   *    global. Skew note: a bot-grade entity with 10^8 events serializes
-  *    into one task's sort — screen such keys out first (they are
-  *    [[Dedup.exactDuplicates]]-style degenerates), the same discipline
-  *    as the LSH hot-bucket guard.
+  *    into one task's sort — pass a [[HotKeys.SkewGuard]] to detect and
+  *    raise or drop-and-route such keys (the window-sort mirror of the
+  *    LSH hot-bucket guard).
   *  - [[sessionStats]]: per-session aggregates via Spark's native
   *    `session_window` — plans as partial hash-aggregation of per-event
   *    candidate sessions, exchange on the entity, then a per-partition
@@ -43,9 +43,13 @@ object Sessions {
 
   /** Per-event session labels: `session_seq` (0-based per entity, in time
     * order) appended to the input columns. Ties on the timestamp are
-    * broken by `idCol` so the labeling is total and reproducible. */
-  def sessionize(df: DataFrame, entityCol: String, tsCol: String, idCol: String,
-                 gapSeconds: Long): DataFrame = {
+    * broken by `idCol` so the labeling is total and reproducible.
+    * `guard` caps per-entity event counts ahead of the window sort (the
+    * bot-entity skew hazard — see [[HotKeys]]); default Off. */
+  def sessionize(df0: DataFrame, entityCol: String, tsCol: String, idCol: String,
+                 gapSeconds: Long,
+                 guard: HotKeys.SkewGuard = HotKeys.SkewGuard.Off): DataFrame = {
+    val df = HotKeys.applyGuard(df0, Seq(entityCol), guard, "sessionize")
     val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(idCol))
     val us = micros(col(tsCol))
     val prev = lag(us, 1).over(w)

@@ -27,15 +27,23 @@ object TemporalJoins {
     * right); the sort is per-key, never global. This beats the classic
     * per-left-row range join at 100 TB because each left row is touched
     * once — there is no candidate multiplication at all. Skew: a
-    * degenerate key serializes into one task's sort — screen bot-grade
-    * keys first (same discipline as the LSH hot-bucket guard).
+    * degenerate key serializes into one task's sort — pass a
+    * [[HotKeys.SkewGuard]] to detect and raise or drop-and-route it
+    * (the window-sort mirror of the LSH hot-bucket guard).
     *
     * Right rows must be unique per (key, ts) — with duplicates the carry
     * picks the last in an unspecified tie order; pre-aggregate (e.g.
-    * `keepCanonical`) if the source can produce ties. */
+    * `keepCanonical`) if the source can produce ties.
+    *
+    * `guard` caps the COMBINED (left ∪ right) per-key row count ahead of
+    * the window sort (see [[HotKeys]]); default Off. Under
+    * [[HotKeys.SkewGuard.Drop]] a hot key's LEFT rows are absent from
+    * the output too (not NULL-filled) — recover them via
+    * [[HotKeys.hotKeys]] on the union and route separately. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               guard: HotKeys.SkewGuard = HotKeys.SkewGuard.Off): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin needs at least one right column")
     val payload = struct(rightCols.map(col): _*)
     val leftCols = left.columns.toSeq
@@ -53,8 +61,10 @@ object TemporalJoins {
       if (c == keyCol || c == tsCol) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select((leftCols.map(col) :+ col("_pay") :+ col("_side")): _*)
-    val unioned = l.select((leftCols.map(col) :+ col("_pay") :+ col("_side")): _*)
-      .unionByName(rAligned)
+    val unioned = HotKeys.applyGuard(
+      l.select((leftCols.map(col) :+ col("_pay") :+ col("_side")): _*)
+        .unionByName(rAligned),
+      Seq(keyCol), guard, "asofJoin")
 
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
