@@ -54,7 +54,7 @@ final case class ArrayBoundsCheck(
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"ArrayBoundsCheck requires array<integral>, got ${other.simpleString(10)}")
+          s"ArrayBoundsCheck requires array<integral>, got ${other.simpleString}")
     }
 
   override def eval(input: InternalRow): Any = {

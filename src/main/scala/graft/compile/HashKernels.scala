@@ -36,7 +36,7 @@ final case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_signature requires array<bigint>, got ${other.simpleString(10)}")
+          s"minhash_signature requires array<bigint>, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any = {
@@ -87,7 +87,7 @@ final case class Fingerprint32(child: Expression, mult: Long = 31L)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"fingerprint32 requires string, got ${other.simpleString(10)}")
+          s"fingerprint32 requires string, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any = {

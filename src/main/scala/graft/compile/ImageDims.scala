@@ -26,7 +26,7 @@ final case class ImageDims(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_image_dims requires binary, got ${other.simpleString(10)}")
+      s"graft_image_dims requires binary, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {

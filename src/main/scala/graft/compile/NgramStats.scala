@@ -36,7 +36,7 @@ final case class NgramStats(child: Expression, n: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_ngram_stats requires array<string>, got ${other.simpleString(10)}")
+      s"graft_ngram_stats requires array<string>, got ${other.simpleString}")
   }
 
   private val space = UTF8String.fromString(" ")

@@ -23,7 +23,7 @@ final case class NormalizeNfc(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_nfc requires string, got ${other.simpleString(10)}")
+      s"graft_nfc requires string, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {

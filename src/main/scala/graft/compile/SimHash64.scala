@@ -30,7 +30,7 @@ final case class SimHash64(child: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"simhash64 requires array<bigint>, got ${other.simpleString(10)}")
+          s"simhash64 requires array<bigint>, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any = {

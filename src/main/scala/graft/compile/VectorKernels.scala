@@ -21,7 +21,7 @@ private[graft] object VectorKernels {
   def elemGetter(dt: DataType): Either[String, (ArrayData, Int) => Double] = dt match {
     case ArrayType(FloatType, _)  => Right((a, i) => a.getFloat(i).toDouble)
     case ArrayType(DoubleType, _) => Right((a, i) => a.getDouble(i))
-    case other => Left(s"requires array<float|double>, got ${other.simpleString(10)}")
+    case other => Left(s"requires array<float|double>, got ${other.simpleString}")
   }
 }
 

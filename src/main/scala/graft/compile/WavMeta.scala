@@ -23,7 +23,7 @@ final case class WavMeta(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_wav_meta requires binary, got ${other.simpleString(10)}")
+      s"graft_wav_meta requires binary, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -463,6 +463,21 @@ object OpsQueries {
                   (a, b) -> (a * 31 + b) % 2147483647), 0) AS fp
               FROM documents""")),
 
+    // the same fingerprint kernel reached through the SQL surface
+    // (GraftFunctions registered on the live session — the
+    // spark.sql.extensions path for spark-submit SQL users)
+    Q("q_fingerprint_sql",
+      (s, d) => {
+        graft.ext.GraftFunctions.register(s)
+        T(s, d, "documents").createOrReplaceTempView("graft_docs_fp_sql")
+        s.sql("SELECT doc_id, graft_fingerprint(text) AS fp FROM graft_docs_fp_sql")
+      },
+      Some("""SELECT doc_id,
+                coalesce(list_reduce(
+                  list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                  (a, b) -> (a * 31 + b) % 2147483647), 0) AS fp
+              FROM documents""")),
+
     // REAL header parsing over synthesized-but-genuine image bytes: PNG
     // and JPEG containers are built per row with hex/unhex (both engines'
     // byte-level primitives), parsed back by the ImageDims expression;

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** SQL surface for the engine's custom Catalyst expressions, registered
   * the idiomatic way: `spark.sql.extensions=graft.ext.GraftExtensions` at
@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   *  - `freq_chi2(observed, reference)`  → double, restricted chi² drift
   *    (ORDER-SENSITIVE: cells come from the reference profile)
   *  - `graft_nfc(str)`                  → string, Unicode NFC composition
+  *  - `graft_fingerprint(str[, mult])`  → bigint, 31-multiplier rolling
+  *    code-point hash mod 2^31-1 (the oracle-restateable document
+  *    fingerprint)
+  *  - `graft_simhash(text[, n])`        → bigint, 64-bit SimHash of the
+  *    word n-gram shingle set (default n=3)
+  *  - `graft_minhash(text[, n, k, seed])` → array<bigint>, k-slot MinHash
+  *    signature of the word n-gram shingle set (defaults n=3, k=64,
+  *    seed=42 — the [[graft.ops.Dedup]] LSH defaults)
   *  - `array_bounds(arr, lo, hi)`       → boolean, the fused single-pass
   *    bounds check (inclusive; NULL elements skipped)
   */
@@ -60,6 +68,30 @@ object GraftFunctions {
     }.toSeq
   }
   private type Decimal = org.apache.spark.sql.types.Decimal
+
+  // Catalyst builders mirroring the graft.ops Column pipelines exactly
+  // (shingles -> ids -> kernel). Built as already-resolved trees — lambda
+  // variables are concrete NamedLambdaVariables shared between function
+  // and argument list — because a Column->Expression round-trip would
+  // embed an opaque node the SQL analyzer cannot resolve.
+  // ExtensionsSpec pins these to the Column formulations value-for-value.
+  import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayTransform, BitwiseAnd, Coalesce, CreateArray, EqualTo, LambdaFunction, Lower, NamedLambdaVariable, Not, RegExpReplace, StringSplit, XxHash64}
+
+  /** [[graft.ops.TextAnalysis.words]]: lowercased, punctuation-stripped,
+    * empty-dropped whitespace word list. */
+  private def wordsExpr(text: Expression): Expression = {
+    val cleaned = StringSplit(
+      Lower(RegExpReplace(text, Literal("[^\\p{L}\\p{N}\\s]"), Literal(" "))),
+      Literal("\\s+"), Literal(-1))
+    val w = NamedLambdaVariable("w", StringType, nullable = true)
+    ArrayFilter(cleaned, LambdaFunction(Not(EqualTo(w, Literal(""))), Seq(w)))
+  }
+
+  /** [[graft.ops.Dedup.shingles]]: distinct word n-grams via the
+    * WordShingles kernel, NULL/short text -> [""]. */
+  private def shinglesExpr(text: Expression, n: Int): Expression =
+    Coalesce(Seq(graft.compile.WordShingles(wordsExpr(text), n),
+      CreateArray(Seq(Literal("")))))
 
   private def foldLong(e: Expression, arg: String, fn: String): Long = {
     require(e.foldable, s"$fn: $arg must be a literal")
@@ -139,6 +171,56 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(c) => graft.compile.NormalizeNfc(c)
         case _ => throw new IllegalArgumentException("graft_nfc expects (str)")
+      }),
+
+    (FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(str[, mult]) - rolling code-point hash mod 2^31-1 (document fingerprint)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.compile.Fingerprint32(c)
+        case Seq(c, m) => graft.compile.Fingerprint32(c,
+          foldLong(m, "mult", "graft_fingerprint"))
+        case _ => throw new IllegalArgumentException(
+          "graft_fingerprint expects (str[, mult])")
+      }),
+
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(text[, n]) - 64-bit SimHash of the word n-gram shingle set"),
+      (args: Seq[Expression]) => {
+        def build(c: Expression, n: Int): Expression = {
+          // ids = xxhash64(shingle), seed 42 — Dedup.simhash's default
+          val x = NamedLambdaVariable("x", StringType, nullable = true)
+          graft.compile.SimHash64(ArrayTransform(shinglesExpr(c, n),
+            LambdaFunction(XxHash64(Seq(x), 42L), Seq(x))))
+        }
+        args match {
+          case Seq(c) => build(c, 3)
+          case Seq(c, n) => build(c, foldLong(n, "n", "graft_simhash").toInt)
+          case _ => throw new IllegalArgumentException(
+            "graft_simhash expects (text[, n])")
+        }
+      }),
+
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(text[, n, k, seed]) - k-slot MinHash signature of the word n-gram shingle set"),
+      (args: Seq[Expression]) => {
+        def build(c: Expression, n: Int, k: Int, seed: Long): Expression = {
+          // ids = xxhash64(shingle) masked to 32 bits (the affine
+          // kernel's no-overflow bound) — Dedup.minhashSignature's default
+          val x = NamedLambdaVariable("x", StringType, nullable = true)
+          val ids = ArrayTransform(shinglesExpr(c, n),
+            LambdaFunction(BitwiseAnd(XxHash64(Seq(x), 42L), Literal(0xFFFFFFFFL)), Seq(x)))
+          val fam = graft.ops.Dedup.hashFamily(k, seed)
+          graft.compile.MinHashSignature(ids, fam.map(_._1), fam.map(_._2))
+        }
+        args match {
+          case Seq(c) => build(c, 3, 64, 42L)
+          case Seq(c, n, k, seed) => build(c,
+            foldLong(n, "n", "graft_minhash").toInt,
+            foldLong(k, "k", "graft_minhash").toInt,
+            foldLong(seed, "seed", "graft_minhash"))
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash expects (text) or (text, n, k, seed)")
+        }
       }),
 
     (FunctionIdentifier("array_bounds"),

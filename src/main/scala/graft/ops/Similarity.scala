@@ -151,7 +151,11 @@ object Similarity {
       // at assignment time, but a null element would NPE the driver fold
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
         !exists(col(vecCol), e => e.isNull))
-      .orderBy(col(idCol))
+      // order by a hash of the id, not the id: id order correlates with
+      // ingestion order/source, so a first-N-by-id sample would train
+      // centroids on a biased corner of the corpus. The hash order is
+      // equally deterministic but uniformly spread; the id tie-breaks.
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)

@@ -28,7 +28,7 @@ final case class FreqSketchAgg(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"freq_sketch requires string input, got ${other.simpleString(10)}")
+      s"freq_sketch requires string input, got ${other.simpleString}")
   }
 
   override def dataType: DataType = BinaryType
@@ -74,7 +74,7 @@ final case class FreqTopK(child: Expression, n: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"freq_topk requires binary sketch, got ${other.simpleString(10)}")
+      s"freq_topk requires binary sketch, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -107,7 +107,7 @@ final case class FreqChi2(
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"freq_chi2 requires two binary sketches, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+      s"freq_chi2 requires two binary sketches, got ${l.simpleString}, ${r.simpleString}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any =

@@ -32,7 +32,7 @@ final case class KllSketchAgg(
     child.dataType match {
       case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kll_sketch requires double input (cast first), got ${other.simpleString(10)}")
+        s"kll_sketch requires double input (cast first), got ${other.simpleString}")
     }
 
   override def dataType: DataType = BinaryType
@@ -79,7 +79,7 @@ final case class KllQuantiles(child: Expression, probs: Seq[Double])
     child.dataType match {
       case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kll_quantiles requires binary sketch, got ${other.simpleString(10)}")
+        s"kll_quantiles requires binary sketch, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any = {
@@ -105,7 +105,7 @@ final case class KllCdf(child: Expression, points: Seq[Double])
     child.dataType match {
       case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kll_cdf requires binary sketch, got ${other.simpleString(10)}")
+        s"kll_cdf requires binary sketch, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any = {
@@ -137,7 +137,7 @@ final case class KllKsDistance(
       case (BinaryType, BinaryType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"kll_ks requires two binary sketches, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+        s"kll_ks requires two binary sketches, got ${l.simpleString}, ${r.simpleString}")
     }
 
   override def nullSafeEval(l: Any, r: Any): Any = {

@@ -57,6 +57,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(nfc == "caf\u00e9", nfc)
   }
 
+  test("live-session registration: text kernels usable from spark.sql") {
+    GraftFunctions.register(spark)
+    spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, ""),
+      (4L, "one two"))).toDF("id", "text")
+      .createOrReplaceTempView("ext_texts")
+    // SQL results must equal the Column-surface kernels exactly
+    val viaSql = spark.sql(
+      """SELECT id, graft_fingerprint(text) AS fp,
+                graft_simhash(text) AS sh, graft_simhash(text, 2) AS sh2,
+                graft_minhash(text) AS mh,
+                graft_minhash(text, 2, 8, 7) AS mh2
+         FROM ext_texts""").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4), r.getSeq[Long](5)))).toMap
+    val viaCols = spark.table("ext_texts").select(col("id"),
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.ops.Dedup.simhash(col("text")).as("sh"),
+      graft.ops.Dedup.simhash(col("text"), 2).as("sh2"),
+      graft.ops.Dedup.minhashSignature(col("text")).as("mh"),
+      graft.ops.Dedup.minhashSignature(col("text"), 2, 8, 7L).as("mh2"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4), r.getSeq[Long](5)))).toMap
+    assert(viaSql == viaCols)
+    assert(viaSql(1L)._4.length == 64 && viaSql(1L)._5.length == 8)
+    // custom multiplier arg reaches the kernel
+    val m37 = spark.sql("SELECT graft_fingerprint('ab', 37)").head().getLong(0)
+    assert(m37 == 97L * 37 + 98, m37.toString)
+  }
+
   test("FuseArrayBounds rule: forall(arr, bounds) → fused codegen, same 3-valued results") {
     import graft.ext.FuseArrayBounds
     // materialize through parquet so ConvertToLocalRelation can't fold the
