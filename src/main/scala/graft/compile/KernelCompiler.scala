@@ -24,11 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are v1's exactly — same traversal order, same error groups,
   * same greedy/non-greedy contract — enforced by KernelParitySpec and by
   * every expectation-based suite running through this path. Unsupported
-  * constructs (composite enum literals, Column-function custom formats,
-  * non-string map keys) return None and the caller falls back to the v1
-  * tree. DecimalType values are supported natively (BigDecimal
-  * comparisons mirroring v1's Catalyst coercions — whole literals compare
-  * decimal-exact, fractional literals in double).
+  * constructs return None and the caller falls back to the v1 tree; as
+  * of r4 that set is down to Column-function custom formats (arbitrary
+  * Catalyst trees — inherently uncompilable here), custom regex formats
+  * on date/timestamp/nested values (JVM toString != Spark cast), deep
+  * uniqueItems over nested element types, and non-string map keys.
+  * Composite enum literals (deep structural equality incl. nested
+  * arrays/structs/maps), open-schema MapType objects, and DecimalType
+  * values (BigDecimal comparisons mirroring v1's Catalyst coercions —
+  * whole literals compare decimal-exact, fractional in double) are all
+  * kernel-native.
   */
 object KernelCompiler {
 
@@ -249,8 +254,18 @@ object KernelCompiler {
         if (cfg.customNames.contains(name)) {
           val re = cfg.leftFormats.getOrElse(name,
             throw Unsupported(s"custom Column-function format $name"))
-          if (dt != StringType)
-            throw Unsupported(s"custom format on non-string ${dt.simpleString}")
+          // v1 applies the regex to cast(value AS STRING); for these types
+          // the kernel value's Java toString is byte-identical to Spark's
+          // cast (UTF8String/boxed primitive/Decimal all delegate to the
+          // same formatting). Dates, timestamps, and nested types format
+          // differently at the JVM level -> v1 fallback.
+          dt match {
+            case StringType | BooleanType | ByteType | ShortType |
+                 IntegerType | LongType | FloatType | DoubleType |
+                 _: DecimalType => ()
+            case other =>
+              throw Unsupported(s"custom format on ${other.simpleString}")
+          }
           val p = java.util.regex.Pattern.compile(JsRegex.toJava(re))
           val msg = messageFor(schema, "format", None).orNull
           parts += new Ev {
@@ -577,7 +592,67 @@ object KernelCompiler {
       case (JStr(s), StringType) =>
         val lit = UTF8String.fromString(s)
         v => v != null && v.asInstanceOf[UTF8String].equals(lit)
-      case (_: JArr | _: JObj, _) => throw Unsupported("composite enum literal")
+
+      // ---- composite literals: deep structural equality, the kernel twin
+      // ---- of v1's litEquals (lib/equal.js:28-69 semantics) -------------
+      case (JArr(items), ArrayType(et, _)) =>
+        if (items.isEmpty) {
+          v => v != null && v.asInstanceOf[ArrayData].numElements() == 0
+        } else {
+          val elems: Array[Any => Boolean] = items.map(litEquals(_, et)).toArray
+          v => v != null && {
+            val arr = v.asInstanceOf[ArrayData]
+            arr.numElements() == elems.length && {
+              var ok = true; var i = 0
+              while (ok && i < elems.length) {
+                val e = if (arr.isNullAt(i)) null else arr.get(i, et)
+                ok = elems(i)(e); i += 1
+              }
+              ok
+            }
+          }
+        }
+      case (o: JObj, st: StructType) =>
+        // order-insensitive keys: literal keys outside the closed struct
+        // mean constant inequality; struct fields absent from the literal
+        // must be NULL (missing ≡ NULL contract, SURVEY.md §7.4.1)
+        if (o.keys.exists(k => !st.fieldNames.contains(k))) { _ => false }
+        else {
+          val fieldTests: Array[(Int, DataType, Any => Boolean)] =
+            st.fields.zipWithIndex.map { case (f, i) =>
+              val test: Any => Boolean = o.get(f.name) match {
+                case Some(fv) => litEquals(fv, f.dataType)
+                case None     => x => x == null
+              }
+              (i, f.dataType, test)
+            }.toArray
+          v => v != null && {
+            val row = v.asInstanceOf[InternalRow]
+            var ok = true; var j = 0
+            while (ok && j < fieldTests.length) {
+              val (i, fdt, t) = fieldTests(j)
+              ok = t(if (row.isNullAt(i)) null else row.get(i, fdt))
+              j += 1
+            }
+            ok
+          }
+        }
+      case (o: JObj, MapType(StringType, vt, _)) =>
+        val entries: Array[(UTF8String, Any => Boolean)] = o.fields.map {
+          case (k, fv) => (UTF8String.fromString(k), litEquals(fv, vt))
+        }.toArray
+        v => v != null && {
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          m.numElements() == entries.length && {
+            var ok = true; var j = 0
+            while (ok && j < entries.length) {
+              val (present, value) = mapFind(m, entries(j)._1, vt)
+              ok = present && entries(j)._2(value)
+              j += 1
+            }
+            ok
+          }
+        }
       case _ => _ => false
     }
 

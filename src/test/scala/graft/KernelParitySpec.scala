@@ -207,15 +207,60 @@ class KernelParitySpec extends SparkSpec {
       edge)
   }
 
+  test("composite enum literals: kernel deep equality matches v1 in both modes") {
+    // the q_enum_composite shape plus nulls, nesting, and a map literal
+    val df = spark.range(200).select(
+      col("id"),
+      array(pmod(col("id"), lit(3)).cast("int"),
+        when(col("id") % 5 === 0, lit(null).cast("int"))
+          .otherwise(pmod(col("id"), lit(4)).cast("int"))).as("tag"),
+      struct(
+        when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")).as("f"),
+        when(col("id") % 4 === 0, lit(1)).otherwise(lit(null).cast("int")).as("n"))
+        .as("meta"),
+      array(array(col("id").cast("int"))).as("nested"),
+      map_filter(map(lit("k"), concat(lit("v"), col("id") % 2)),
+        (_, _) => col("id") % 7 =!= 0).as("m"))
+    bothModes(
+      """{"properties":{
+           "tag":{"enum":[[0,1],[1,2],[2,1],[0,null]]},
+           "meta":{"enum":[{"f":"a","n":1},{"f":"b"}]},
+           "nested":{"enum":[[[3]],[[8]]]},
+           "m":{"enum":[{"k":"v0"},{}]}}}""",
+      df)
+  }
+
+  test("custom regex formats on non-string values run through the kernel") {
+    val df = spark.range(120).select(
+      col("id"),
+      (col("id") % 30 * 1.5).as("d"),
+      col("id").cast("decimal(10,2)").as("dec"),
+      (col("id") % 2 === 0).as("flag"))
+    bothModes(
+      """{"properties":{
+           "id":{"format":"evenish"},
+           "d":{"format":"has5"},
+           "dec":{"format":"centsZero"},
+           "flag":{"format":"isTrue"}}}""",
+      df,
+      formats = Map(
+        "evenish" -> Left("[02468]$"),
+        "has5" -> Left("5"),
+        "centsZero" -> Left("\\.00$"),
+        "isTrue" -> Left("^true$")))
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
-    // composite enum literals are v1-only; the plan must NOT contain the
-    // kernel expression and must still validate correctly
-    val df = spark.range(5).select(array(col("id").cast("int")).as("xs"))
-    val v = Validator("""{"properties":{"xs":{"enum":[[7]]}}}""")
+    // Column-function custom formats are inherently v1-only (arbitrary
+    // Catalyst trees); the plan must NOT contain the kernel expression
+    // and must still validate correctly
+    val df = spark.range(5).select(col("id").cast("int").as("x"))
+    val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c % 2 === 0
+    val v = Validator("""{"properties":{"x":{"format":"even"}}}""",
+      ValidatorOptions(formats = Map("even" -> Right(fn))))
     assert(!org.apache.spark.sql.graftbridge.ColumnBridge
       .expression(v.errors(df.schema)).toString.contains("graft_validate_errors"))
-    assert(v.withValidation(df).where(!col("valid")).count() == 5)
-    assert(Validator("""{"properties":{"xs":{"enum":[[3]]}}}""")
-      .withValidation(df).where(!col("valid")).count() == 4)
+    assert(v.withValidation(df).where(!col("valid")).count() == 2)
   }
 }
