@@ -32,6 +32,43 @@ object OpsQueries {
          ELSE list_reduce(list_transform(string_split($s, ''), c -> ascii(c)::BIGINT),
                           (a, b) -> (a*$mult + b) % 2147483647) END)"""
 
+  // DuckDB restatement of the cross-corpus banding->pair->verify chain,
+  // shared by the direct (q_dedup_cross) and the persisted-index
+  // (q_dedup_cross_persisted) gate variants
+  private lazy val duckCrossOracle: String = {
+    val fam = Dedup.hashFamily(16 * 2, 42L)
+    val slots = fam.map { case (a, b) =>
+      s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+    }.mkString("[", ",\n                 ", "]")
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents
+                   WHERE doc_id < 300),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 2
+                      THEN list_distinct(list_transform(range(0, len(w)-1),
+                             i -> w[i+1] || ' ' || w[i+2]))
+                      ELSE [coalesce(list_aggregate(w, 'string_agg', ' '), '')]
+                 END AS sh
+               FROM w),
+        ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM sh),
+        sig AS (SELECT doc_id, $slots AS sig FROM ids),
+        banded AS (
+          SELECT doc_id, t.b AS band, sig[t.b*2 + 1 : t.b*2 + 2] AS bucket
+          FROM sig, unnest(range(0, 16)) AS t(b)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id >= 100 AND b.doc_id < 100),
+        v AS (
+          SELECT p.new_id, p.ref_id,
+            round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.new_id
+          JOIN sh sb ON sb.doc_id = p.ref_id)
+        SELECT new_id, ref_id, jaccard FROM v WHERE jaccard >= 0.10"""
+  }
+
   // shared CTE prefix: word-bigram shingle sets of documents with
   // doc_id < 200 (mirrors Dedup.shingles(text, 2))
   private val duckShingles200 =
@@ -731,39 +768,26 @@ object OpsQueries {
           "doc_id", "text", threshold = 0.10, shingleN = 2,
           bands = 16, rowsPerBand = 2, shingleId = Dedup.portableShingleId)
       },
-      Some {
-        val fam = Dedup.hashFamily(16 * 2, 42L)
-        val slots = fam.map { case (a, b) =>
-          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
-        }.mkString("[", ",\n                 ", "]")
-        s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents
-                       WHERE doc_id < 300),
-            sh AS (SELECT doc_id,
-                     CASE WHEN len(w) >= 2
-                          THEN list_distinct(list_transform(range(0, len(w)-1),
-                                 i -> w[i+1] || ' ' || w[i+2]))
-                          ELSE [coalesce(list_aggregate(w, 'string_agg', ' '), '')]
-                     END AS sh
-                   FROM w),
-            ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM sh),
-            sig AS (SELECT doc_id, $slots AS sig FROM ids),
-            banded AS (
-              SELECT doc_id, t.b AS band, sig[t.b*2 + 1 : t.b*2 + 2] AS bucket
-              FROM sig, unnest(range(0, 16)) AS t(b)),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bucket = b.bucket
-              WHERE a.doc_id >= 100 AND b.doc_id < 100),
-            v AS (
-              SELECT p.new_id, p.ref_id,
-                round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
-              FROM pairs p
-              JOIN sh sa ON sa.doc_id = p.new_id
-              JOIN sh sb ON sb.doc_id = p.ref_id)
-            SELECT new_id, ref_id, jaccard FROM v WHERE jaccard >= 0.10"""
-      }),
+      Some(duckCrossOracle)),
+
+    // the identical computation against a PERSISTED reference index
+    // (save -> manifest-checked load -> probe): same oracle, so the gate
+    // proves the round-tripped banded frame + shingles reproduce the
+    // direct two-corpus result bit-for-bit
+    Q("q_dedup_cross_persisted",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-dedup-index").toString
+        graft.pipeline.IndexStore.saveDedupIndex(
+          docs.where(col("doc_id") < 100), "doc_id", "text", dir,
+          shingleN = 2, bands = 16, rowsPerBand = 2, hashKind = "portable")
+        val idx = graft.pipeline.IndexStore.loadDedupIndex(s, dir)
+        graft.pipeline.IndexStore.crossCorpusAgainst(
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 300), idx,
+          "doc_id", "text", threshold = 0.10)
+      },
+      Some(duckCrossOracle)),
 
     // the full curation composition, end to end: planted boilerplate
     // lines + PII + duplicate texts run through line dedup → redaction →

@@ -295,27 +295,70 @@ object Dedup {
                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
     def banded(df: DataFrame) =
       bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId)
-    def pairsOf(bn: DataFrame, br: DataFrame) =
-      capBuckets(bn, Seq("band", "bucket"), maxBucket)
-        .select(col("band"), col("bucket"), col("id").as("id_a"))
-        .join(capBuckets(br, Seq("band", "bucket"), maxBucket)
-          .select(col("band"), col("bucket"), col("id").as("id_b")),
-          Seq("band", "bucket"))
-        .select("id_a", "id_b")
-        .dropDuplicates("id_a", "id_b")
     val pairs = if (materializePairs) {
       val bn = banded(newDf).persist(); val br = banded(refDf).persist()
-      val p = pairsOf(bn, br).localCheckpoint(true)
+      val p = crossBandPairs(bn, br, maxBucket).localCheckpoint(true)
       logDroppedBuckets("crossCorpusDuplicates(new)", bn, Seq("band", "bucket"), maxBucket)
       logDroppedBuckets("crossCorpusDuplicates(ref)", br, Seq("band", "bucket"), maxBucket)
       bn.unpersist(false); br.unpersist(false)
       p
-    } else pairsOf(banded(newDf), banded(refDf))
+    } else crossBandPairs(banded(newDf), banded(refDf), maxBucket)
     // shared verification path (oracle-proven arithmetic lives in ONE place)
     val shN = newDf.select(col(idCol).as("id_a"),
       shingles(col(textCol), shingleN).as("sh_a"))
     val shR = refDf.select(col(idCol).as("id_b"),
       shingles(col(textCol), shingleN).as("sh_b"))
+    verifyJaccard(pairs.join(shN, Seq("id_a")).join(shR, Seq("id_b")), threshold)
+      .withColumnRenamed("id_a", "new_id")
+      .withColumnRenamed("id_b", "ref_id")
+  }
+
+  /** Asymmetric (new × ref) band join: both sides' bucket populations
+    * capped, candidate id pairs deduped while narrow. */
+  private[graft] def crossBandPairs(bn: DataFrame, br: DataFrame,
+                                    maxBucket: Int): DataFrame =
+    capBuckets(bn, Seq("band", "bucket"), maxBucket)
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capBuckets(br, Seq("band", "bucket"), maxBucket)
+        .select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+  /** [[crossCorpusDuplicates]] against a PRECOMPUTED reference index —
+    * the production incremental-ingestion shape: the reference side's
+    * banded frame and shingle sets are pure functions of the reference
+    * corpus, persisted once via [[graft.pipeline.IndexStore]] and reused
+    * by every new batch, so ingestion never re-hashes the (much larger)
+    * existing corpus. `refBanded` must be (id, band, bucket) and
+    * `refShingles` (id, sh), both produced with the SAME
+    * (shingleN, bands, rowsPerBand, seed, shingleId) parameters passed
+    * here — the manifest-checked load surface enforces that. Output is
+    * identical to [[crossCorpusDuplicates]] on the original reference. */
+  def crossCorpusDuplicatesIndexed(newDf: DataFrame,
+                                   refBanded: DataFrame, refShingles: DataFrame,
+                                   idCol: String, textCol: String,
+                                   threshold: Double, shingleN: Int = 3,
+                                   bands: Int = 16, rowsPerBand: Int = 4,
+                                   seed: Long = 42L,
+                                   shingleId: Column => Column = xxhashShingleId,
+                                   materializePairs: Boolean = true,
+                                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = if (materializePairs) {
+      val bn = bandedBuckets(newDf, idCol, textCol, shingleN, bands,
+        rowsPerBand, seed, shingleId).persist()
+      val p = crossBandPairs(bn, refBanded, maxBucket).localCheckpoint(true)
+      logDroppedBuckets("crossCorpusDuplicatesIndexed(new)", bn,
+        Seq("band", "bucket"), maxBucket)
+      bn.unpersist(false)
+      p
+    } else crossBandPairs(
+      bandedBuckets(newDf, idCol, textCol, shingleN, bands, rowsPerBand,
+        seed, shingleId),
+      refBanded, maxBucket)
+    val shN = newDf.select(col(idCol).as("id_a"),
+      shingles(col(textCol), shingleN).as("sh_a"))
+    val shR = refShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
     verifyJaccard(pairs.join(shN, Seq("id_a")).join(shR, Seq("id_b")), threshold)
       .withColumnRenamed("id_a", "new_id")
       .withColumnRenamed("id_b", "ref_id")

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops._
+import graft.pipeline.IndexStore
+import org.apache.spark.sql.functions._
+
+/** Persistable index artifacts: round-trips, manifest guards, and the
+  * probe-vs-direct equivalence the gate query also pins via its oracle. */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-index-spec").toString
+
+  // same planted-near-dup corpus shape as OpsSpec
+  lazy val docs = {
+    val base = (0 until 100).map { i =>
+      (i.toLong, (0 until 30).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val dups = (0 until 20).map { i =>
+      val words = (0 until 30).map(j => s"d${i}w$j").updated(17, "zzz")
+      ((i + 100).toLong, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("dedup index: persisted probe equals the direct two-corpus dedup") {
+    val ref = docs.where(col("doc_id") < 100)
+    val newBatch = docs.where(col("doc_id") >= 100)
+    val dir = tmp()
+    IndexStore.saveDedupIndex(ref, "doc_id", "text", dir,
+      shingleN = 2, bands = 16, rowsPerBand = 4)
+    val idx = IndexStore.loadDedupIndex(spark, dir)
+    assert(idx.params.shingleN == 2 && idx.params.bands == 16 &&
+      idx.params.rowsPerBand == 4 && idx.params.hashKind == "xxhash")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = key(Dedup.crossCorpusDuplicates(newBatch, ref,
+      "doc_id", "text", threshold = 0.4, shingleN = 2,
+      bands = 16, rowsPerBand = 4))
+    val probed = key(IndexStore.crossCorpusAgainst(newBatch, idx,
+      "doc_id", "text", threshold = 0.4))
+    assert(direct.nonEmpty && probed == direct,
+      s"direct-only=${direct -- probed} probe-only=${probed -- direct}")
+  }
+
+  test("manifest guards: kind, version, and hash-kind are all enforced") {
+    val dir = tmp()
+    IndexStore.saveCentroids(spark, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), dir)
+    // loading the wrong kind fails with the kind name in the message
+    val e = intercept[IllegalArgumentException](
+      IndexStore.loadDedupIndex(spark, dir))
+    assert(e.getMessage.contains("ivf_centroids"), e.getMessage)
+    intercept[IllegalArgumentException](
+      IndexStore.loadCentroids(spark, tmp())) // no manifest at all
+    intercept[IllegalArgumentException](IndexStore.hashFn("md5"))
+    // a future-versioned manifest is refused, not misparsed
+    val vdir = tmp()
+    IndexStore.saveCentroids(spark, Seq(Seq(0.0)), vdir)
+    val p = java.nio.file.Paths.get(vdir, "manifest.json")
+    java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+      .replace("\"format_version\":1", "\"format_version\":99"))
+    val ev = intercept[IllegalArgumentException](
+      IndexStore.loadCentroids(spark, vdir))
+    assert(ev.getMessage.contains("99"), ev.getMessage)
+  }
+
+  test("IVF centroids round-trip bit-exactly and feed ivfTopK unchanged") {
+    val centroids = Seq(
+      Seq(0.1, -2.5e-17, 3.3333333333333335),
+      Seq(Double.MinPositiveValue, 1.0 / 3.0, -0.0))
+    val dir = tmp()
+    IndexStore.saveCentroids(spark, centroids, dir)
+    val back = IndexStore.loadCentroids(spark, dir)
+    assert(back.flatten.map(java.lang.Double.doubleToRawLongBits) ==
+      centroids.flatten.map(java.lang.Double.doubleToRawLongBits))
+  }
+
+  test("drift profiles round-trip and re-validate through the sketch magic") {
+    val fs = graft.sketch.FreqSketch.empty(16)
+    Seq("a", "b", "a", "c").foreach(fs.update)
+    val dir = tmp()
+    IndexStore.saveProfile(fs.serialize(), "freq", "lang", dir)
+    val (blob, kind, column) = IndexStore.loadProfile(dir)
+    assert(kind == "freq" && column == "lang")
+    val back = graft.sketch.FreqSketch.deserialize(blob)
+    assert(back.totalSeen == 4 && back.estimate("a") == 2)
+    val ks = graft.sketch.KllSketch.empty()
+    (1 to 100).foreach(i => ks.update(i.toDouble))
+    val kdir = tmp()
+    IndexStore.saveProfile(ks.serialize(), "kll", "n_tok", kdir)
+    val (kblob, kkind, _) = IndexStore.loadProfile(kdir)
+    assert(kkind == "kll")
+    assert(graft.sketch.KllSketch.deserialize(kblob).count == 100L)
+    intercept[IllegalArgumentException](
+      IndexStore.saveProfile(Array[Byte](1), "hll", "x", tmp()))
+  }
+}
