@@ -69,6 +69,91 @@ object OpsQueries {
         SELECT new_id, ref_id, jaccard FROM v WHERE jaccard >= 0.10"""
   }
 
+  // planted-mess input for the curation gate queries: shared cookie
+  // banner inserted mid-text, per-modulus PII suffixes, an even-doc
+  // footer (shared by q_curate and q_curate_cross)
+  private def curateInput(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    val suffix = when(pmod(id, lit(3)) === 0,
+        concat(lit(" reach u"), id, lit("@ex"), pmod(id, lit(7)),
+          lit(".com from 10."), pmod(id, lit(256)), lit(".0."), pmod(id, lit(100))))
+      .when(pmod(id, lit(3)) === 1,
+        concat(lit(" call 555-01"), pmod(id, lit(10)), lit("-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    val t2 = concat(substring(col("text"), 1, 40),
+      lit("\nSHARED COOKIE BANNER\n"), substring(col("text"), 41, 1000000),
+      suffix,
+      when(pmod(id, lit(2)) === 0, lit("\nEVEN FOOTER")).otherwise(lit("")))
+    docs.select(id, t2.as("text"))
+  }
+
+  // the q_curate derivation through the exact-dedup survivor set `keep`
+  // (no leading WITH), shared by q_curate and q_curate_cross
+  private lazy val duckCurateKeepCtes: String = {
+    val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
+    s"""t AS (
+          SELECT doc_id,
+            substr(text, 1, 40) || chr(10) || 'SHARED COOKIE BANNER' ||
+            chr(10) || substr(text, 41) ||
+            CASE WHEN doc_id % 3 = 0
+                   THEN ' reach u' || doc_id || '@ex' || (doc_id % 7) ||
+                        '.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                 WHEN doc_id % 3 = 1
+                   THEN ' call 555-01' || (doc_id % 10) || '-' ||
+                        lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'EVEN FOOTER'
+                 ELSE '' END AS text
+          FROM documents),
+        lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+        lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
+                  FROM lls, unnest(range(0, len(ls))) AS u(i)),
+        hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines
+                                  WHERE trim(line) <> '')
+                GROUP BY line HAVING count(*) >= 3),
+        ld AS (SELECT doc_id,
+                 coalesce(string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE line NOT IN (SELECT line FROM hot)), '') AS text
+               FROM lines GROUP BY doc_id),
+        red AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '$email', '[EMAIL]', 'g'),
+                    '$phone', '[PHONE]', 'g'),
+                    '$ipv4', '[IPV4]', 'g') AS text
+                FROM ld),
+        qm AS (SELECT doc_id, text, length(text) AS n, $duckWords AS w,
+                 length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1) AS alpha_ratio
+               FROM red),
+        qq AS (SELECT doc_id, text, n, alpha_ratio,
+                 CASE WHEN len(w) > 0
+                      THEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)
+                      ELSE 0.0 END AS mwl
+               FROM qm),
+        q AS (SELECT doc_id, text, round(
+                (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                      WHEN n >= 20 AND n < 100 THEN 0.5 ELSE 0.0 END) * 0.4
+                + alpha_ratio * 0.3
+                + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.3,
+                4) AS quality
+              FROM qq),
+        qa AS (SELECT * FROM q WHERE quality >= 0.5),
+        keep AS (SELECT doc_id, text, quality FROM (
+                   SELECT *, row_number() OVER (PARTITION BY text
+                                                ORDER BY doc_id) AS rn
+                   FROM qa) WHERE rn = 1)"""
+  }
+
+  private def duckCurateSplitSelect(from: String): String =
+    s"""SELECT doc_id, text, quality,
+          CASE WHEN h < trunc((98.0/100.0) * 1000000)::BIGINT THEN 'train'
+               WHEN h < trunc((98.0/100.0 + 1.0/100.0) * 1000000)::BIGINT THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT *,
+                (${duckFp("CAST(doc_id AS VARCHAR) || '#salt'")} % 1000000) AS h
+              FROM $from)"""
+
   // shared CTE prefix: word-bigram shingle sets of documents with
   // doc_id < 200 (mirrors Dedup.shingles(text, 2))
   private val duckShingles200 =
@@ -795,85 +880,70 @@ object OpsQueries {
     // chains the (individually proven) relational restatements of every
     // stage into one derivation
     Q("q_curate", {
-      (s, d) => {
-        val id = col("doc_id")
-        val suffix = when(pmod(id, lit(3)) === 0,
-            concat(lit(" reach u"), id, lit("@ex"), pmod(id, lit(7)),
-              lit(".com from 10."), pmod(id, lit(256)), lit(".0."), pmod(id, lit(100))))
-          .when(pmod(id, lit(3)) === 1,
-            concat(lit(" call 555-01"), pmod(id, lit(10)), lit("-"),
-              lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
-          .otherwise(lit(""))
-        val t2 = concat(substring(col("text"), 1, 40),
-          lit("\nSHARED COOKIE BANNER\n"), substring(col("text"), 41, 1000000),
-          suffix,
-          when(pmod(id, lit(2)) === 0, lit("\nEVEN FOOTER")).otherwise(lit("")))
+      (s, d) =>
         Curation.curate(
-          T(s, d, "documents").select(id, t2.as("text")), "doc_id", "text",
+          curateInput(T(s, d, "documents")), "doc_id", "text",
           Curation.CurationConfig(
+            splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+            splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
+      },
+      Some(s"WITH $duckCurateKeepCtes\n${duckCurateSplitSelect("keep")}")),
+
+    // the same curation composition with the cross-corpus dedup stage
+    // engaged against a reference corpus (raw documents < 50): the
+    // oracle chains the q_curate derivation with the q_dedup_cross
+    // banding restatement over the CLEANED texts
+    Q("q_curate_cross", {
+      (s, d) => {
+        val ref = T(s, d, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"))
+        Curation.curate(
+          curateInput(T(s, d, "documents")), "doc_id", "text",
+          Curation.CurationConfig(
+            dedupAgainst = Some(ref),
+            nearDedupThreshold = 0.10,
+            crossShingleN = 2, crossBands = 16, crossRowsPerBand = 2,
+            crossShingleId = Dedup.portableShingleId,
             splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
             splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
       }},
       Some {
-        val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
-        s"""WITH t AS (
-              SELECT doc_id,
-                substr(text, 1, 40) || chr(10) || 'SHARED COOKIE BANNER' ||
-                chr(10) || substr(text, 41) ||
-                CASE WHEN doc_id % 3 = 0
-                       THEN ' reach u' || doc_id || '@ex' || (doc_id % 7) ||
-                            '.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
-                     WHEN doc_id % 3 = 1
-                       THEN ' call 555-01' || (doc_id % 10) || '-' ||
-                            lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                     ELSE '' END ||
-                CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'EVEN FOOTER'
-                     ELSE '' END AS text
-              FROM documents),
-            lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
-            lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
-                      FROM lls, unnest(range(0, len(ls))) AS u(i)),
-            hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines
-                                      WHERE trim(line) <> '')
-                    GROUP BY line HAVING count(*) >= 3),
-            ld AS (SELECT doc_id,
-                     coalesce(string_agg(line, chr(10) ORDER BY pos)
-                       FILTER (WHERE line NOT IN (SELECT line FROM hot)), '') AS text
-                   FROM lines GROUP BY doc_id),
-            red AS (SELECT doc_id,
-                      regexp_replace(regexp_replace(regexp_replace(text,
-                        '$email', '[EMAIL]', 'g'),
-                        '$phone', '[PHONE]', 'g'),
-                        '$ipv4', '[IPV4]', 'g') AS text
-                    FROM ld),
-            qm AS (SELECT doc_id, text, length(text) AS n, $duckWords AS w,
-                     length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE
-                       / greatest(length(text), 1) AS alpha_ratio
-                   FROM red),
-            qq AS (SELECT doc_id, text, n, alpha_ratio,
-                     CASE WHEN len(w) > 0
-                          THEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)
-                          ELSE 0.0 END AS mwl
-                   FROM qm),
-            q AS (SELECT doc_id, text, round(
-                    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
-                          WHEN n >= 20 AND n < 100 THEN 0.5 ELSE 0.0 END) * 0.4
-                    + alpha_ratio * 0.3
-                    + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.3,
-                    4) AS quality
-                  FROM qq),
-            qa AS (SELECT * FROM q WHERE quality >= 0.5),
-            keep AS (SELECT doc_id, text, quality FROM (
-                       SELECT *, row_number() OVER (PARTITION BY text
-                                                    ORDER BY doc_id) AS rn
-                       FROM qa) WHERE rn = 1)
-            SELECT doc_id, text, quality,
-              CASE WHEN h < trunc((98.0/100.0) * 1000000)::BIGINT THEN 'train'
-                   WHEN h < trunc((98.0/100.0 + 1.0/100.0) * 1000000)::BIGINT THEN 'val'
-                   ELSE 'test' END AS split
-            FROM (SELECT *,
-                    (${duckFp("CAST(doc_id AS VARCHAR) || '#salt'")} % 1000000) AS h
-                  FROM keep)"""
+        val fam = Dedup.hashFamily(16 * 2, 42L)
+        val slots = fam.map { case (a, b) =>
+          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+        }.mkString("[", ",\n                 ", "]")
+        def shingleCtes(p: String, src: String) =
+          s"""${p}w AS (SELECT doc_id, $duckWords AS w FROM $src),
+              ${p}sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 2
+                            THEN list_distinct(list_transform(range(0, len(w)-1),
+                                   i -> w[i+1] || ' ' || w[i+2]))
+                            ELSE [coalesce(list_aggregate(w, 'string_agg', ' '), '')]
+                       END AS sh
+                     FROM ${p}w),
+              ${p}ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM ${p}sh),
+              ${p}sig AS (SELECT doc_id, $slots AS sig FROM ${p}ids),
+              ${p}band AS (
+                SELECT doc_id, u2.b AS band, sig[u2.b*2 + 1 : u2.b*2 + 2] AS bucket
+                FROM ${p}sig, unnest(range(0, 16)) AS u2(b))"""
+        s"""WITH $duckCurateKeepCtes,
+            ${shingleCtes("n", "keep")},
+            ${shingleCtes("r", "(SELECT doc_id, text FROM documents WHERE doc_id < 50)")},
+            cpairs AS (
+              SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+              FROM nband n JOIN rband r
+                ON n.band = r.band AND n.bucket = r.bucket),
+            cdrop AS (
+              SELECT DISTINCT p.new_id
+              FROM cpairs p
+              JOIN nsh sa ON sa.doc_id = p.new_id
+              JOIN rsh sb ON sb.doc_id = p.ref_id
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+                >= 0.10),
+            kept2 AS (SELECT * FROM keep
+                      WHERE doc_id NOT IN (SELECT new_id FROM cdrop))
+            ${duckCurateSplitSelect("kept2")}"""
       }),
 
     // reproducible 8:1:1 train/val/test assignment by disjoint hash

@@ -50,8 +50,14 @@ object Curation {
     /** Reference corpus for incremental cross-corpus near-dedup; must
       * carry the same (idCol, textCol) columns as the input. Docs whose
       * Jaccard vs ANY reference doc reaches [[nearDedupThreshold]] are
-      * dropped. */
+      * dropped. The cross* knobs mirror [[Dedup.crossCorpusDuplicates]]'s
+      * banding parameters (the gate oracle drives them with the portable
+      * hash; production keeps the xxhash default). */
     dedupAgainst: Option[DataFrame] = None,
+    crossShingleN: Int = 3,
+    crossBands: Int = 16,
+    crossRowsPerBand: Int = 4,
+    crossShingleId: Column => Column = Dedup.xxhashShingleId,
     decontaminateAgainst: Option[(DataFrame, String)] = None,
     decontaminateMinMatches: Int = 8,
     nfcNormalize: Boolean = true,
@@ -81,7 +87,8 @@ object Curation {
     val crossDeduped = cfg.dedupAgainst match {
       case Some(ref) =>
         val hits = Dedup.crossCorpusDuplicates(nearDeduped, ref, idCol, textCol,
-          cfg.nearDedupThreshold)
+          cfg.nearDedupThreshold, cfg.crossShingleN, cfg.crossBands,
+          cfg.crossRowsPerBand, shingleId = cfg.crossShingleId)
         nearDeduped.join(
           broadcast(hits.select(col("new_id").as(idCol)).distinct()),
           Seq(idCol), "left_anti")
