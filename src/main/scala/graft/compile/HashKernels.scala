@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature of an array of shingle ids: slot k is
-  * min over ids x of (a_k * x + b_k) mod (2^61 - 1), seeded with the prime
+  * min over ids x of (a_k * x + b_k) mod (2^31 - 1), seeded with the prime
   * itself for the empty set.
   *
   * Why custom (same reasoning as [[SimHash64]]): the Catalyst HOF
@@ -16,14 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * element (~n×k boxed ops per row). This is one JIT-compiled JVM loop
   * with a single local long[k] per row.
   *
-  * Inputs are 32-bit ids and a,b < 2^31, so a*x+b < 2^63 never overflows
-  * a signed long and the plain `%` stays non-negative.
+  * Inputs are 31-bit ids and a,b < 2^31, so a*x+b < 2^63 never overflows
+  * a signed long and the plain `%` stays non-negative. The SMALL modulus
+  * is load-bearing for minhash quality, not a space saving: a*x must
+  * wrap mod p many times or the hash preserves the ids' magnitude order
+  * and the k argmins degenerate to near-copies of one global argmin
+  * (see [[graft.ops.Dedup.hashFamily]] for the measured failure).
   */
 final case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
   extends UnaryExpression with CodegenFallback {
 
   require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
-  private val P = 2305843009213693951L // 2^61 - 1
+  private val P = 2147483647L // 2^31 - 1
   private val aArr = a.toArray
   private val bArr = b.toArray
 

@@ -38,7 +38,7 @@ object OpsQueries {
   private lazy val duckCrossOracle: String = {
     val fam = Dedup.hashFamily(16 * 2, 42L)
     val slots = fam.map { case (a, b) =>
-      s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+      s"list_min(list_transform(ids, x -> (x*$a + $b) % 2147483647))"
     }.mkString("[", ",\n                 ", "]")
     s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents
                    WHERE doc_id < 300),
@@ -228,7 +228,7 @@ object OpsQueries {
       Some {
         val fam = Dedup.hashFamily(16 * 2, 42L)
         val slots = fam.map { case (a, b) =>
-          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2147483647))"
         }.mkString("[", ",\n                 ", "]")
         s"""WITH $duckShingles200,
             ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM sh),
@@ -294,7 +294,7 @@ object OpsQueries {
       Some {
         val fam = Dedup.hashFamily(16 * 2, 42L)
         val slots = fam.map { case (a, b) =>
-          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2147483647))"
         }.mkString("[", ",\n                 ", "]")
         s"""WITH RECURSIVE $duckShingles200,
             ids AS (SELECT doc_id, list_transform(sh, s -> ${duckFp("s")}) AS ids FROM sh),
@@ -910,7 +910,7 @@ object OpsQueries {
       Some {
         val fam = Dedup.hashFamily(16 * 2, 42L)
         val slots = fam.map { case (a, b) =>
-          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2305843009213693951))"
+          s"list_min(list_transform(ids, x -> (x*$a + $b) % 2147483647))"
         }.mkString("[", ",\n                 ", "]")
         def shingleCtes(p: String, src: String) =
           s"""${p}w AS (SELECT doc_id, $duckWords AS w FROM $src),

@@ -204,11 +204,11 @@ object GraftFunctions {
       info("graft_minhash", "graft_minhash(text[, n, k, seed]) - k-slot MinHash signature of the word n-gram shingle set"),
       (args: Seq[Expression]) => {
         def build(c: Expression, n: Int, k: Int, seed: Long): Expression = {
-          // ids = xxhash64(shingle) masked to 32 bits (the affine
-          // kernel's no-overflow bound) — Dedup.minhashSignature's default
+          // ids = xxhash64(shingle) masked to 31 bits (the affine
+          // kernel's input domain) — Dedup.minhashSignature's default
           val x = NamedLambdaVariable("x", StringType, nullable = true)
           val ids = ArrayTransform(shinglesExpr(c, n),
-            LambdaFunction(BitwiseAnd(XxHash64(Seq(x), 42L), Literal(0xFFFFFFFFL)), Seq(x)))
+            LambdaFunction(BitwiseAnd(XxHash64(Seq(x), 42L), Literal(0x7FFFFFFFL)), Seq(x)))
           val fam = graft.ops.Dedup.hashFamily(k, seed)
           graft.compile.MinHashSignature(ids, fam.map(_._1), fam.map(_._2))
         }

@@ -304,14 +304,15 @@ class OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(80)
-    // reference (multi-pass) formulations, as originally implemented
-    val ids32 = transform(Dedup.shingles(col("text"), 2),
-      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    // reference (multi-pass) formulations — 31-bit ids, wrapping modulus
+    // 2^31-1 (see Dedup.hashFamily for why the modulus must be small)
+    val ids31 = transform(Dedup.shingles(col("text"), 2),
+      s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)))
     val rnd = new scala.util.Random(42L)
     val fam = Seq.fill(16)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
       rnd.nextInt(Int.MaxValue).toLong))
     val refMinhash = array(fam.map { case (a, b) =>
-      array_min(transform(ids32, x => pmod(x * lit(a) + lit(b), lit(2305843009213693951L))))
+      array_min(transform(ids31, x => pmod(x * lit(a) + lit(b), lit(2147483647L))))
     }: _*)
     val ids = transform(Dedup.shingles(col("text"), 2), s => xxhash64(s))
     val refSimhash = (0 until 64).map { b =>
