@@ -663,22 +663,63 @@ object KernelCompiler {
         case ArrayType(t, _) => t
         case _ => return PassEv
       }
-      et match {
-        case ByteType | ShortType | IntegerType | LongType | BooleanType | StringType => ()
-        case _ => throw Unsupported(s"uniqueItems over ${et.simpleString}")
-      }
+      val norm = uniqueNormalizer(et)
       check(v => {
         val arr = v.asInstanceOf[ArrayData]
         val n = arr.numElements()
         val seen = new java.util.HashSet[Any](n * 2)
         var i = 0; var distinct = 0
         while (i < n) {
-          val e = if (arr.isNullAt(i)) null else arr.get(i, et)
+          val e = if (arr.isNullAt(i)) null else norm(arr.get(i, et))
           if (seen.add(e)) distinct += 1
           i += 1
         }
         distinct == n
       }, "uniqueItems", msg)
+    }
+
+    /** Element → a value with Spark-equality semantics under Java
+      * equals/hashCode, so HashSet dedup matches v1's `array_distinct`:
+      * UTF8String and the boxed primitives already compare by value,
+      * including the float edges: array_distinct uses java compare
+      * semantics, under which NaN = NaN dedups and -0.0 ≠ 0.0 stays
+      * distinct — exactly what boxed equals/hashCode do, so identity is
+      * correct (parity-pinned in KernelParitySpec); nested arrays and
+      * structs normalize recursively into Vectors (deep structural
+      * dedup — jsen's lib/equal.js over unique, SURVEY §2.5). Map
+      * elements stay unsupported exactly like v1 (Spark has no map
+      * equality — array_distinct over array<map> is an analysis
+      * error). */
+    private def uniqueNormalizer(dt: DataType): Any => Any = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           StringType | DateType | TimestampType | TimestampNTZType |
+           FloatType | DoubleType | _: DecimalType => identity
+      case ArrayType(et, _) =>
+        val n = uniqueNormalizer(et)
+        v => {
+          val a = v.asInstanceOf[ArrayData]
+          val m = a.numElements()
+          val out = Vector.newBuilder[Any]
+          var i = 0
+          while (i < m) {
+            out += (if (a.isNullAt(i)) null else n(a.get(i, et)))
+            i += 1
+          }
+          out.result()
+        }
+      case st: StructType =>
+        val fields = st.fields.map(f => (f.dataType, uniqueNormalizer(f.dataType)))
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          val out = Vector.newBuilder[Any]
+          var i = 0
+          while (i < fields.length) {
+            out += (if (row.isNullAt(i)) null else fields(i)._2(row.get(i, fields(i)._1)))
+            i += 1
+          }
+          out.result()
+        }
+      case other => throw Unsupported(s"uniqueItems over ${other.simpleString}")
     }
 
     private def kItems(schema: JObj, dt: DataType, stack: Stack): Option[Ev] = {

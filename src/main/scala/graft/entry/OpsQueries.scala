@@ -524,6 +524,60 @@ object OpsQueries {
               SELECT query_id, neighbor_id, sim, rank::INT AS rank
               FROM rr WHERE rank <= 5""")),
 
+    // the same IVF probe with the centroid matrix round-tripped through
+    // the persisted-index surface (save -> manifest-checked load): pins
+    // that persisted centroids reproduce the direct result bit-for-bit
+    Q("q_ann_ivf_persisted",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val pivots = Seq(7L, 68L, 129L, 190L, 251L, 312L, 373L, 434L)
+        val centroids = e.where(col("vec_id").isin(pivots: _*))
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivf-index").toString
+        graft.pipeline.IndexStore.saveCentroids(s, centroids, dir)
+        Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, dim = 64,
+          centroids = graft.pipeline.IndexStore.loadCentroids(s, dir),
+          nprobe = 2)
+      },
+      Some("""WITH ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS c
+                FROM ev WHERE vec_id IN (7,68,129,190,251,312,373,434)),
+              dist AS (
+                SELECT ev.vec_id, piv.j,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (ev.v[i]-piv.c[i])*(ev.v[i]-piv.c[i])), (a,b) -> a+b) AS dsq
+                FROM ev, piv),
+              ranked AS (
+                SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dsq, j) AS rn
+                FROM dist),
+              cells AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1),
+              probes AS (SELECT vec_id, j AS cell FROM ranked
+                         WHERE rn <= 2 AND vec_id < 8),
+              cand AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM probes q JOIN cells c
+                  ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+              scored AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                  round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+                FROM cand
+                JOIN ev qe ON qe.vec_id = cand.query_id
+                JOIN ev ce ON ce.vec_id = cand.neighbor_id),
+              rr AS (
+                SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+              SELECT query_id, neighbor_id, sim, rank::INT AS rank
+              FROM rr WHERE rank <= 5""")),
+
     // words() is bound in its own projection: CollapseProject keeps a
     // non-cheap multiply-referenced alias un-inlined, so the tokenization
     // HOF runs once per row instead of once per language

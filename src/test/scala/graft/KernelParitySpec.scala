@@ -250,6 +250,36 @@ class KernelParitySpec extends SparkSpec {
         "isTrue" -> Left("^true$")))
   }
 
+  test("deep uniqueItems: nested arrays, structs, and float edge values") {
+    val schema = StructType(Seq(
+      StructField("nested", ArrayType(ArrayType(IntegerType)), nullable = true),
+      StructField("recs", ArrayType(StructType(Seq(
+        StructField("a", IntegerType, nullable = true),
+        StructField("b", StringType, nullable = true)))), nullable = true),
+      StructField("ds", ArrayType(DoubleType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(Seq(1, 2), Seq(3)), Seq(Row(1, "x"), Row(2, "y")), Seq(1.0, 2.0)),
+      Row(Seq(Seq(1, 2), Seq(1, 2)), Seq(Row(1, "x"), Row(1, "x")), Seq(0.0, -0.0)),
+      Row(Seq(Seq(1, null), Seq(1, null)), Seq(Row(null, "x"), Row(null, "x")),
+        Seq(Double.NaN, Double.NaN)),
+      Row(null, null, Seq(1.5, 1.5, 2.5)),
+      Row(Seq[Seq[Int]](), Seq[Row](), Seq[Double]()))
+    val df = spark.createDataFrame(rows, schema)
+    bothModes(
+      """{"properties":{
+           "nested":{"uniqueItems":true},
+           "recs":{"uniqueItems":true},
+           "ds":{"uniqueItems":true}}}""",
+      df)
+    // sanity on the semantics themselves (not just parity): row 1 has
+    // dups in every column, row 0 none
+    val v = Validator("""{"properties":{
+        "nested":{"uniqueItems":true},"recs":{"uniqueItems":true},
+        "ds":{"uniqueItems":true}}}""")
+    val valids = v.withValidation(df).select("valid").collect().map(_.getBoolean(0))
+    assert(valids.toSeq == Seq(true, false, false, false, true), valids.toSeq.toString)
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
     // Column-function custom formats are inherently v1-only (arbitrary
     // Catalyst trees); the plan must NOT contain the kernel expression
