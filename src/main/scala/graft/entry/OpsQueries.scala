@@ -724,6 +724,72 @@ object OpsQueries {
                      ELSE ((doc_id % 1000) + 1) * 4 END)::BIGINT AS data_bytes
               FROM documents""")),
 
+    // FLAC STREAMINFO + MP3 frame-header parsing over genuine container
+    // bytes built per row (bit-packing the STREAMINFO u64 / assembling
+    // the Layer-III header, with an ID3v2 prefix on every 5th doc to
+    // exercise the syncsafe skip); the oracle restates the expected
+    // fields arithmetically — any mis-read bit diverges
+    Q("q_audio_containers",
+      (s, d) => {
+        val id = col("doc_id")
+        // FLAC: fLaC + last-block STREAMINFO (type 0, len 34)
+        val fRate = (lit(8000) + pmod(id, lit(12)) * 4000).cast("long")
+        val fCh = (pmod(id, lit(8)) + 1).cast("long")
+        val fBits = when(pmod(id, lit(2)) === 0, 16L).otherwise(24L)
+        val fTotal = (pmod(id, lit(100000)) * 1000).cast("long")
+        val packed = fRate * lit(1L << 44) + (fCh - 1) * lit(1L << 41) +
+          (fBits - 1) * lit(1L << 36) + fTotal
+        val flacBytes = unhex(concat(lit("664C6143"), lit("80000022"),
+          lit("0" * 20), lpad(hex(packed), 16, "0"), lit("0" * 32)))
+        val flac = when(pmod(id, lit(9)) === 0, encode(col("text"), "UTF-8"))
+          .otherwise(flacBytes)
+        // MP3: FF + (sync|version|layerIII) + (bitrateIdx|rateIdx) + mode
+        val vsel = pmod(id, lit(3))
+        val b1 = when(vsel === 0, lit("FB")).when(vsel === 1, lit("F3"))
+          .otherwise(lit("E3"))
+        val bIdx = (pmod(id, lit(14)) + 1).cast("int")
+        val rIdx = pmod(floor(id / 3).cast("long"), lit(3)).cast("int")
+        val byte2 = lpad(hex(shiftleft(bIdx, 4).bitwiseOR(shiftleft(rIdx, 2))), 2, "0")
+        val b3 = when(pmod(id, lit(2)) === 0, lit("C0")).otherwise(lit("00"))
+        val core = concat(lit("FF"), b1, byte2, b3)
+        val id3 = concat(lit("494433040000"), lit("00000011"), lit("00" * 17))
+        val mp3Hex = when(pmod(id, lit(5)) === 0, concat(id3, core)).otherwise(core)
+        val mp3 = when(pmod(id, lit(7)) === 0, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(mp3Hex))
+        T(s, d, "documents").select(id,
+          Multimodal.flacMeta(flac).as("f"), Multimodal.mp3Meta(mp3).as("m"))
+          .select(id,
+            col("f.channels").as("f_channels"),
+            col("f.sample_rate").as("f_rate"),
+            col("f.bits").as("f_bits"),
+            col("f.total_samples").as("f_total"),
+            col("m.mpeg_version").as("m_version"),
+            col("m.bitrate_kbps").as("m_kbps"),
+            col("m.sample_rate").as("m_rate"),
+            col("m.channels").as("m_channels"))
+      },
+      Some("""SELECT doc_id,
+               (CASE WHEN doc_id % 9 = 0 THEN NULL ELSE (doc_id % 8) + 1 END)::INT AS f_channels,
+               (CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 8000 + (doc_id % 12) * 4000 END)::INT AS f_rate,
+               (CASE WHEN doc_id % 9 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END)::INT AS f_bits,
+               (CASE WHEN doc_id % 9 = 0 THEN NULL ELSE (doc_id % 100000) * 1000 END)::BIGINT AS f_total,
+               (CASE WHEN doc_id % 7 = 0 THEN NULL
+                     WHEN doc_id % 3 = 0 THEN 1
+                     WHEN doc_id % 3 = 1 THEN 2 ELSE 25 END)::INT AS m_version,
+               (CASE WHEN doc_id % 7 = 0 THEN NULL
+                     WHEN doc_id % 3 = 0
+                       THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[(doc_id % 14) + 2]
+                     ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[(doc_id % 14) + 2]
+                END)::INT AS m_kbps,
+               (CASE WHEN doc_id % 7 = 0 THEN NULL
+                     ELSE ([44100,48000,32000])[((doc_id // 3) % 3) + 1]
+                          // (CASE WHEN doc_id % 3 = 0 THEN 1
+                                  WHEN doc_id % 3 = 1 THEN 2 ELSE 4 END)
+                END)::INT AS m_rate,
+               (CASE WHEN doc_id % 7 = 0 THEN NULL
+                     WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)::INT AS m_channels
+              FROM documents""")),
+
     Q("q_multimodal_media",
       (s, d) => {
         val media = Multimodal.asMedia(T(s, d, "documents").where(col("doc_id") < 50),

@@ -86,12 +86,20 @@ object Curation {
       else exactDeduped
     val crossDeduped = cfg.dedupAgainst match {
       case Some(ref) =>
-        val hits = Dedup.crossCorpusDuplicates(nearDeduped, ref, idCol, textCol,
+        // the upstream chain (line dedup + redaction + scoring + exact
+        // dedup) feeds the cross stage THREE times (banding, shingle
+        // verify, final anti-join) — persist it for the duration of the
+        // eager hit computation, then release; the drop set itself is
+        // small and checkpointed, so the final anti-join's only upstream
+        // re-evaluation is the one unavoidable post-release pass
+        val cached = nearDeduped.persist()
+        val hits = Dedup.crossCorpusDuplicates(cached, ref, idCol, textCol,
           cfg.nearDedupThreshold, cfg.crossShingleN, cfg.crossBands,
           cfg.crossRowsPerBand, shingleId = cfg.crossShingleId)
-        nearDeduped.join(
-          broadcast(hits.select(col("new_id").as(idCol)).distinct()),
-          Seq(idCol), "left_anti")
+        val dropIds = hits.select(col("new_id").as(idCol)).distinct()
+          .localCheckpoint(true)
+        cached.unpersist(false)
+        nearDeduped.join(broadcast(dropIds), Seq(idCol), "left_anti")
       case None => nearDeduped
     }
     val decontaminated = cfg.decontaminateAgainst match {

@@ -60,6 +60,23 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
+  /** REAL FLAC STREAMINFO metadata — (channels, sample_rate, bits,
+    * total_samples); same no-codec contract as [[wavMeta]]. */
+  def flacMeta(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.FlacMeta(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** REAL MP3 frame-header metadata — (mpeg_version, bitrate_kbps,
+    * sample_rate, channels), ID3v2 prefixes skipped; same no-codec
+    * contract as [[wavMeta]]. */
+  def mp3Meta(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.Mp3Meta(
+      ColumnBridge.expression(payload)))
+  }
+
   /** STUB image decode: deterministic fake dimensions derived from payload
     * length and first bytes. Real impl: a mapInArrow batch decoder with
     * this exact output schema. */

@@ -494,6 +494,58 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == null && got(3L) == null)
   }
 
+  test("flacMeta parses a real STREAMINFO block; corrupt payloads are NULL") {
+    // 44.1kHz stereo 16-bit, 1,000,000 total samples:
+    // packed = 44100<<44 | 1<<41 | 15<<36 | 1000000
+    val packed = (44100L << 44) | (1L << 41) | (15L << 36) | 1000000L
+    val flac = hex("664C6143 80000022" + "00" * 10 +
+      f"$packed%016X" + "00" * 16)
+    // STREAMINFO behind a preceding VORBIS_COMMENT-style block (type 4)
+    val chained = hex("664C6143 04000002 ABCD 80000022" + "00" * 10 +
+      f"$packed%016X" + "00" * 16)
+    val rows = Seq(
+      (1L, flac), (2L, chained),
+      (3L, "fLaCnope".getBytes("UTF-8")),        // marker but no block
+      (4L, "not flac at all".getBytes("UTF-8")),
+      (5L, flac.take(20)),                        // truncated STREAMINFO
+      (6L, null)).toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.flacMeta(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else { val m = r.getStruct(1); (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)) }))
+      .toMap
+    assert(got(1L) == (2, 44100, 16, 1000000L), got(1L).toString)
+    assert(got(2L) == (2, 44100, 16, 1000000L))
+    assert(got(3L) == null && got(4L) == null && got(5L) == null && got(6L) == null)
+  }
+
+  test("mp3Meta parses Layer-III frame headers incl. ID3v2 skip; corrupt are NULL") {
+    // MPEG1 L3 128kbps 44.1kHz stereo: FF FB 90 00 (bitrateIdx 9, rateIdx 0)
+    val v1 = hex("FFFB9000")
+    // MPEG2 L3 64kbps 22.05kHz mono: FF F3 A0 C0 (idx 10 -> 96? no: v2 table idx 10 = 96)
+    val v2 = hex("FFF3A0C0")
+    // MPEG2.5: FF E3 10 00 (idx 1 -> 8kbps, rateIdx 0 -> 11025)
+    val v25 = hex("FFE31000")
+    // ID3v2 prefix (size 17 syncsafe) then the v1 frame
+    val id3 = hex("494433040000 00000011" + "00" * 17 + "FFFB9000")
+    val rows = Seq(
+      (1L, v1), (2L, v2), (3L, v25), (4L, id3),
+      (5L, hex("FFFD9000")),                      // layer II -> unsupported
+      (6L, hex("FFFB00F0")),                      // free bitrate / bad rate idx
+      (7L, "plain text".getBytes("UTF-8")),
+      (8L, null)).toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.mp3Meta(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else { val m = r.getStruct(1); (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3)) }))
+      .toMap
+    assert(got(1L) == (1, 128, 44100, 2), got(1L).toString)
+    assert(got(2L) == (2, 96, 22050, 1), got(2L).toString)
+    assert(got(3L) == (25, 8, 11025, 2), got(3L).toString)
+    assert(got(4L) == (1, 128, 44100, 2), got(4L).toString)
+    assert(got(5L) == null && got(6L) == null && got(7L) == null && got(8L) == null)
+  }
+
   // ---- LSH hot-bucket guards (the 100-TB skew hazard): 10^4 identical
   // ---- docs collapse every band/chunk bucket into one degenerate group
   // ---- whose unguarded self-join is O(10^8) pairs in a single task ----
