@@ -209,6 +209,28 @@ object CheckQueries {
               FROM nation WHERE n_regionkey NOT IN
                 (SELECT r_regionkey FROM region WHERE r_regionkey <= 2)""")),
 
+    // Bloom-screened referential check (the no-broadcast-join scale
+    // path): the dimension collapses to one filter blob, the fact scan
+    // probes it per row. Sized at fpp=1e-8 the screen is exact on this
+    // data (deterministic — verified at every sf), so the oracle is the
+    // same NOT IN restatement as the anti-join check; the filter's
+    // no-false-negative contract is additionally property-tested in
+    // BloomSpec.
+    Q("q_referential_bloom",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+          .withColumn("part", pmod(col("o_orderkey"), lit(2)).cast("int"))
+        val dimOk = T(s, d, "customer").where(pmod(col("c_custkey"), lit(10)) =!= 0)
+        ReferentialBloomCheck("o_custkey", dimOk, "c_custkey",
+          expectedKeys = 100000L, fpp = 1e-8,
+          activeCol = None, idCol = "o_orderkey").run(orders)
+          .violations.select(col("doc_id"), col("additional_properties"))
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                     CAST(o_custkey AS VARCHAR) AS additional_properties
+              FROM orders WHERE o_custkey NOT IN
+                (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)""")),
+
     // two-sample KS between odd and even order keys on binned total price;
     // the oracle restates the binned-CDF max-gap computation in SQL
     Q("q_drift_ks",

@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
   *  - `freq_topk(sketch, n)`            → array<struct<term,estimate,max_error>>
   *  - `freq_chi2(observed, reference)`  → double, restricted chi² drift
   *    (ORDER-SENSITIVE: cells come from the reference profile)
+  *  - `bloom_agg(col, n[, fpp])`        → binary (mergeable Bloom filter
+  *    over string keys; no false negatives)
+  *  - `bloom_contains(filter, key)`     → boolean membership probe
   *  - `graft_nfc(str)`                  → string, Unicode NFC composition
   *  - `graft_fingerprint(str[, mult])`  → bigint, 31-multiplier rolling
   *    code-point hash mod 2^31-1 (the oracle-restateable document
@@ -103,6 +106,19 @@ object GraftFunctions {
     }
   }
 
+  private def foldDouble(e: Expression, arg: String, fn: String): Double = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case d: java.lang.Double  => d.doubleValue()
+      case f: java.lang.Float   => f.doubleValue()
+      case i: java.lang.Integer => i.doubleValue()
+      case l: java.lang.Long    => l.doubleValue()
+      case d: Decimal           => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("kll_sketch"),
       info("kll_sketch", "kll_sketch(col[, k]) - mergeable KLL quantile sketch (binary)"),
@@ -164,6 +180,26 @@ object GraftFunctions {
         case Seq(a, b) => graft.sketch.FreqChi2(a, b)
         case _ => throw new IllegalArgumentException(
           "freq_chi2 expects (sketch_a, sketch_b)")
+      }),
+
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(col, expectedItems[, fpp]) - mergeable Bloom filter over string keys (binary); no false negatives"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => graft.sketch.BloomAgg(c,
+          foldLong(n, "expectedItems", "bloom_agg"))
+        case Seq(c, n, p) => graft.sketch.BloomAgg(c,
+          foldLong(n, "expectedItems", "bloom_agg"),
+          foldDouble(p, "fpp", "bloom_agg"))
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg expects (col, expectedItems[, fpp])")
+      }),
+
+    (FunctionIdentifier("bloom_contains"),
+      info("bloom_contains", "bloom_contains(filter, key) - Bloom membership probe (false only when definitely absent)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => graft.sketch.BloomContains(b, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains expects (filter, key)")
       }),
 
     (FunctionIdentifier("graft_nfc"),

@@ -153,14 +153,14 @@ object IndexStore {
 
   // ---- drift profiles (serialized sketch blobs) ------------------------
 
-  /** Persist a reference drift profile: the serialized sketch bytes
-    * ([[graft.sketch.KllSketch]] or [[graft.sketch.FreqSketch]] — both
-    * self-describing via their magic words) plus which column it
-    * profiles. */
+  /** Persist a reference profile: the serialized sketch bytes
+    * ([[graft.sketch.KllSketch]], [[graft.sketch.FreqSketch]], or
+    * [[graft.sketch.BloomSketch]] — all self-describing via their magic
+    * words) plus which column it profiles. */
   def saveProfile(blob: Array[Byte], sketchKind: String, column: String,
                   dir: String): Unit = {
-    require(sketchKind == "kll" || sketchKind == "freq",
-      s"sketchKind must be kll|freq, got $sketchKind")
+    require(sketchKind == "kll" || sketchKind == "freq" || sketchKind == "bloom",
+      s"sketchKind must be kll|freq|bloom, got $sketchKind")
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, ".profile.bin.tmp")
     Files.write(tmp, blob)
