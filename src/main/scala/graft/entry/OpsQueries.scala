@@ -578,6 +578,51 @@ object OpsQueries {
               SELECT query_id, neighbor_id, sim, rank::INT AS rank
               FROM rr WHERE rank <= 5""")),
 
+    // bigram-LM perplexity scoring (the CCNet-style fluency filter):
+    // train counts on the corpus, score the same corpus; every count,
+    // the smoothing arithmetic, and the order-independent decimal
+    // accumulation are restated verbatim in the oracle
+    Q("q_lm_score",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
+        LmScore.crossEntropy(docs, "doc_id", "text", model)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> x <> '') AS w
+              FROM documents),
+              nz AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+              toks AS (SELECT doc_id, unnest(w) AS term FROM nz),
+              t AS (SELECT count(*) AS total FROM toks),
+              unir AS (SELECT term, count(*) AS n,
+                         row_number() OVER (ORDER BY count(*) DESC, term ASC) AS r
+                       FROM toks GROUP BY term),
+              uni AS (SELECT term, n FROM unir WHERE r <= 500),
+              v AS (SELECT count(*) AS vs FROM uni),
+              pairs AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+                        FROM nz, unnest(range(0, len(w)-1)) AS u(i)),
+              bir AS (SELECT w1, w2, count(*) AS n,
+                        row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS r
+                      FROM pairs p
+                      WHERE EXISTS (SELECT 1 FROM uni WHERE term = p.w1)
+                        AND EXISTS (SELECT 1 FROM uni WHERE term = p.w2)
+                      GROUP BY w1, w2),
+              bi AS (SELECT w1, w2, n FROM bir WHERE r <= 2000),
+              sc AS (SELECT p.doc_id,
+                       round(ln((coalesce(b.n, 0) +
+                           1.0 * (coalesce(u2.n, 0) + 1.0) / (t.total + v.vs + 1.0))
+                         / (coalesce(u1.n, 0) + 1.0)), 6)::DECIMAL(18,6) AS lp
+                     FROM pairs p
+                     LEFT JOIN uni u1 ON u1.term = p.w1
+                     LEFT JOIN uni u2 ON u2.term = p.w2
+                     LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+                     CROSS JOIN t CROSS JOIN v),
+              agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s
+                      FROM sc GROUP BY 1)
+              SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+                     round(-(a.s::DOUBLE) / a.n_bigrams, 6) AS cross_entropy
+              FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
     // words() is bound in its own projection: CollapseProject keeps a
     // non-cheap multiply-referenced alias un-inlined, so the tokenization
     // HOF runs once per row instead of once per language

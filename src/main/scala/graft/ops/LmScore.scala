@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated bigram language-model scoring — the relational analog of
+  * the CCNet/KenLM perplexity filter for web corpora: train compact
+  * n-gram counts on a reference corpus once, then score every candidate
+  * document's per-bigram cross-entropy against them and drop the tail.
+  * (A 5-gram KenLM is a C++ trie; this is the same signal re-expressed
+  * as two count tables and a broadcast join — weaker as a *model*,
+  * identical as a *pipeline shape*, and exactly verifiable.)
+  *
+  * Model: top-V unigrams by frequency (the vocabulary) and the bigram
+  * counts over that vocabulary, both exact hash aggregations with
+  * map-side partial combine; `maxBigrams` caps the conditional table by
+  * frequency so the model stays broadcastable at any corpus size.
+  *
+  * Scoring (Lidstone-smoothed interpolation, all counts exact):
+  *
+  *   p_uni(w)      = (n_uni(w) + 1) / (T + V + 1)        n_uni absent = 0
+  *   logp(w1, w2)  = ln( (n_bi(w1,w2) + α·p_uni(w2)) / (n_uni(w1) + α) )
+  *   cross_entropy = −mean over the doc's bigrams of logp
+  *
+  * Scale shape: the corpus tokenizes once and explodes to (doc, w1, w2)
+  * pairs; the model joins BROADCAST; the per-doc aggregation sums each
+  * bigram's logp ROUNDED TO 6 DECIMALS AS DECIMAL(18,6) — exact and
+  * order-independent, so the result is reproducible under any shuffle
+  * order and restateable verbatim in the gate oracle (the same
+  * discipline as [[Sessions.sessionStats]]'s decimal sum). Only (id,
+  * partial sums) cross the final exchange. */
+object LmScore {
+
+  /** (term, n) unigram counts over the top-V vocabulary; (w1, w2, n)
+    * bigram counts; T = total corpus tokens (incl. OOV); V = vocabulary
+    * size actually kept. */
+  final case class LmModel(uni: DataFrame, bi: DataFrame,
+                           totalTokens: Long, vocabSize: Long)
+
+  /** Train on a reference corpus. Vocabulary = top `topV` terms by
+    * (count desc, term asc) — a deterministic total order; bigrams keep
+    * the top `maxBigrams` pairs over the vocabulary by the same rule. */
+  def train(corpus: DataFrame, textCol: String,
+            topV: Int = 65536, maxBigrams: Int = 1 << 20): LmModel = {
+    val words = corpus.select(TextAnalysis.words(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val tokens = words.select(explode(col("ws")).as("term"))
+    val total = tokens.count()
+    val uni = tokens.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(topV)
+      .persist()
+    val vocabSize = uni.count() // also materializes the vocab for reuse
+    val pairs = words.select(posexplode(slice(col("ws"), lit(1),
+        greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")),
+        col("ws"))
+      .select(col("w1"), element_at(col("ws"), col("i") + 2).as("w2"))
+    val vocab1 = broadcast(uni.select(col("term").as("w1")))
+    val vocab2 = broadcast(uni.select(col("term").as("w2")))
+    val bi = pairs.join(vocab1, Seq("w1")).join(vocab2, Seq("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc).limit(maxBigrams)
+    LmModel(uni, bi, total, vocabSize)
+  }
+
+  /** Per-document cross-entropy against the model:
+    * (idCol, n_bigrams, cross_entropy) — documents with fewer than two
+    * words score NULL (no bigrams to judge). Lower is more fluent. */
+  def crossEntropy(df: DataFrame, idCol: String, textCol: String,
+                   model: LmModel, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val words = df.select(col(idCol).as("_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val pairs = words
+      .select(col("_id"), posexplode(slice(col("ws"), lit(1),
+        greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")), col("ws"))
+      .select(col("_id"), col("w1"), element_at(col("ws"), col("i") + 2).as("w2"))
+    val uni1 = broadcast(model.uni.select(col("term").as("w1"), col("n").as("n1")))
+    val uni2 = broadcast(model.uni.select(col("term").as("w2"), col("n").as("n2")))
+    val bi = broadcast(model.bi.select(col("w1"), col("w2"), col("n").as("nb")))
+    val pUni = (coalesce(col("n2"), lit(0L)).cast("double") + 1.0) /
+      lit(model.totalTokens + model.vocabSize + 1.0)
+    val logp = log(
+      (coalesce(col("nb"), lit(0L)).cast("double") + lit(alpha) * pUni) /
+      (coalesce(col("n1"), lit(0L)).cast("double") + lit(alpha)))
+    val scored = pairs
+      .join(uni1, Seq("w1"), "left")
+      .join(uni2, Seq("w2"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      // order-independent exact accumulation: round6 -> decimal sum
+      .select(col("_id"),
+        Rounding.roundAt(logp, 6).cast("decimal(18,6)").as("_lp"))
+    val perDoc = scored.groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("_lp").as("_sum"))
+      .select(col("_id"), col("n_bigrams"),
+        Rounding.roundAt(-col("_sum").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+    // keep zero-bigram docs (NULL score) — a filter should see them
+    df.select(col(idCol)).join(perDoc.withColumnRenamed("_id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+  }
+
+  /** The filter form: keep documents whose cross-entropy is at most
+    * `maxCrossEntropy` (drops the disfluent tail AND zero-bigram docs,
+    * which carry no evidence of fluency). */
+  def fluencyFilter(df: DataFrame, idCol: String, textCol: String,
+                    model: LmModel, maxCrossEntropy: Double,
+                    alpha: Double = 1.0): DataFrame = {
+    val ce = crossEntropy(df, idCol, textCol, model, alpha)
+      .where(col("cross_entropy") <= maxCrossEntropy)
+      .select(col(idCol))
+    df.join(ce, Seq(idCol))
+  }
+}

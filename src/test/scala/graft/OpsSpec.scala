@@ -842,6 +842,34 @@ class OpsSpec extends SparkSpec {
     assert(out == (20L until 30L).toSet, out.toString)
   }
 
+  test("LmScore: hand-computed smoothing arithmetic, OOV, and fluency filter") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b"), (3L, "c"), (4L, "z z"))
+      .toDF("doc_id", "text")
+    val model = LmScore.train(corpus, "text", topV = 10)
+    // T=8 tokens (a,b,a,a,b,c,z,z), vocab = {a:3, b:2, z:2, c:1}, V=4
+    assert(model.totalTokens == 8 && model.vocabSize == 4)
+    val biCounts = model.bi.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(biCounts == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("z", "z") -> 1L))
+    val got = LmScore.crossEntropy(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // p_uni(w) = (n+1)/(T+V+1) = (n+1)/13
+    val lpAB = r6(math.log((2 + 3.0 / 13) / 4))  // n_bi=2, p_uni(b)=3/13, n_a=3
+    val lpBA = r6(math.log((1 + 4.0 / 13) / 3))
+    val lpZZ = r6(math.log((1 + 3.0 / 13) / 3))
+    assert(got(1L) == ((2L, r6((lpAB + lpBA) / -2))), got(1L).toString)
+    assert(got(2L) == ((1L, -lpAB)), got(2L).toString)
+    assert(got(3L) == ((0L, null)))
+    assert(got(4L) == ((1L, -lpZZ)), got(4L).toString)
+    // filter keeps only docs at or under the threshold; NULL-score drops
+    val kept = LmScore.fluencyFilter(corpus, "doc_id", "text", model,
+      maxCrossEntropy = -lpAB + 1e-9).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), kept.toString)
+  }
+
   test("assignSplits: exhaustive, disjoint, near-target, stable") {
     val corpus = (0 until 10000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
     val out = Sampling.assignSplits(corpus, col("k"),
