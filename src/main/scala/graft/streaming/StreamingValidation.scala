@@ -35,6 +35,20 @@ object StreamingValidation {
         col("error.message").as("message"),
         col("error.additionalProperties").as("additional_properties"))
 
+  /** Streaming twin of [[graft.checks.ReferentialBloomCheck]]: flag
+    * events whose FK is DEFINITELY absent from a (persisted) dimension
+    * filter blob. Stateless — the blob rides as a literal, the probe is
+    * a per-row hash with no joins and no state store — so it composes
+    * with any output mode and never grows with the key universe; refresh
+    * the filter by restarting the query with a newer blob (the
+    * [[graft.pipeline.IndexStore]] "bloom" profile). */
+  def streamingReferentialBloom(stream: DataFrame, filterBlob: Array[Byte],
+                                fkCol: String): DataFrame = {
+    graft.sketch.BloomSketch.deserialize(filterBlob) // validate up front
+    stream.where(!graft.sketch.BloomFunctions.bloom_contains(
+      lit(filterBlob), col(fkCol).cast("string")))
+  }
+
   /** A duplicate-key sighting emitted by [[streamingDuplicates]]. */
   final case class DupEvent(key: String, occurrence: Long)
 

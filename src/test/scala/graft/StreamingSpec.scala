@@ -15,6 +15,26 @@ class StreamingSpec extends SparkSpec {
     """{"required":["doc_id"],"properties":{"n_tok":{"minimum":1,"maximum":100}}}""",
     compile.ValidatorOptions(greedy = true))
 
+  test("streaming bloom referential: definite violations flagged statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    // dimension: doc ids d0..d49 allowed
+    val blob = spark.range(50).select(concat(lit("d"), col("id")).as("k"))
+      .agg(graft.sketch.BloomFunctions.bloom_agg(col("k"), 50, 1e-9))
+      .head().getAs[Array[Byte]](0)
+    val source = MemoryStream[Ev]
+    val q = StreamingValidation.streamingReferentialBloom(
+      source.toDF(), blob, "doc_id")
+      .writeStream.format("memory").queryName("sv_bloom").outputMode("append").start()
+    try {
+      source.addData((0 until 80).map(i =>
+        Ev(s"d$i", i, Timestamp.valueOf("2026-01-01 00:00:10"))): _*)
+      q.processAllAvailable()
+      val flagged = spark.table("sv_bloom").select("doc_id")
+        .collect().map(_.getString(0)).toSet
+      assert(flagged == (50 until 80).map(i => s"d$i").toSet, flagged.toString)
+    } finally q.stop()
+  }
+
   test("streaming violations: stateless validate over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
