@@ -27,6 +27,10 @@ object DedupScaleBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "1000000").toLong
     require(n % 20 == 0, "row count must be divisible by 20")
+    // the planted hot-bucket structure needs cap (= nBoiler/5, floored at
+    // 100) to sit BELOW the boilerplate population
+    require(n >= 20000, s"row count $n too small: the boilerplate group " +
+      "(5% of rows) must exceed the hot-bucket cap")
     val nBase = n * 16 / 20   // 80%
     val nExact = n * 2 / 20   // 10%
     val nNear = n / 20        // 5%
@@ -62,7 +66,8 @@ object DedupScaleBench {
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
       corpus.repartition(64).write.mode("overwrite").parquet(dir)
     val docs = spark.read.parquet(dir)
-    // < nBoiler at any input size, so the degenerate group IS hot
+    // nBoiler/5 < nBoiler (and ≥ 200 given the n ≥ 20000 floor), so the
+    // degenerate group is always hot
     val cap = math.max(100L, nBoiler / 5).toInt
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -91,15 +96,17 @@ object DedupScaleBench {
     //    pairs (vs ~nBoiler²/2 unguarded); planted pairs survive.
     //    Expected (perfect recall): nExact exact + nNear near (base,near)
     //    + nNear (exact-clone, near-clone) pairs.
-    val pairsDf = timed("minhash_lsh_pairs") {
+    val boilerLo = nBase + nExact + nNear
+    // the timed block covers the FULL op including the exact-jaccard
+    // verification join (minhashDuplicates materializes banding + pairs
+    // eagerly, but the verify stage is lazy until the agg runs)
+    val stats = timed("minhash_lsh_pairs") {
       graft.ops.Dedup.minhashDuplicates(docs, "doc_id", "text",
         threshold = 0.5, shingleN = 2, maxBucket = cap)
+        .agg(count(lit(1)),
+          sum(when(col("id_a") >= boilerLo || col("id_b") >= boilerLo, 1L)
+            .otherwise(0L))).head()
     }
-    val boilerLo = nBase + nExact + nNear
-    val stats = pairsDf.agg(
-      count(lit(1)),
-      sum(when(col("id_a") >= boilerLo || col("id_b") >= boilerLo, 1L)
-        .otherwise(0L))).head()
     val nPairs = stats.getLong(0); val boilerPairs = stats.getLong(1)
     val expectedPairs = nExact + 2L * nNear
     require(boilerPairs == 0, s"guard leaked $boilerPairs boilerplate pairs")

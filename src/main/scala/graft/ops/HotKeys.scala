@@ -83,11 +83,20 @@ object HotKeys {
         log.warn(s"$op: dropping keys over $max rows from the window " +
           "pass; recover them via HotKeys.hotKeys on the same input")
         // broadcast conditional join, not an anti-join: the hot set is
-        // small by construction and the corpus side must not shuffle
-        val hot = broadcast(
-          hotKeys(df, keyCols, max).withColumn("_hot", lit(true)).drop("n"))
-        df.join(hot, keyCols, "left")
+        // small by construction and the corpus side must not shuffle.
+        // NULL-SAFE key equality is load-bearing: a NULL key is a classic
+        // degenerate hot key (unattributed events), and a name-based join
+        // would never match it — the guard would log a drop and keep
+        // every row
+        val hot = broadcast(hotKeys(df, keyCols, max)
+          .select(keyCols.zipWithIndex.map { case (k, i) =>
+            col(k).as(s"_hk$i") }: _*)
+          .withColumn("_hot", lit(true)))
+        val cond = keyCols.zipWithIndex
+          .map { case (k, i) => df(k) <=> hot(s"_hk$i") }
+          .reduce(_ && _)
+        df.join(hot, cond, "left")
           .where(col("_hot").isNull)
-          .drop("_hot")
+          .drop((keyCols.indices.map(i => s"_hk$i") :+ "_hot"): _*)
     }
 }

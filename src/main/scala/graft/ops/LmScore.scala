@@ -42,14 +42,23 @@ object LmScore {
     * the top `maxBigrams` pairs over the vocabulary by the same rule. */
   def train(corpus: DataFrame, textCol: String,
             topV: Int = 65536, maxBigrams: Int = 1 << 20): LmModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val words = corpus.select(TextAnalysis.words(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val tokens = words.select(explode(col("ws")).as("term"))
     val total = tokens.count()
-    val uni = tokens.groupBy("term").agg(count(lit(1)).as("n"))
+    // the vocabulary is bounded by topV (≤ 65k rows by default), so it
+    // COLLECTS to a local frame instead of persisting the distributed
+    // aggregation: no executor-cache lifetime to manage, and the two
+    // vocab joins below plus every scoring broadcast read driver-local
+    // data (the bigram table stays a lazy distributed frame — persist
+    // model.bi yourself if scoring many batches against one model)
+    val uniRows = tokens.groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term").asc).limit(topV)
-      .persist()
-    val vocabSize = uni.count() // also materializes the vocab for reuse
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val uni = uniRows.toDF("term", "n")
+    val vocabSize = uniRows.length.toLong
     val pairs = words.select(posexplode(slice(col("ws"), lit(1),
         greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")),
         col("ws"))

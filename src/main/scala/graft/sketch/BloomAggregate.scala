@@ -15,8 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * into a serialized [[BloomSketch]] (BinaryType). Same partial/final
   * shape as [[KllSketchAgg]]: each task fills a local filter, the
   * shuffle carries one bit-array blob per task, reducers OR — so a
-  * billion-key dimension becomes one compact broadcastable blob without
-  * the dimension's rows ever concentrating anywhere. */
+  * hundred-million-key dimension becomes one compact broadcastable blob
+  * without the dimension's rows ever concentrating anywhere (one filter
+  * tops out at 2^31 bits ≈ 150M keys at 1% fpp — [[BloomSketch.sized]]
+  * refuses beyond that; shard the key space for more). */
 final case class BloomAgg(
     child: Expression,
     expectedItems: Long,

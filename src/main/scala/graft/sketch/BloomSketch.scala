@@ -93,13 +93,26 @@ object BloomSketch {
 
   /** Size a filter for `expectedItems` keys at false-positive rate
     * `fpp`: m = -n·ln p / (ln 2)², k = (m/n)·ln 2 — rounded up to whole
-    * 64-bit words. */
+    * 64-bit words.
+    *
+    * The bit array is Int-indexed, so one filter tops out at 2^31 bits
+    * (~256 MB blob — already at the broadcast-size ceiling). That is
+    * ~150M keys at 1% fpp or ~300M at 10%; REFUSES a geometry that
+    * cannot honor the requested fpp rather than silently degrading it
+    * (the no-surprise rule for a screen whose contract is "misses ≈
+    * fpp"). Beyond that, shard by key range into several filters and OR
+    * the probes. */
   def sized(expectedItems: Long, fpp: Double): BloomSketch = {
     require(expectedItems >= 1, "expectedItems must be >= 1")
     require(fpp > 0 && fpp < 1, s"fpp ($fpp) must be in (0, 1)")
     val ln2 = math.log(2)
     val m0 = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
-    val m = math.min(Int.MaxValue.toLong / 64 * 64, ((m0 + 63) / 64) * 64)
+    val cap = Int.MaxValue.toLong / 64 * 64
+    require(m0 <= cap,
+      f"a single Bloom filter cannot hold $expectedItems%d keys at fpp=$fpp%g " +
+      f"($m0%d bits > $cap%d max): raise fpp or shard the key space into " +
+      "several filters and OR the probes")
+    val m = ((m0 + 63) / 64) * 64
     val k = math.max(1, math.min(32, math.round(m.toDouble / expectedItems * ln2).toInt))
     new BloomSketch(m.toInt, k)
   }

@@ -143,16 +143,36 @@ object FreqSketch {
   /** Inverse of [[FreqSketch.serialize]]. Rejects foreign or corrupt
     * blobs with a descriptive IllegalArgumentException: the magic/version
     * word is checked first, and every blob-encoded length is validated
-    * against the remaining byte budget before allocation. */
+    * against the remaining byte budget before allocation. Blobs written
+    * before the magic word existed (legacy layout: capacity first) are
+    * still readable — a capacity field can never collide with the magic
+    * (0x46515331 ≈ 1.18e9, far above any sane capacity), so detection is
+    * unambiguous; legacy parsing runs the same bounds validation. */
   def deserialize(bytes: Array[Byte]): FreqSketch = {
     def bad(msg: String) =
       throw new IllegalArgumentException(s"not a FreqSketch v1 blob: $msg")
-    if (bytes.length < 28) bad(s"${bytes.length} bytes is shorter than the header")
+    if (bytes.length < 24) bad(s"${bytes.length} bytes is shorter than the header")
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val magic = in.readInt()
-    if (magic != Magic)
-      bad(f"magic word 0x$magic%08x != 0x$Magic%08x ('FQS1')")
-    val capacity = in.readInt()
+    val first = in.readInt()
+    if (first == Magic) {
+      if (bytes.length < 28) bad(s"${bytes.length} bytes is shorter than the v1 header")
+      deserializeBody(bytes, in, headerBytes = 28, capacity = in.readInt())
+    } else if (first >= 1 && first <= (1 << 27)) {
+      // legacy (pre-magic) layout: capacity first. A plausible capacity
+      // can never collide with the magic constant (~1.18e9).
+      deserializeBody(bytes, in, headerBytes = 24, capacity = first)
+    } else {
+      bad(f"magic word 0x$first%08x != 0x$Magic%08x ('FQS1')")
+    }
+  }
+
+  /** Shared body parse: `in` positioned just after the capacity field;
+    * `headerBytes` = total fixed-header size for the remaining-byte
+    * budget. Validates every length before allocating. */
+  private def deserializeBody(bytes: Array[Byte], in: DataInputStream,
+                              headerBytes: Int, capacity: Int): FreqSketch = {
+    def bad(msg: String) =
+      throw new IllegalArgumentException(s"not a FreqSketch v1 blob: $msg")
     if (capacity < 1) bad(s"capacity $capacity < 1")
     val sk = new FreqSketch(capacity)
     val total = in.readLong()
@@ -160,8 +180,8 @@ object FreqSketch {
     if (total < 0 || off < 0) bad(s"negative total ($total) or offset ($off)")
     val n = in.readInt()
     if (n < 0 || n > capacity) bad(s"entry count $n outside [0, capacity=$capacity]")
-    // fixed header = 28 bytes; each entry needs >= 4 (len) + 16 (counts)
-    var remaining = bytes.length - 28
+    // each entry needs >= 4 (len) + 16 (counts) bytes
+    var remaining = bytes.length - headerBytes
     (0 until n).foreach { _ =>
       val len = in.readInt(); remaining -= 4
       if (len < 0 || len > remaining - 16)

@@ -27,6 +27,15 @@ class BloomSpec extends SparkSpec {
     assert(rate < 0.03, s"FP rate $rate far above the 0.01 spec")
   }
 
+  test("sized() refuses a geometry that cannot honor the requested fpp") {
+    val e = intercept[IllegalArgumentException](
+      BloomSketch.sized(1000000000L, 0.001))
+    assert(e.getMessage.contains("shard"), e.getMessage)
+    // the feasible edge still sizes fine
+    val ok = BloomSketch.sized(100000000L, 0.01)
+    assert(ok.numBits > 0 && ok.numHashes >= 1)
+  }
+
   test("blob round-trips; corrupt and mismatched-geometry inputs are rejected") {
     val sk = BloomSketch.sized(100, 0.001)
     sk.add("a".getBytes); sk.add("b".getBytes)

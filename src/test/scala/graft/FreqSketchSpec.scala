@@ -122,6 +122,23 @@ class FreqSketchSpec extends SparkSpec {
     FreqSketch.deserialize(blob) // the untouched blob still parses
   }
 
+  test("legacy (pre-magic) blobs still deserialize with full validation") {
+    // hand-build the legacy layout: capacity, total, offset, n, entries
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(8); out.writeLong(5L); out.writeLong(0L); out.writeInt(2)
+    for ((t, c, e) <- Seq(("alpha", 3L, 0L), ("beta", 2L, 0L))) {
+      val b = t.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+    }
+    val legacy = FreqSketch.deserialize(bos.toByteArray)
+    assert(legacy.capacity == 8 && legacy.totalSeen == 5 &&
+      legacy.estimate("alpha") == 3 && legacy.estimate("beta") == 2)
+    // corrupt legacy (entry count beyond capacity) still rejected
+    val evil = bos.toByteArray.clone(); evil(23) = 99.toByte
+    intercept[IllegalArgumentException](FreqSketch.deserialize(evil))
+  }
+
   test("freq drift: shifted categorical distribution fails, matching one passes") {
     import graft.checks.FreqDriftCheck
     val clean = (0 until 2000).map(i => (i.toLong, s"c${i % 5}"))

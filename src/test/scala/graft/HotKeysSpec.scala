@@ -97,6 +97,26 @@ class HotKeysSpec extends SparkSpec {
       3L -> ((600L, 1L, 88L))), got.toString)
   }
 
+  test("Drop guard catches a NULL hot key (null-safe membership join)") {
+    // unattributed events: the degenerate key IS null
+    val ev = spark.range(20000L).select(
+      when(col("id") < 19000L, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), col("id") % 10)).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_micros(col("id") * 1000000L).as("ts"))
+    val hot = HotKeys.hotKeys(ev, Seq("user_id"), 1000).collect()
+    assert(hot.map(r => Option(r.getString(0))).toSeq == Seq(None),
+      hot.mkString(","))
+    val guarded = Sessions.sessionize(ev, "user_id", "ts", "event_id", 60,
+      guard = SkewGuard.Drop(1000))
+    assert(guarded.where(col("user_id").isNull).count() == 0,
+      "NULL hot key leaked past the Drop guard")
+    assert(guarded.count() == 1000)
+    intercept[IllegalStateException](
+      Sessions.sessionize(ev, "user_id", "ts", "event_id", 60,
+        guard = SkewGuard.Raise(1000)))
+  }
+
   test("Off guard leaves the plan byte-identical to the unguarded formulation") {
     def norm(s: String) = s.replaceAll("#\\d+", "#") // strip expr ids
     val a = norm(Sessions.sessionize(events, "user_id", "ts", "event_id", 60)
