@@ -255,10 +255,12 @@ object ScalingBench {
     // whole-stage-codegen scan, the north-rule metric), "dedup" (the
     // MinHash band-join dedup over text synthesized from the token
     // arrays — a genuinely shuffle-bearing workload, evidencing that the
-    // engine's shuffle shapes scale too, not just its scans), or
-    // "session" (native session_window aggregation over events derived
+    // engine's shuffle shapes scale too, not just its scans), "session"
+    // (native session_window aggregation over events derived
     // deterministically from the token table — the exchange + sort +
-    // MergingSessions shape)
+    // MergingSessions shape), or "curate" (the full multi-stage curation
+    // composition — line dedup explode/rebuild + PII + scoring + exact
+    // dedup + splits — the end-to-end pipeline shape)
     val jobKind = sys.env.getOrElse("SPARK_GRAFT_SCALING_JOB", "validate")
 
     // host-weather probes bracket the whole alternating run (recorded
@@ -291,6 +293,13 @@ object ScalingBench {
               col("n_tok").cast("double").as("value"))
             graft.ops.Sessions.sessionStats(ev, "user", "ts", "value",
               gapSeconds = 600).count()
+          case "curate" =>
+            val txt = input.where(col("doc_id").isNotNull)
+              .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
+            // minQuality 0 keeps the downstream dedup/split stages fed
+            // (token-digit "words" score low on the alpha heuristic)
+            graft.ops.Curation.curate(txt, "doc_id", "text",
+              graft.ops.Curation.CurationConfig(minQuality = 0.0)).count()
           case "dedup" =>
             val txt = input.where(col("doc_id").isNotNull)
               .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
