@@ -27,8 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * constructs return None and the caller falls back to the v1 tree; as
   * of r4 that set is down to Column-function custom formats (arbitrary
   * Catalyst trees — inherently uncompilable here), custom regex formats
-  * on date/timestamp/nested values (JVM toString != Spark cast), deep
-  * uniqueItems over nested element types, and non-string map keys.
+  * on NESTED values (array/struct/map string casts), and non-string
+  * map keys.
   * Composite enum literals (deep structural equality incl. nested
   * arrays/structs/maps), open-schema MapType objects, and DecimalType
   * values (BigDecimal comparisons mirroring v1's Catalyst coercions —
@@ -37,18 +37,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KernelCompiler {
 
-  /** Serializable subset of [[ValidatorOptions]] a kernel can honor. */
+  /** Serializable subset of [[ValidatorOptions]] a kernel can honor.
+    * `timeZone` is the SESSION timezone captured at compile time — the
+    * one v1's `cast(ts AS STRING)` would use — so custom regex formats
+    * on timestamps render identically on every executor. */
   final case class KernelCfg(
       leftFormats: Map[String, String],
       customNames: Set[String],
       schemasJson: Option[String],
-      missingRef: Boolean) extends Serializable
+      missingRef: Boolean,
+      timeZone: String = "UTC") extends Serializable
 
   def cfgOf(opts: ValidatorOptions): KernelCfg = KernelCfg(
     opts.formats.collect { case (k, Left(re)) => k -> re },
     opts.formats.keySet,
     opts.schemas.map(Json.render),
-    opts.missingRef)
+    opts.missingRef,
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
   final case class Err(path: String, keyword: String,
                        message: String, additional: AnyRef)
@@ -254,15 +259,30 @@ object KernelCompiler {
         if (cfg.customNames.contains(name)) {
           val re = cfg.leftFormats.getOrElse(name,
             throw Unsupported(s"custom Column-function format $name"))
-          // v1 applies the regex to cast(value AS STRING); for these types
+          // v1 applies the regex to cast(value AS STRING). For scalars
           // the kernel value's Java toString is byte-identical to Spark's
           // cast (UTF8String/boxed primitive/Decimal all delegate to the
-          // same formatting). Dates, timestamps, and nested types format
-          // differently at the JVM level -> v1 fallback.
-          dt match {
+          // same formatting); dates and timestamps render through the
+          // SAME catalyst formatter classes Cast itself uses, so parity
+          // holds by construction. Only nested values (array/struct/map
+          // string casts) stay v1.
+          val render: Any => String = dt match {
             case StringType | BooleanType | ByteType | ShortType |
                  IntegerType | LongType | FloatType | DoubleType |
-                 _: DecimalType => ()
+                 _: DecimalType => v => v.toString
+            case DateType =>
+              val fmt = org.apache.spark.sql.catalyst.util.DateFormatter()
+              v => fmt.format(v.asInstanceOf[Int])
+            case TimestampType =>
+              val fmt = org.apache.spark.sql.catalyst.util.TimestampFormatter
+                .getFractionFormatter(
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .getZoneId(cfg.timeZone))
+              v => fmt.format(v.asInstanceOf[Long])
+            case TimestampNTZType =>
+              val fmt = org.apache.spark.sql.catalyst.util.TimestampFormatter
+                .getFractionFormatter(java.time.ZoneOffset.UTC)
+              v => fmt.format(v.asInstanceOf[Long])
             case other =>
               throw Unsupported(s"custom format on ${other.simpleString}")
           }
@@ -270,7 +290,7 @@ object KernelCompiler {
           val msg = messageFor(schema, "format", None).orNull
           parts += new Ev {
             def eval(v: Any, path: String, out: ErrBuf): Unit = {
-              val ok = v != null && p.matcher(v.toString).find()
+              val ok = v != null && p.matcher(render(v)).find()
               if (!ok) out.push(path, "format", msg)
             }
           }

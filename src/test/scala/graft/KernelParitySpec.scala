@@ -280,6 +280,26 @@ class KernelParitySpec extends SparkSpec {
     assert(valids.toSeq == Seq(true, false, false, false, true), valids.toSeq.toString)
   }
 
+  test("custom regex formats on date/timestamp values run through the kernel") {
+    val df = spark.range(120).select(
+      col("id"),
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")), col("id").cast("int")).as("d"),
+      // varying fractional micros incl. zero (trailing-fraction trimming)
+      timestamp_micros(col("id") * 86400000000L + col("id") % 3 * 123450L).as("ts"),
+      timestamp_micros(col("id") * 3600000000L + col("id") % 2 * 7L)
+        .cast("timestamp_ntz").as("tsn"))
+    bothModes(
+      """{"properties":{
+           "d":{"format":"jan26"},
+           "ts":{"format":"hasFrac"},
+           "tsn":{"format":"odd7"}}}""",
+      df,
+      formats = Map(
+        "jan26" -> Left("^2026-01-"),
+        "hasFrac" -> Left("\\.\\d+$"),
+        "odd7" -> Left("7$")))
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
     // Column-function custom formats are inherently v1-only (arbitrary
     // Catalyst trees); the plan must NOT contain the kernel expression
