@@ -26,14 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * every expectation-based suite running through this path. Unsupported
   * constructs return None and the caller falls back to the v1 tree; as
   * of r4 that set is down to Column-function custom formats (arbitrary
-  * Catalyst trees — inherently uncompilable here), custom regex formats
-  * on NESTED values (array/struct/map string casts), and non-string
-  * map keys.
+  * Catalyst trees — inherently uncompilable here) and non-string map
+  * keys.
   * Composite enum literals (deep structural equality incl. nested
-  * arrays/structs/maps), open-schema MapType objects, and DecimalType
+  * arrays/structs/maps), open-schema MapType objects, DecimalType
   * values (BigDecimal comparisons mirroring v1's Catalyst coercions —
-  * whole literals compare decimal-exact, fractional in double) are all
-  * kernel-native.
+  * whole literals compare decimal-exact, fractional in double), and
+  * custom regex formats on every value type (nested values render
+  * through an embedded catalyst Cast) are all kernel-native.
   */
 object KernelCompiler {
 
@@ -263,9 +263,10 @@ object KernelCompiler {
           // the kernel value's Java toString is byte-identical to Spark's
           // cast (UTF8String/boxed primitive/Decimal all delegate to the
           // same formatting); dates and timestamps render through the
-          // SAME catalyst formatter classes Cast itself uses, so parity
-          // holds by construction. Only nested values (array/struct/map
-          // string casts) stay v1.
+          // SAME catalyst formatter classes Cast itself uses; nested
+          // values (array/struct/map) and binary render through an
+          // actual catalyst Cast-to-string evaluated on the extracted
+          // value — parity with v1 holds by construction in every case.
           val render: Any => String = dt match {
             case StringType | BooleanType | ByteType | ShortType |
                  IntegerType | LongType | FloatType | DoubleType |
@@ -283,6 +284,21 @@ object KernelCompiler {
               val fmt = org.apache.spark.sql.catalyst.util.TimestampFormatter
                 .getFractionFormatter(java.time.ZoneOffset.UTC)
               v => fmt.format(v.asInstanceOf[Long])
+            case _: ArrayType | _: StructType | _: MapType | BinaryType |
+                 NullType =>
+              // delegate to Spark's own Cast so array/struct/map/binary
+              // rendering ([1, 2], {a, b}, {k -> v}, UTF-8 decode) tracks
+              // the engine exactly, including null-element style and any
+              // legacy-cast conf the executor session carries
+              val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  0, dt, nullable = true),
+                StringType, Option(cfg.timeZone))
+              v => {
+                val row = new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(Array[Any](v))
+                String.valueOf(cast.eval(row))
+              }
             case other =>
               throw Unsupported(s"custom format on ${other.simpleString}")
           }

@@ -300,6 +300,32 @@ class KernelParitySpec extends SparkSpec {
         "odd7" -> Left("7$")))
   }
 
+  test("custom regex formats on nested and binary values run through the kernel") {
+    // array/struct/map/binary values render through an embedded catalyst
+    // Cast-to-string in the kernel — exercise null elements (null-element
+    // style), struct field order, map arrow rendering, and UTF-8 decode
+    val df = spark.range(120).select(
+      col("id"),
+      array(col("id").cast("int"),
+        when(col("id") % 3 === 0, lit(null)).otherwise(col("id") * 2).cast("int")).as("arr"),
+      struct(col("id").cast("int").as("a"),
+        concat(lit("s"), col("id") % 7).as("b")).as("st"),
+      map(lit("k"), (col("id") % 5).cast("int")).as("mp"),
+      encode(concat(lit("b"), col("id") % 4), "UTF-8").as("bin"))
+    bothModes(
+      """{"properties":{
+           "arr":{"format":"endsEven"},
+           "st":{"format":"sThree"},
+           "mp":{"format":"kLow"},
+           "bin":{"format":"bOdd"}}}""",
+      df,
+      formats = Map(
+        "endsEven" -> Left("[048]\\]$"),
+        "sThree" -> Left("s3\\}$"),
+        "kLow" -> Left("-> [012]\\}$"),
+        "bOdd" -> Left("^b[13]$")))
+  }
+
   test("kernel falls back to v1 for unsupported constructs") {
     // Column-function custom formats are inherently v1-only (arbitrary
     // Catalyst trees); the plan must NOT contain the kernel expression
