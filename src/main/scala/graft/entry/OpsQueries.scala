@@ -578,6 +578,59 @@ object OpsQueries {
               SELECT query_id, neighbor_id, sim, rank::INT AS rank
               FROM rr WHERE rank <= 5""")),
 
+    // int8-quantized ANN with exact float re-rank, EXACT oracle: the
+    // quantization (floor half-up — floor, not round(), is IEEE-exact in
+    // both engines), the integer dots, and the one-sqrt-one-divide
+    // quantized cosine are all bit-reproducible, so the approx ranking
+    // matches exactly; the re-rank stage is the q_ann_topk computation
+    Q("q_ann_quantized",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        Similarity.quantizedTopK(
+          corpus = e, corpusId = "vec_id", corpusVec = "embedding",
+          queries = e.where(col("vec_id") < 8), queryId = "vec_id",
+          queryVec = "embedding", k = 5, rerank = 20)
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id, embedding,
+                  (CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END) AS s
+                FROM (SELECT vec_id, embedding,
+                        list_max(list_transform(embedding, x -> abs(x)))::DOUBLE AS m
+                      FROM embeddings)),
+              qv AS (
+                SELECT vec_id,
+                  list_transform(embedding,
+                    x -> floor(x::DOUBLE * s + 0.5)::BIGINT) AS q
+                FROM qz),
+              qn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS n FROM qv),
+              approx AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                  round(CASE WHEN qq.n * cc.n = 0 THEN -2.0
+                        ELSE list_dot_product(qq.q, cc.q) / (qq.n * cc.n) END,
+                        6) AS approx_sim
+                FROM qn qq JOIN qn cc ON cc.vec_id <> qq.vec_id
+                WHERE qq.vec_id < 8),
+              cand AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY approx_sim DESC, neighbor_id ASC) AS arank
+                FROM approx),
+              ev AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+              scored AS (
+                SELECT c.query_id, c.neighbor_id, c.approx_sim,
+                  round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+                FROM cand c
+                JOIN ev qe ON qe.vec_id = c.query_id
+                JOIN ev ce ON ce.vec_id = c.neighbor_id
+                WHERE c.arank <= 20),
+              ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+              SELECT query_id, neighbor_id, approx_sim, sim, rank::INT AS rank
+              FROM ranked WHERE rank <= 5""")),
+
     // bigram-LM perplexity scoring (the CCNet-style fluency filter):
     // train counts on the corpus, score the same corpus; every count,
     // the smoothing arithmetic, and the order-independent decimal
@@ -1351,5 +1404,113 @@ object OpsQueries {
                 (((tok_start + greatest(n_chars, 1) - 1) // 2048)
                   - (tok_start // 2048) + 1)::BIGINT AS n_packs_spanned
               FROM c""")),
+
+    // web-curation family: URLs are injected deterministically (the
+    // synthetic corpus has none) with identical concat arithmetic on both
+    // sides; every regex is RE2-safe and shared verbatim with the oracle
+    Q("q_url_signals",
+      (s, d) => {
+        val t2 = T(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" see http://h"),
+            (col("doc_id") % 50).cast("string"),
+            lit("."),
+            when(col("doc_id") % 7 === 0, lit("bad.test"))
+              .otherwise(lit("example.test")),
+            lit("/p/"), col("doc_id").cast("string"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" and https://Extra.Example.test/x?q="),
+                col("doc_id").cast("string"))).otherwise(lit(""))))
+        WebText.urlSignals(t2, "doc_id", "text")
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, text || ' see http://h' || (doc_id % 50)::VARCHAR ||
+                   '.' || (CASE WHEN doc_id % 7 = 0 THEN 'bad.test'
+                                   ELSE 'example.test' END) ||
+                   '/p/' || doc_id::VARCHAR ||
+                   (CASE WHEN doc_id % 3 = 0
+                        THEN ' and https://Extra.Example.test/x?q=' || doc_id::VARCHAR
+                        ELSE '' END) AS text2
+                 FROM documents),
+               u AS (SELECT doc_id,
+                       regexp_extract_all(text2, 'https?://[^\\s<>"'']+') AS urls
+                     FROM t),
+               ds AS (SELECT doc_id, urls,
+                        list_transform(urls, x ->
+                          lower(regexp_extract(x,
+                            'https?://([^/\\s:?#<>"'']+)', 1))) AS dall
+                      FROM u)
+               SELECT doc_id, len(urls)::BIGINT AS n_urls,
+                 list_filter(dall, (x, i) -> list_position(dall, x) = i) AS domains,
+                 coalesce(list_filter(dall, (x, i) -> list_position(dall, x) = i)[1],
+                          '') AS top_domain
+               FROM ds""")),
+
+    Q("q_domain_filter",
+      (s, d) => {
+        import s.implicits._
+        val t2 = T(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" http://h"),
+            (col("doc_id") % 50).cast("string"),
+            lit("."),
+            when(col("doc_id") % 7 === 0, lit("bad.test"))
+              .otherwise(lit("example.test")),
+            lit("/p/"), col("doc_id").cast("string")))
+        val blocked = Seq("bad.test", "h3.example.test").toDF("domain")
+        WebText.filterByDomainBlocklist(t2, "doc_id", "text", blocked, "domain")
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang, n_chars,
+                  'h' || (doc_id % 50)::VARCHAR || '.' ||
+                  (CASE WHEN doc_id % 7 = 0 THEN 'bad.test'
+                        ELSE 'example.test' END) AS domain
+                FROM documents),
+              m AS (
+                SELECT doc_id, lang, n_chars,
+                  list_filter(
+                    list_transform(range(1, len(string_split(domain, '.')) + 1),
+                      i -> array_to_string(string_split(domain, '.')[i:], '.')),
+                    s -> s IN ('bad.test', 'h3.example.test')) AS hits
+                FROM t)
+              SELECT doc_id, lang, n_chars FROM m WHERE len(hits) = 0""")),
+
+    Q("q_html_strip",
+      (s, d) => {
+        val html = T(s, d, "documents").withColumn("text",
+          concat(
+            lit("<html><head><title>T</title><style>body{color:red}</style>" +
+              "</head><body class=\"c\"><h1>Doc "),
+            col("doc_id").cast("string"),
+            lit("</h1>\n<p>"), col("text"),
+            lit(" &amp; more &lt;tags&gt; B&amp;lt;C</p><!-- hidden " +
+              "<b>bold</b> --><script type=\"text/javascript\">var x=1; " +
+              "</script></body></html>")))
+        html.select(col("doc_id"), WebText.stripMarkup(col("text")).as("clean"))
+      },
+      Some("""WITH h AS (
+                SELECT doc_id,
+                  '<html><head><title>T</title><style>body{color:red}</style>' ||
+                  '</head><body class="c"><h1>Doc ' || doc_id::VARCHAR ||
+                  '</h1>' || chr(10) || '<p>' || text ||
+                  ' &amp; more &lt;tags&gt; B&amp;lt;C</p><!-- hidden ' ||
+                  '<b>bold</b> --><script type="text/javascript">var x=1; ' ||
+                  '</script></body></html>' AS html
+                FROM documents),
+              s1 AS (SELECT doc_id,
+                regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+                FROM h),
+              s2 AS (SELECT doc_id,
+                regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+              s3 AS (SELECT doc_id,
+                regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+              s4 AS (SELECT doc_id,
+                regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+              s5 AS (SELECT doc_id,
+                replace(replace(replace(replace(replace(replace(t,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)
+              SELECT doc_id,
+                trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+              FROM s5""")),
   )
 }

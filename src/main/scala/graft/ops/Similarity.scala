@@ -283,4 +283,103 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  // ------------------------------------------------------------------
+  // int8 quantization — the memory/bandwidth scale path for ANN
+  // ------------------------------------------------------------------
+
+  /** Per-vector symmetric int8 scale: 127 / max|vᵢ| (1.0 for all-zero or
+    * NULL vectors so quantization stays well-defined). Computed in double
+    * from the float max — every step is a single correctly-rounded IEEE
+    * op, so the DuckDB oracle reproduces it bit-for-bit. */
+  def int8Scale(vec: Column): Column = {
+    val m = array_max(transform(vec, v => abs(v))).cast("double")
+    when(m.isNull || m === 0.0, lit(1.0)).otherwise(lit(127.0) / m)
+  }
+
+  /** qᵢ = floor(vᵢ·s + 0.5) — round-half-up via floor, NOT round():
+    * floor is exact in IEEE and identical across engines, while round()
+    * differs between Spark (BigDecimal on the binary expansion) and
+    * DuckDB (scaled double) at representation boundaries. Values land in
+    * [-127, 127] by construction of the scale. */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") * scale + lit(0.5)).cast("byte"))
+
+  /** Quantize an embedding table: (id, qvec array<tinyint>, qscale) —
+    * the persisted form is 1/4 the bytes of the float corpus. Narrow
+    * projection, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("qscale", int8Scale(col(vecCol)))
+      .withColumn("qvec", int8Quantize(col(vecCol), col("qscale")))
+      .select(idCol, "qvec", "qscale")
+
+  /** Exact integer dot of two quantized vectors (LONG) via the
+    * [[graft.compile.QuantizedDot]] kernel — one JVM loop per row. */
+  def dotQuantized(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.QuantizedDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The Column formulation of [[dotQuantized]] (parity oracle). */
+  private[graft] def dotQuantizedColumns(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quantized-cosine of two int8 vectors: the scales cancel in the
+    * cosine ratio, so this is just cosine over the integer vectors —
+    * integer dot and integer norms (exact), one sqrt and one division
+    * (correctly rounded) → bit-identical across engines. -2.0 (below any
+    * real cosine) when either quantized norm is zero. */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val denom = sqrt(dotQuantized(qa, qa).cast("double")) *
+      sqrt(dotQuantized(qb, qb).cast("double"))
+    when(denom === 0.0, lit(-2.0))
+      .otherwise(dotQuantized(qa, qb).cast("double") / denom)
+  }
+
+  /** ANN top-k over the QUANTIZED corpus with exact float re-rank: the
+    * candidate scan ranks by quantized cosine (reads 1/4 the bytes,
+    * integer math), keeps `rerank` candidates per query, then re-ranks
+    * those with the exact float cosine to emit k.
+    *
+    * Scale shape: queries are quantized and BROADCAST (both stages); the
+    * corpus scan is narrow over the small quantized table; only the
+    * `rerank`-bounded candidate ids travel to the float re-join (AQE
+    * broadcasts them), so the full-precision corpus never shuffles.
+    * Output: (query_id, neighbor_id, approx_sim, sim, rank). */
+  def quantizedTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    k: Int, rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    // norms are per-side, not per-pair: bind them once on each frame so
+    // the pair scan does ONE integer dot + one divide per candidate
+    val qc = quantizeInt8(corpus, corpusId, corpusVec)
+      .select(col(corpusId).as("neighbor_id"), col("qvec").as("cq"))
+      .withColumn("cn", sqrt(dotQuantized(col("cq"), col("cq")).cast("double")))
+    val qq = broadcast(quantizeInt8(queries, queryId, queryVec)
+      .select(col(queryId).as("query_id"), col("qvec").as("qq"))
+      .withColumn("qn", sqrt(dotQuantized(col("qq"), col("qq")).cast("double"))))
+    val approx = qc.join(qq, col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_sim", Rounding.roundAt(
+        when(col("qn") * col("cn") === 0.0, lit(-2.0))
+          .otherwise(dotQuantized(col("qq"), col("cq")).cast("double") /
+            (col("qn") * col("cn"))), 6))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= r)
+      .select("query_id", "neighbor_id", "approx_sim")
+    val qv = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv")))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    val exact = cand.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("sim", Rounding.roundAt(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_sim", "sim", "rank")
+  }
 }

@@ -241,6 +241,44 @@ class OpsSpec extends SparkSpec {
     assert(one.collect().forall(_.getAs[Double]("sim") == 1.0))
   }
 
+  test("int8 quantization: range, all-zero guard, kernel/Column dot parity") {
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+    val rows = q.collect()
+    assert(rows.forall(_.getSeq[Byte](1).forall(b => b >= -127 && b <= 127)))
+    // max-|v| element always hits ±127
+    assert(rows.forall(_.getSeq[Byte](1).exists(b => b == 127 || b == -127)))
+    // all-zero vector: scale 1.0, all-zero qvec (no NaN/overflow)
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z, "vec_id", "embedding").collect()(0)
+    assert(zq.getDouble(2) == 1.0 && zq.getSeq[Byte](1).forall(_ == 0))
+    // kernel == Column-HOF fold on every pair of quantized vectors
+    val a = q.select(col("vec_id").as("ia"), col("qvec").as("qa"))
+    val b = q.select(col("vec_id").as("ib"), col("qvec").as("qb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(500)
+      .select(Similarity.dotQuantized(col("qa"), col("qb")).as("k"),
+        Similarity.dotQuantizedColumns(col("qa"), col("qb")).as("c"))
+    assert(pairs.where(col("k") =!= col("c")).count() == 0)
+  }
+
+  test("quantizedTopK: top-1 matches exact brute force, ranks are sound") {
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 5), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qt = Similarity.quantizedTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, rerank = 20)
+    val rows = qt.collect()
+    assert(rows.length == 25)
+    // int8 over 16 dims preserves the exact top-1 for every query
+    val top1 = rows.filter(_.getInt(4) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == bf, s"quantized top-1 diverged: $top1 vs $bf")
+    // exact sims are monotone in rank per query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(4))
+      assert(sorted.map(_.getDouble(3)).toSeq ==
+        sorted.map(_.getDouble(3)).sortBy(-_).toSeq)
+    }
+  }
+
   // ---- text analysis ----
 
   test("langId picks the language with most stopword hits") {
