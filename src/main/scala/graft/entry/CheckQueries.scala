@@ -331,5 +331,46 @@ object CheckQueries {
                 round(avg(CASE WHEN n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)
                           THEN 1.0 ELSE 0.0 END), 6) AS valid_rate
               FROM documents GROUP BY 1""")),
+
+    // data-driven constraint suggestion (profile → draft-4 spec): the
+    // profile row per column — exact counts, bounds, scaled-rounded null
+    // fraction, conditional enum gathering — restated per column; the
+    // enum CASE keeps the oracle sf-independent (source crosses the
+    // cardinality cap between sfs)
+    Q("q_suggest_constraints",
+      (s, d) => SuggestConstraints.profile(T(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some {
+        def numCol(c: String, dtype: String) =
+          s"""SELECT '$c' AS "column", '$dtype' AS dtype,
+                count(*)::BIGINT AS n_rows,
+                (count(*) - count($c))::BIGINT AS n_nulls,
+                round((count(*) - count($c))::DOUBLE / count(*), 6) AS null_frac,
+                count(DISTINCT $c)::BIGINT AS n_distinct,
+                min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+                NULL::BIGINT AS min_len, NULL::BIGINT AS max_len,
+                CASE WHEN count(DISTINCT $c) BETWEEN 1 AND 8
+                     THEN list_sort(list(DISTINCT $c::VARCHAR)
+                                    FILTER (WHERE $c IS NOT NULL))
+                     ELSE NULL END AS enum_values
+              FROM documents"""
+        def strCol(c: String) =
+          s"""SELECT '$c' AS "column", 'string' AS dtype,
+                count(*)::BIGINT AS n_rows,
+                (count(*) - count($c))::BIGINT AS n_nulls,
+                round((count(*) - count($c))::DOUBLE / count(*), 6) AS null_frac,
+                count(DISTINCT $c)::BIGINT AS n_distinct,
+                NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+                min(length($c))::BIGINT AS min_len,
+                max(length($c))::BIGINT AS max_len,
+                CASE WHEN count(DISTINCT $c) BETWEEN 1 AND 8
+                     THEN list_sort(list(DISTINCT $c)
+                                    FILTER (WHERE $c IS NOT NULL))
+                     ELSE NULL END AS enum_values
+              FROM documents"""
+        Seq(numCol("doc_id", "bigint"), strCol("text"), strCol("lang"),
+          strCol("source"), numCol("n_chars", "bigint"))
+          .mkString("\n              UNION ALL\n              ")
+      }),
   )
 }

@@ -1512,5 +1512,19 @@ object OpsQueries {
               SELECT doc_id,
                 trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
               FROM s5""")),
+
+    // deterministic per-group top-k (quality-budgeted selection): same
+    // window-sort family as sessionize — one shuffle on the group key —
+    // with the HotKeys guard available for degenerate groups
+    Q("q_topk_per_group",
+      (s, d) => Sampling.topKPerGroup(T(s, d, "documents"),
+        Seq("source"), col("n_chars"), col("doc_id"), k = 3)
+        .select("doc_id", "source", "n_chars", "rank"),
+      Some("""WITH r AS (
+                SELECT doc_id, source, n_chars, row_number() OVER
+                  (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents)
+              SELECT doc_id, source, n_chars, rank::INT AS rank
+              FROM r WHERE rank <= 3""")),
   )
 }

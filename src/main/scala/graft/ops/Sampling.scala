@@ -111,4 +111,29 @@ object Sampling {
       .withColumn("split", coalesce(expr, lit(splits.head._1)))
       .drop("_h")
   }
+
+  /** Deterministic per-group top-k selection — "keep the k best docs per
+    * source/domain/language", the quality-budgeted curation step. Rows
+    * rank within each group by `order` (descending by default), ties
+    * broken by `tiebreak` ascending so the selection is total and
+    * re-runnable; rows with rank ≤ k survive, with the rank appended.
+    *
+    * Scale shape: ONE shuffle on the group key + a per-key sort — the
+    * same window-sort family as [[Sessions.sessionize]], with the same
+    * degenerate-key hazard (one domain with 10^9 docs serializes into a
+    * single task's sort). Pass a [[HotKeys.SkewGuard]] to raise or to
+    * drop-and-route hot groups; k itself does NOT bound the sort input —
+    * the guard is the protection. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,
+                   tiebreak: Column, k: Int, descending: Boolean = true,
+                   guard: HotKeys.SkewGuard = HotKeys.SkewGuard.Off): DataFrame = {
+    require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val guarded = HotKeys.applyGuard(df, groupCols, guard, "topKPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(if (descending) order.desc else order.asc, tiebreak.asc)
+    guarded.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -139,6 +139,25 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("topKPerGroup: k best per group, deterministic ties, guard raises") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 20),
+      ("b", 5L, 5), ("b", 6L, 7)).toDF("g", "id", "score")
+    val top = Sampling.topKPerGroup(df, Seq("g"), col("score"), col("id"), k = 2)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // tie at 30 broken by lower id first
+    assert(top == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 6L, 1), ("b", 5L, 2)))
+    val asc = Sampling.topKPerGroup(df, Seq("g"), col("score"), col("id"),
+      k = 1, descending = false).select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(asc == Set(("a", 1L), ("b", 5L)))
+    intercept[IllegalStateException] {
+      Sampling.topKPerGroup(df, Seq("g"), col("score"), col("id"), k = 1,
+        guard = HotKeys.SkewGuard.Raise(3))
+    }
+  }
+
   // ---- similarity ----
 
   lazy val vecs = {
