@@ -145,3 +145,76 @@ final case class Chi2DriftCheck(
     CheckResult(Check.emptyViolations(spark), verdicts)
   }
 }
+
+/** Population Stability Index — the standard production-ML drift metric
+  * (Σ (oᵢ−rᵢ)·ln(oᵢ/rᵢ) over bins of observed vs reference PROPORTIONS;
+  * conventional reading: <0.1 stable, 0.1–0.25 moderate shift, >0.25
+  * drifted — the default threshold). Complements KS (sensitive to the
+  * largest single CDF gap) and chi² (count-scaled): PSI is scale-free in
+  * the sample sizes, so the same threshold works for a 10^6-row part and
+  * a 10^10-row part. Zero-mass bins on either side are clamped to
+  * `epsilon` — the standard finite-PSI convention; an unseen-in-reference
+  * bin thus contributes a large-but-finite term instead of ∞.
+  *
+  * Same scale shape as the other drift checks: the input reduces to a
+  * bounded per-part histogram first (partial-combine groupBy); the PSI
+  * arithmetic runs on the tiny aggregated frame, reference broadcast. */
+final case class PsiDriftCheck(
+    column: String,
+    reference: DataFrame,
+    threshold: Double = 0.25,
+    bin: Column => Column = identity,
+    epsilon: Double = 1e-6,
+    partCol: String = Check.PartCol,
+    knownParts: Seq[Int] = Nil,
+    partsUniverse: Option[DataFrame] = None) extends Check {
+
+  require(epsilon > 0.0, "epsilon must be positive (keeps PSI finite)")
+  val name = s"drift_psi:$column"
+  override def withKnownParts(parts: Seq[Int]): Check = copy(knownParts = parts)
+  override def withPartsUniverse(parts: DataFrame): Check =
+    copy(partsUniverse = Some(parts))
+
+  def run(df: DataFrame): CheckResult = {
+    val spark = df.sparkSession
+    val b = bin(col(column)).as("bin")
+
+    val obs = df.where(col(column).isNotNull)
+      .groupBy(col(partCol).as("part"), b).agg(count(lit(1)).as("o_cnt"))
+    val refHist = reference.where(col(column).isNotNull)
+      .groupBy(b).agg(count(lit(1)).as("r_cnt"))
+    // lazy 1-row totals (see Chi2DriftCheck for why not .head())
+    val refTotal = refHist.agg(
+      greatest(sum("r_cnt").cast(DoubleType), lit(1.0)).as("_rt"))
+    val refFrac = refHist.crossJoin(broadcast(refTotal))
+      .select(col("bin"), (col("r_cnt") / col("_rt")).as("r"))
+
+    val parts = Check.partsDf(df, knownParts, partCol, partsUniverse).toDF("part")
+    val refPerPart = parts.crossJoin(broadcast(refFrac))
+
+    val joined = obs.join(refPerPart, Seq("part", "bin"), "full_outer")
+      .select(col("part"),
+        coalesce(col("o_cnt"), lit(0L)).cast(DoubleType).as("o_cnt"),
+        coalesce(col("r"), lit(0.0)).as("r"))
+    val totals = joined.groupBy("part")
+      .agg(greatest(sum("o_cnt"), lit(1.0)).as("n"))
+    val psi = joined.join(totals, Seq("part"))
+      .select(col("part"),
+        (greatest(col("o_cnt") / col("n"), lit(epsilon)) -
+          greatest(col("r"), lit(epsilon))).as("_d"),
+        (greatest(col("o_cnt") / col("n"), lit(epsilon)) /
+          greatest(col("r"), lit(epsilon))).as("_q"))
+      .select(col("part"), (col("_d") * log(col("_q"))).as("term"))
+      .groupBy("part")
+      .agg(sum("term").as("metric_value"))
+
+    val verdicts = psi.select(
+      col("part"),
+      lit(name).as("check"),
+      (col("metric_value") <= lit(threshold)).as("passed"),
+      lit(0L).as("violation_count"),
+      col("metric_value"))
+
+    CheckResult(Check.emptyViolations(spark), verdicts)
+  }
+}

@@ -372,5 +372,37 @@ object CheckQueries {
           strCol("source"), numCol("n_chars", "bigint"))
           .mkString("\n              UNION ALL\n              ")
       }),
+
+    // PSI drift on binned n_chars (scale-free in sample size, the
+    // production-ML drift convention); epsilon clamp and summation
+    // restated term-for-term
+    Q("q_drift_psi",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val obs = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("part", lit(0))
+        val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        PsiDriftCheck("n_chars", ref,
+          bin = c => floor(c / lit(50)).cast("long")).run(obs)
+          .verdicts.select(col("part"),
+            Rounding.roundAt(col("metric_value"), 4).as("psi"))
+      },
+      Some("""WITH obs AS (
+                SELECT n_chars // 50 AS bin, count(*)::DOUBLE AS o
+                FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+                GROUP BY 1),
+              ref AS (
+                SELECT n_chars // 50 AS bin, count(*)::DOUBLE AS r
+                FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+                GROUP BY 1),
+              j AS (
+                SELECT coalesce(o, 0) AS o,
+                       coalesce(r, 0) / (SELECT greatest(sum(r), 1.0) FROM ref) AS p
+                FROM obs FULL OUTER JOIN ref USING (bin)),
+              t AS (SELECT greatest(sum(o), 1.0) AS n FROM j)
+              SELECT 0 AS part,
+                round(sum((greatest(o/n, 1e-6) - greatest(p, 1e-6)) *
+                          ln(greatest(o/n, 1e-6) / greatest(p, 1e-6))), 4) AS psi
+              FROM j, t""")),
   )
 }

@@ -167,6 +167,18 @@ class PipelineSpec extends SparkSpec {
       s"chi2 same=$statSame drifted=$statDrift")
   }
 
+  test("PSI drift: near zero on same distribution, flips on shift, finite on disjoint bins") {
+    val ref = TokenTable.generate(spark, cfg.copy(seed = 7L))
+    val check = PsiDriftCheck("n_tok", ref, threshold = 0.25)
+    val same = check.run(table).verdicts.agg(max("metric_value")).head().getDouble(0)
+    assert(same < 0.1, s"same-distribution PSI should read stable: $same")
+    val shifted = table.withColumn("n_tok", col("n_tok") + lit(40))
+    val drift = check.run(shifted).verdicts.agg(min("metric_value")).head().getDouble(0)
+    assert(drift > 0.25, s"shifted PSI must cross the drift threshold: $drift")
+    assert(!drift.isInfinite && !drift.isNaN,
+      "epsilon clamp must keep disjoint-bin PSI finite")
+  }
+
   test("pipeline end-to-end: verdicts, violations, checkpoint, resume") {
     val dir = Files.createTempDirectory("graft-pipe").toString
     val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out", lineage = "test-run")
