@@ -99,4 +99,28 @@ object FreqDriftCheck {
       math.pow(oi - e, 2) / math.max(e, 0.5)
     }.sum
   }
+
+  /** Population Stability Index over the reference's categories plus the
+    * same "other" cell — [[PsiDriftCheck]]'s statistic computed from two
+    * sketch blobs, so streaming windows can score PSI in-plan against a
+    * persisted profile literal. Scale-free in both totals (proportions
+    * only); zero-mass cells clamp to `epsilon` exactly as the batch
+    * check does. Deterministic: cells sum in sorted category order. */
+  def psi(obs: FreqSketch, ref: FreqSketch, epsilon: Double = 1e-6): Double = {
+    val cats = ref.topK(ref.size).sortBy(_._1)
+    val refEntries = cats.map(_._2).sum
+    val refTotal = math.max(ref.totalSeen, refEntries).toDouble
+    if (refTotal == 0) return 0.0
+    val o = cats.map { case (t, _, _) =>
+      obs.countIfPresent(t).getOrElse(obs.offset).toDouble }
+    val n = math.max(obs.totalSeen.toDouble, 1.0)
+    val cells =
+      cats.zip(o).map { case ((_, r, _), oi) => (r.toDouble, oi) } :+
+        ((refTotal - refEntries, math.max(n - o.sum, 0.0))) // "other"
+    cells.map { case (r, oi) =>
+      val rp = math.max(r / refTotal, epsilon)
+      val op = math.max(oi / n, epsilon)
+      (op - rp) * math.log(op / rp)
+    }.sum
+  }
 }

@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
   *  - `freq_topk(sketch, n)`            → array<struct<term,estimate,max_error>>
   *  - `freq_chi2(observed, reference)`  → double, restricted chi² drift
   *    (ORDER-SENSITIVE: cells come from the reference profile)
+  *  - `freq_psi(observed, reference)`   → double, Population Stability
+  *    Index (same order contract; scale-free in both totals)
   *  - `bloom_agg(col, n[, fpp])`        → binary (mergeable Bloom filter
   *    over string keys; no false negatives)
   *  - `bloom_contains(filter, key)`     → boolean membership probe
@@ -180,6 +182,14 @@ object GraftFunctions {
         case Seq(a, b) => graft.sketch.FreqChi2(a, b)
         case _ => throw new IllegalArgumentException(
           "freq_chi2 expects (sketch_a, sketch_b)")
+      }),
+
+    (FunctionIdentifier("freq_psi"),
+      info("freq_psi", "freq_psi(observed, reference) - Population Stability Index of an observed frequency sketch against a reference profile (cells come from the reference; order matters; scale-free in both totals)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.sketch.FreqPsi(a, b)
+        case _ => throw new IllegalArgumentException(
+          "freq_psi expects (sketch_a, sketch_b)")
       }),
 
     (FunctionIdentifier("bloom_agg"),

@@ -120,6 +120,35 @@ final case class FreqChi2(
     copy(left = newLeft, right = newRight)
 }
 
+/** `freq_psi(observed, reference)` — scalar: the Population Stability
+  * Index of an observed sketch blob against a reference profile blob
+  * ([[graft.checks.PsiDriftCheck]]'s statistic over the reference's
+  * categories + "other"). Same ORDER-SENSITIVE contract as
+  * [[FreqChi2]]: cells come from the reference. Aggregated rows only. */
+final case class FreqPsi(
+    left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "freq_psi"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"freq_psi requires two binary sketches, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.checks.FreqDriftCheck.psi(
+      FreqSketch.deserialize(l.asInstanceOf[Array[Byte]]),
+      FreqSketch.deserialize(r.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqPsi =
+    copy(left = newLeft, right = newRight)
+}
+
 object FreqFunctions {
   /** Aggregate a string column into a serialized space-saving sketch. */
   def freq_sketch(c: Column, capacity: Int = FreqSketch.DefaultCapacity): Column =
@@ -138,5 +167,13 @@ object FreqFunctions {
     * `lit(profileBytes)` for a persisted reference profile. */
   def freq_chi2(observed: Column, reference: Column): Column =
     ColumnBridge.column(FreqChi2(
+      ColumnBridge.expression(observed), ColumnBridge.expression(reference)))
+
+  /** PSI drift of `observed` against `reference` — same order-sensitive
+    * contract as [[freq_chi2]] (cells come from the reference profile);
+    * scale-free in both totals, so one threshold serves every window
+    * size. Use `lit(profileBytes)` for a persisted reference profile. */
+  def freq_psi(observed: Column, reference: Column): Column =
+    ColumnBridge.column(FreqPsi(
       ColumnBridge.expression(observed), ColumnBridge.expression(reference)))
 }

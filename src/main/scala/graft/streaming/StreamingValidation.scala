@@ -173,6 +173,33 @@ object StreamingValidation {
         col("_chi2").as("metric_value"))
   }
 
+  /** Watermarked per-window PSI drift against a persisted frequency
+    * profile — [[graft.checks.PsiDriftCheck]]'s streaming twin, riding
+    * the same mergeable sketch aggregate as [[windowedFreqDrift]]; PSI's
+    * scale-freeness matters most here, where window populations vary
+    * with traffic but the threshold must not. */
+  def windowedPsiDrift(stream: DataFrame, column: String,
+                       referenceSketch: Array[Byte],
+                       tsCol: String, partCol: String,
+                       threshold: Double = 0.25,
+                       capacity: Int = graft.sketch.FreqSketch.DefaultCapacity,
+                       windowDuration: String = "1 minute",
+                       watermarkDelay: String = "2 minutes"): DataFrame = {
+    import graft.sketch.FreqFunctions
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(partCol).as("part"))
+      .agg(FreqFunctions.freq_sketch(col(column).cast("string"), capacity)
+        .as("sketch"))
+      .withColumn("_psi", FreqFunctions.freq_psi(col("sketch"), lit(referenceSketch)))
+      .select(
+        col("window"), col("part"),
+        lit(s"drift_freq_psi:$column").as("check"),
+        (col("_psi") <= threshold).as("passed"),
+        lit(0L).as("violation_count"),
+        col("_psi").as("metric_value"))
+  }
+
   /** Watermarked per-window verdicts: (window, part, passed,
     * violation_count, rows). */
   def windowedVerdicts(stream: DataFrame, validator: Validator,

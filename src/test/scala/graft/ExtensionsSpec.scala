@@ -52,6 +52,12 @@ class ExtensionsSpec extends SparkSpec {
          (SELECT freq_sketch(term, 64) AS s FROM ext_terms)""")
       .head().getDouble(0)
     assert(chi == 0.0, chi.toString)
+    // PSI of a sketch against itself is exactly 0 (all terms (p-p)·ln 1)
+    val psi = spark.sql(
+      """SELECT freq_psi(s, s) FROM
+         (SELECT freq_sketch(term, 64) AS s FROM ext_terms)""")
+      .head().getDouble(0)
+    assert(psi == 0.0, psi.toString)
     // NFC composition from SQL
     val nfc = spark.sql("SELECT graft_nfc('cafe\u0301')").head().getString(0)
     assert(nfc == "caf\u00e9", nfc)

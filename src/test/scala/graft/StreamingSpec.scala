@@ -175,4 +175,45 @@ class StreamingSpec extends SparkSpec {
       assert(!driftPassed && driftChi2 > 100.0, s"collapsed chi2=$driftChi2")
     } finally q.stop()
   }
+
+  test("windowed PSI drift: stable window passes, collapsed window drifts") {
+    implicit val sqlCtx = spark.sqlContext
+    val profileDf = spark.range(1000)
+      .select(concat(lit("c"), col("id") % 5).as("cat"))
+    val profile = graft.checks.FreqDriftCheck.buildProfile(profileDf, "cat", 32)
+
+    val source = MemoryStream[Ev]
+    val df = source.toDF().withColumn("part", lit(0))
+      .withColumn("cat", concat(lit("c"), col("n_tok") % 5))
+    val q = StreamingValidation.windowedPsiDrift(
+      df, "cat", profile, "ts", "part",
+      threshold = 0.25, capacity = 32,
+      windowDuration = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sv_psidrift").outputMode("update").start()
+    try {
+      val w0 = (1 to 50).map(i =>
+        Ev(s"a$i", i, Timestamp.valueOf("2026-01-01 00:00:10")))
+      val w1 = (1 to 50).map(i =>
+        Ev(s"b$i", 5, Timestamp.valueOf("2026-01-01 00:01:10")))
+      source.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      val out = spark.table("sv_psidrift")
+        .select(col("window.start").cast("string"), col("passed"),
+          col("metric_value")).collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(1), r.getDouble(2)))).toMap
+      val (samePassed, samePsi) = out("2026-01-01 00:00:00")
+      val (driftPassed, driftPsi) = out("2026-01-01 00:01:00")
+      assert(samePassed && samePsi < 0.1, s"same-distribution psi=$samePsi")
+      assert(!driftPassed && driftPsi > 1.0, s"collapsed psi=$driftPsi")
+      // batch parity: the sketch-blob PSI equals the batch check's
+      // statistic on identical data (bounded cardinality -> exact counts)
+      val batch = graft.checks.PsiDriftCheck("cat",
+        profileDf, threshold = 0.25)
+        .run(spark.range(50).select((col("id") + 1).as("i"))
+          .select(concat(lit("c"), col("i") % 5).as("cat"), lit(0).as("part")))
+        .verdicts.select("metric_value").head().getDouble(0)
+      assert(math.abs(batch - samePsi) < 1e-9,
+        s"sketch PSI $samePsi != batch PSI $batch")
+    } finally q.stop()
+  }
 }
