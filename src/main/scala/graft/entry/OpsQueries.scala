@@ -1513,6 +1513,48 @@ object OpsQueries {
                 trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
               FROM s5""")),
 
+    // exact-substring span dedup: every word 8-gram occurrence shared by
+    // >= 2 distinct docs, with 0-based positions in normalized word
+    // space; the hash is the same portable fingerprint the LSH oracles
+    // restate
+    Q("q_dup_spans",
+      (s, d) => Dedup.duplicateSpans(T(s, d, "documents"),
+        "doc_id", "text", windowWords = 8, minDocs = 2),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               wins AS (SELECT doc_id, i AS pos,
+                          array_to_string(w[i+1:i+8], ' ') AS gram
+                        FROM w, unnest(range(0, greatest(len(w)-7, 0)::BIGINT)) AS t(i)),
+               ids AS (SELECT doc_id, pos, ${duckFp("gram")} AS gid FROM wins),
+               shared AS (SELECT gid FROM ids GROUP BY gid
+                          HAVING count(DISTINCT doc_id) >= 2)
+               SELECT doc_id, pos::INT AS pos, gid FROM ids
+               WHERE gid IN (SELECT gid FROM shared)""")),
+
+    // the Lee-et-al-style transform built on the same span frame: cut
+    // every word covered by a shared 8-gram, keep untouched docs verbatim
+    Q("q_span_removal",
+      (s, d) => Dedup.removeSharedSpans(T(s, d, "documents"),
+        "doc_id", "text", windowWords = 8, minDocs = 2),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               wins AS (SELECT doc_id, i AS pos,
+                          array_to_string(w[i+1:i+8], ' ') AS gram
+                        FROM w, unnest(range(0, greatest(len(w)-7, 0)::BIGINT)) AS t(i)),
+               ids AS (SELECT doc_id, pos, ${duckFp("gram")} AS gid FROM wins),
+               shared AS (SELECT gid FROM ids GROUP BY gid
+                          HAVING count(DISTINCT doc_id) >= 2),
+               starts AS (SELECT doc_id, list_sort(list(pos)) AS starts
+                          FROM ids WHERE gid IN (SELECT gid FROM shared)
+                          GROUP BY doc_id)
+               SELECT d.doc_id,
+                 CASE WHEN s.starts IS NULL THEN d.text
+                      ELSE coalesce(array_to_string(list_filter(w.w, (x, i) ->
+                        len(list_filter(s.starts,
+                          st -> st <= i-1 AND i-1 < st+8)) = 0), ' '), '')
+                 END AS text
+               FROM documents d
+               JOIN w ON w.doc_id = d.doc_id
+               LEFT JOIN starts s ON s.doc_id = d.doc_id""")),
+
     // deterministic per-group top-k (quality-budgeted selection): same
     // window-sort family as sessionize — one shuffle on the group key —
     // with the HotKeys guard available for degenerate groups

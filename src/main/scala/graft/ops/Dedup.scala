@@ -619,4 +619,80 @@ object Dedup {
       .agg(count(lit(1)).as("matched_ngrams"))
       .where(col("matched_ngrams") >= minMatches)
   }
+
+  // ------------------------------------------------------------------
+  // exact-substring span dedup (within-corpus repeated substrings)
+  // ------------------------------------------------------------------
+
+  /** Positional word w-gram frame: one (id, pos, gid) row per window
+    * start (0-based, in normalized word space), gid = the portable
+    * 31-bit rolling hash of the window text. Unlike [[shingles]] this is
+    * NOT distinct — positions are the point. */
+  private def spanFrame(df: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextAnalysis.words(col(textCol)).as("_w"))
+      .where(size(col("_w")) >= windowWords)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("_w")) - windowWords),
+        i => concat_ws(" ", slice(col("_w"), i + 1, lit(windowWords)))))
+        .as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), portableShingleId(col("gram")).as("gid"))
+
+  /** Exact-substring duplicate spans: every word w-gram occurrence whose
+    * gram appears in at least `minDocs` DISTINCT documents — the
+    * published exact-substring self-dedup signal for training corpora
+    * (repeated passages, licence blocks, templated spans; the
+    * document-level analog is [[dedupLines]], the cross-set analog is
+    * [[decontaminate]]). Returns (idCol, pos, gid) with pos the 0-based
+    * window start in normalized word space.
+    *
+    * Scale shape: the exploded span frame is narrow (id, pos, 31-bit
+    * gid); the shared-gram set derives from a per-doc-distinct +
+    * per-gram-count aggregate (both partial-combine) and is BROADCAST
+    * back for the membership join, so span rows never shuffle for the
+    * test. For corpora whose repeated-gram set outgrows a broadcast,
+    * pass `broadcastHot = false`. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowWords: Int = 8, minDocs: Int = 2,
+                     broadcastHot: Boolean = true): DataFrame = {
+    require(windowWords >= 1, s"windowWords ($windowWords) must be >= 1")
+    require(minDocs >= 2,
+      s"minDocs ($minDocs) < 2 would mark every span shared")
+    val spans = spanFrame(df, idCol, textCol, windowWords)
+    val hot0 = spans.select("id", "gid").distinct()
+      .groupBy("gid").agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select("gid")
+    val hot = if (broadcastHot) broadcast(hot0) else hot0
+    spans.join(hot, Seq("gid"))
+      .select(col("id").as(idCol), col("pos"), col("gid"))
+  }
+
+  /** Remove every word covered by a shared span (the Lee et al.-style
+    * "deduplicating training data" transform: cut repeated substrings,
+    * keep the rest). The rebuilt text is in NORMALIZED word space (the
+    * same tokenization every dedup operator uses); documents with no
+    * shared span keep their original text verbatim. Returns
+    * (idCol, textCol).
+    *
+    * Scale shape: [[duplicateSpans]]'s aggregate + broadcast, then the
+    * per-doc start list (bounded by the doc's word count) rides a
+    * left join back; coverage testing is one narrow filter-with-index
+    * pass over the word array. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int = 8, minDocs: Int = 2,
+                        broadcastHot: Boolean = true): DataFrame = {
+    val starts = duplicateSpans(df, idCol, textCol, windowWords, minDocs,
+      broadcastHot)
+      .groupBy(idCol).agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("_w", TextAnalysis.words(col(textCol)))
+      .withColumn(textCol,
+        when(col("_starts").isNull, col(textCol))
+          .otherwise(concat_ws(" ", filter(col("_w"), (_, i) =>
+            !exists(col("_starts"),
+              s => s <= i && i < s + lit(windowWords))))))
+      .select(col(idCol), col(textCol))
+  }
 }

@@ -139,6 +139,27 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("duplicateSpans finds planted repeated passages; removal cuts exactly them") {
+    val passage = (0 until 8).map(i => s"rep$i").mkString(" ")
+    val df = Seq(
+      (1L, s"u1a u1b u1c $passage u1d u1e"),
+      (2L, s"$passage u2a u2b u2c u2d u2e"),
+      (3L, "u3a u3b u3c u3d u3e u3f u3g u3h u3i")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text",
+      windowWords = 8, minDocs = 2)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the shared 8-gram starts at word 3 in doc 1 and word 0 in doc 2
+    assert(spans == Set((1L, 3), (2L, 0)), spans.toString)
+    val clean = Dedup.removeSharedSpans(df, "doc_id", "text",
+      windowWords = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "u1a u1b u1c u1d u1e")
+    assert(clean(2L) == "u2a u2b u2c u2d u2e")
+    assert(clean(3L) == "u3a u3b u3c u3d u3e u3f u3g u3h u3i",
+      "untouched docs keep their original text verbatim")
+  }
+
   test("topKPerGroup: k best per group, deterministic ties, guard raises") {
     val df = Seq(
       ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 20),
