@@ -404,5 +404,40 @@ object CheckQueries {
                 round(sum((greatest(o/n, 1e-6) - greatest(p, 1e-6)) *
                           ln(greatest(o/n, 1e-6) / greatest(p, 1e-6))), 4) AS psi
               FROM j, t""")),
+
+    // metrics-history anomaly detection: nine synthetic "runs" (doc_id
+    // decades) of a per-lang mean-length metric form the history, run 9
+    // is scored against the robust median/MAD band; sum/count instead of
+    // avg keeps the metric arithmetic engine-exact, and the odd history
+    // count keeps both medians element-exact
+    Q("q_metrics_anomaly",
+      (s, d) => {
+        val m = T(s, d, "documents")
+          .groupBy(col("lang"), pmod(col("doc_id"), lit(10)).cast("int").as("run"))
+          .agg((sum("n_chars").cast("double") / count(lit(1))).as("value"))
+        MetricsAnomaly.flagRun(m, "run", 9, Seq("lang"), "value")
+          .select(col("lang"), col("run"),
+            Rounding.roundAt(col("value"), 6).as("value"),
+            Rounding.roundAt(col("hist_median"), 6).as("hist_median"),
+            Rounding.roundAt(col("robust_z"), 6).as("robust_z"),
+            col("anomalous"))
+      },
+      Some("""WITH m AS (
+                SELECT lang, (doc_id % 10)::INT AS run,
+                  sum(n_chars)::DOUBLE / count(*) AS value
+                FROM documents GROUP BY 1, 2),
+              h AS (SELECT * FROM m WHERE run <> 9),
+              c AS (SELECT * FROM m WHERE run = 9),
+              med AS (SELECT lang, median(value) AS _med FROM h GROUP BY 1),
+              mad AS (SELECT h.lang, median(abs(h.value - med._med)) AS _mad
+                      FROM h JOIN med USING (lang) GROUP BY 1)
+              SELECT c.lang, c.run, round(c.value, 6) AS value,
+                round(_med, 6) AS hist_median,
+                CASE WHEN _mad > 0
+                     THEN round((c.value - _med) / (_mad * 1.4826), 6) END AS robust_z,
+                CASE WHEN _mad > 0
+                     THEN abs((c.value - _med) / (_mad * 1.4826)) > 3.5
+                     ELSE c.value <> _med END AS anomalous
+              FROM c JOIN med USING (lang) JOIN mad ON mad.lang = c.lang""")),
   )
 }

@@ -179,6 +179,34 @@ class PipelineSpec extends SparkSpec {
       "epsilon clamp must keep disjoint-bin PSI finite")
   }
 
+  test("MetricsAnomaly: spike flagged, stable history exact-matches, new key anomalous") {
+    import spark.implicits._
+    // check A: noisy-but-stable history, current in band; check B: stable
+    // history, current spikes; check C: mad=0 history
+    val history = (
+      (1 to 9).map(r => ("A", r, 10.0 + (r % 3))) ++
+      (1 to 9).map(r => ("B", r, 5.0 + (r % 2) * 0.1)) ++
+      (1 to 9).map(r => ("C", r, 7.0))
+    ).toDF("check", "run", "value")
+    val current = Seq(
+      ("A", 10, 11.0), ("B", 10, 50.0), ("C", 10, 7.0), ("D", 10, 1.0)
+    ).toDF("check", "run", "value")
+    val out = graft.checks.MetricsAnomaly
+      .flag(history, current, Seq("check"), "value")
+      .collect().map(r => r.getAs[String]("check") ->
+        Option(r.getAs[java.lang.Boolean]("anomalous")).map(_.booleanValue)).toMap
+    assert(out("A") == Some(false), "in-band value must pass")
+    assert(out("B") == Some(true), "spike must flag")
+    assert(out("C") == Some(false), "unchanged value on a constant history passes")
+    assert(out("D") == Some(true), "a key the history never saw is anomalous")
+    // constant history, moved value → anomalous even though mad = 0
+    val moved = graft.checks.MetricsAnomaly
+      .flag(history, Seq(("C", 10, 7.1)).toDF("check", "run", "value"),
+        Seq("check"), "value")
+      .select("anomalous").head().getBoolean(0)
+    assert(moved, "any movement off a perfectly stable history must flag")
+  }
+
   test("pipeline end-to-end: verdicts, violations, checkpoint, resume") {
     val dir = Files.createTempDirectory("graft-pipe").toString
     val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out", lineage = "test-run")
