@@ -88,11 +88,9 @@ object OpsQueries {
     docs.select(id, t2.as("text"))
   }
 
-  // the q_curate derivation through the exact-dedup survivor set `keep`
-  // (no leading WITH), shared by q_curate and q_curate_cross
-  private lazy val duckCurateKeepCtes: String = {
-    val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
-    s"""t AS (
+  // the deterministic curate INPUT injection (mirrors curateInput)
+  private lazy val duckCurateTCte: String =
+    """t AS (
           SELECT doc_id,
             substr(text, 1, 40) || chr(10) || 'SHARED COOKIE BANNER' ||
             chr(10) || substr(text, 41) ||
@@ -105,8 +103,14 @@ object OpsQueries {
                  ELSE '' END ||
             CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'EVEN FOOTER'
                  ELSE '' END AS text
-          FROM documents),
-        lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+          FROM documents)"""
+
+  // the q_curate derivation from a (doc_id, text) CTE through the
+  // exact-dedup survivor set `keep` (line dedup → PII → quality → exact
+  // dedup), shared by q_curate / q_curate_cross / q_curate_web
+  private def duckCurateChain(src: String): String = {
+    val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
+    s"""lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src),
         lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
                   FROM lls, unnest(range(0, len(ls))) AS u(i)),
         hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines
@@ -144,6 +148,10 @@ object OpsQueries {
                                                 ORDER BY doc_id) AS rn
                    FROM qa) WHERE rn = 1)"""
   }
+
+  private lazy val duckCurateKeepCtes: String =
+    s"""$duckCurateTCte,
+        ${duckCurateChain("t")}"""
 
   private def duckCurateSplitSelect(from: String): String =
     s"""SELECT doc_id, text, quality,
@@ -1163,6 +1171,68 @@ object OpsQueries {
                       WHERE doc_id NOT IN (SELECT new_id FROM cdrop))
             ${duckCurateSplitSelect("kept2")}"""
       }),
+
+    // the curation composition with the WEB stages engaged: the injected
+    // corpus is wrapped in markup and given per-doc URLs; the blocklist
+    // drop (suffix chain restated), the strip chain (q_html_strip's), and
+    // then the full q_curate derivation are all chained into ONE oracle
+    Q("q_curate_web", {
+      (s, d) => {
+        import s.implicits._
+        val web = curateInput(T(s, d, "documents")).withColumn("text",
+          concat(lit("<div class=\"c\">"), col("text"),
+            lit(" see http://h"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit("."),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("bad.test"))
+              .otherwise(lit("example.test")),
+            lit("/p/"), col("doc_id").cast("string"),
+            lit("</div><script>track()</script>")))
+        val blk = Seq("bad.test").toDF("domain")
+        Curation.curate(web, "doc_id", "text",
+          Curation.CurationConfig(
+            domainBlocklist = Some((blk, "domain")),
+            stripMarkup = true,
+            splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+            splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
+      }},
+      Some(s"""WITH $duckCurateTCte,
+        wrapped AS (
+          SELECT doc_id,
+            '<div class="c">' || text || ' see http://h' ||
+            (doc_id % 50)::VARCHAR || '.' ||
+            CASE WHEN doc_id % 7 = 0 THEN 'bad.test'
+                 ELSE 'example.test' END ||
+            '/p/' || doc_id::VARCHAR ||
+            '</div><script>track()</script>' AS text
+          FROM t),
+        dm AS (
+          SELECT doc_id,
+            lower(regexp_extract(u, 'https?://([^/\\s:?#<>"'']+)', 1)) AS domain
+          FROM wrapped,
+               unnest(regexp_extract_all(text, 'https?://[^\\s<>"'']+')) AS uu(u)),
+        badids AS (
+          SELECT DISTINCT doc_id FROM dm
+          WHERE len(list_filter(
+            list_transform(range(1, len(string_split(domain, '.')) + 1),
+              i -> array_to_string(string_split(domain, '.')[i:], '.')),
+            x -> x IN ('bad.test'))) > 0),
+        kept0 AS (SELECT * FROM wrapped
+                  WHERE doc_id NOT IN (SELECT doc_id FROM badids)),
+        x1 AS (SELECT doc_id,
+                 regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
+               FROM kept0),
+        x2 AS (SELECT doc_id,
+                 regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM x1),
+        x3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM x2),
+        x4 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM x3),
+        x5 AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(x,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM x4),
+        ws AS (SELECT doc_id,
+                 trim(regexp_replace(x, '\\s+', ' ', 'g')) AS text FROM x5),
+        ${duckCurateChain("ws")}
+        ${duckCurateSplitSelect("keep")}""")),
 
     // reproducible 8:1:1 train/val/test assignment by disjoint hash
     // ranges; the oracle recomputes the cumulative truncated cut points

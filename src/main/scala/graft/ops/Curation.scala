@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   * from this library's oracled operators, in the order production
   * pipelines run them —
   *
+  * -2. optional domain-blocklist drop ([[WebText.filterByDomainBlocklist]]
+  *     — on the RAW text, where markup-attribute URLs still exist),
+  * -1. optional HTML markup stripping ([[WebText.stripMarkup]]),
   *  0. Unicode NFC normalization ([[TextAnalysis.normalizeNfc]]) —
   *     composes mixed-encoder variants so every later hash/shingle/
   *     equality sees canonical bytes (line structure untouched),
@@ -41,6 +44,17 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   final case class CurationConfig(
+    /** Drop documents mentioning a blocked domain BEFORE any text
+      * transform — URLs live in markup attributes, so the filter must
+      * see the raw text ([[WebText.filterByDomainBlocklist]]: exact host
+      * or parent suffix, broadcast equi-join). (blocklist, domainCol). */
+    domainBlocklist: Option[(DataFrame, String)] = None,
+    /** Strip HTML markup ([[WebText.stripMarkup]]) after the domain
+      * filter and before NFC. NOTE: stripping collapses ALL whitespace
+      * (newlines included), so the line-dedup stage sees one line per
+      * document — the right reading for HTML inputs, whose line breaks
+      * are presentation, not structure. */
+    stripMarkup: Boolean = false,
     lineDedupMinDocs: Int = 3,
     lineSep: String = "\n",
     redactPii: Boolean = true,
@@ -66,7 +80,16 @@ object Curation {
 
   def curate(df: DataFrame, idCol: String, textCol: String,
              cfg: CurationConfig = CurationConfig()): DataFrame = {
-    val canonical = df.select(col(idCol),
+    val unblocked = cfg.domainBlocklist match {
+      case Some((blk, c)) =>
+        WebText.filterByDomainBlocklist(df, idCol, textCol, blk, c)
+      case None => df
+    }
+    val stripped =
+      if (cfg.stripMarkup)
+        unblocked.withColumn(textCol, WebText.stripMarkup(col(textCol)))
+      else unblocked
+    val canonical = stripped.select(col(idCol),
       (if (cfg.nfcNormalize) TextAnalysis.normalizeNfc(col(textCol))
        else col(textCol)).as(textCol))
     val deboiled = Dedup.dedupLines(canonical, idCol, textCol,

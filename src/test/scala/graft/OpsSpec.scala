@@ -907,6 +907,25 @@ class OpsSpec extends SparkSpec {
     assert(got(3L).startsWith("contact [EMAIL] now"), got(3L))
   }
 
+  test("curate: web stages drop blocked domains and strip markup first") {
+    import spark.implicits._
+    val long = (0 until 40).map(i => s"content$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"<p>$long alpha</p> visit http://cdn.bad.test/x"),
+      (2L, s"<p>$long beta</p> visit http://ok.example.test/y"),
+      (3L, s"$long gamma plain no markup no urls")).toDF("doc_id", "text")
+    val blk = Seq("bad.test").toDF("domain")
+    val out = Curation.curate(docs, "doc_id", "text",
+      Curation.CurationConfig(
+        domainBlocklist = Some((blk, "domain")),
+        stripMarkup = true, minQuality = 0.0, lineDedupMinDocs = 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(1L), "blocked-domain doc must be dropped")
+    assert(out(2L) == s"$long beta visit http://ok.example.test/y",
+      s"markup stripped, content kept: ${out(2L)}")
+    assert(out(3L).startsWith(s"$long gamma"), "markup-free docs unharmed")
+  }
+
   test("curate: dedupAgainst drops docs near-duplicating the reference corpus") {
     val ref = docs.where(col("doc_id") < 20)                  // bases 0-19
     // re-ingested copies of the reference (jaccard 1.0 — LSH finds them
