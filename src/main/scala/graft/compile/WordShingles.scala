@@ -68,3 +68,73 @@ final case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
+
+/** Positional window-gram fingerprints of a tokenized word array: element
+  * i is the [[Fingerprint32]] hash of `concat_ws(" ", words[i..i+n-1])`,
+  * computed WITHOUT materializing the window string — the polynomial
+  * folds straight over each word's code points with a space folded
+  * between non-null words (concat_ws null-skipping). One JVM pass,
+  * O(len·n) code-point work, zero per-window allocations; replaces the
+  * `transform(sequence(…), i => fingerprint(concat_ws(" ", slice(…))))`
+  * formulation whose interpreted lambda re-sliced and re-concatenated
+  * per position. Fewer than n words → empty array (a short doc carries
+  * no window). Parity with the Column formulation is pinned in OpsSpec
+  * so the DuckDB span oracles keep matching. */
+final case class WordWindowIds(child: Expression, n: Int, mult: Long = 31L)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "window size must be >= 1")
+
+  private val M = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_word_window_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_window_ids requires array<string>, got ${other.simpleString}")
+  }
+
+  /** Fold a word's code points into the rolling hash. */
+  private def foldWord(acc0: Long, w: UTF8String): Long = {
+    val s = w.toString
+    var acc = acc0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % M
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var acc = 0L
+      var first = true
+      var j = 0
+      while (j < n) {
+        if (!words.isNullAt(i + j)) {
+          if (!first) acc = (acc * mult + 32L) % M // the joining space
+          acc = foldWord(acc, words.getUTF8String(i + j))
+          first = false
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowIds =
+    copy(child = newChild)
+}

@@ -624,6 +624,25 @@ object Dedup {
   // exact-substring span dedup (within-corpus repeated substrings)
   // ------------------------------------------------------------------
 
+  /** Positional window-gram ids via the one-pass
+    * [[graft.compile.WordWindowIds]] kernel (no per-window string
+    * materialization; fewer than w words → empty array → no rows). */
+  private[graft] def windowIds(ws: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.WordWindowIds(
+      ColumnBridge.expression(ws), n))
+  }
+
+  /** The original Column formulation of [[windowIds]] (parity oracle):
+    * fingerprint of each slice-and-join window; null-propagating like
+    * the kernel (NULL words → NULL, not empty). */
+  private[graft] def windowIdsColumns(ws: Column, n: Int): Column =
+    when(ws.isNull, lit(null).cast("array<long>"))
+      .when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => TextAnalysis.fingerprint(concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+
   /** Positional word w-gram frame: one (id, pos, gid) row per window
     * start (0-based, in normalized word space), gid = the portable
     * 31-bit rolling hash of the window text. Unlike [[shingles]] this is
@@ -632,12 +651,8 @@ object Dedup {
                         windowWords: Int): DataFrame =
     df.select(col(idCol).as("id"),
       TextAnalysis.words(col(textCol)).as("_w"))
-      .where(size(col("_w")) >= windowWords)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), size(col("_w")) - windowWords),
-        i => concat_ws(" ", slice(col("_w"), i + 1, lit(windowWords)))))
-        .as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), portableShingleId(col("gram")).as("gid"))
+      .select(col("id"),
+        posexplode(windowIds(col("_w"), windowWords)).as(Seq("pos", "gid")))
 
   /** Exact-substring duplicate spans: every word w-gram occurrence whose
     * gram appears in at least `minDocs` DISTINCT documents — the

@@ -139,6 +139,19 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("WordWindowIds kernel: bit-identical to the slice-and-join Column fold") {
+    val edge = Seq((1000L, "one two three"), (1001L, "a"), (1002L, ""),
+      (1003L, null: String)).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 8)) {
+      val both = docs.union(edge)
+        .select(TextAnalysis.words(col("text")).as("_w"))
+        .select(Dedup.windowIds(col("_w"), n).as("k"),
+          Dedup.windowIdsColumns(col("_w"), n).as("c"))
+      assert(both.where(not(col("k") <=> col("c"))).count() == 0,
+        s"window-id kernel diverged from the Column formulation at n=$n")
+    }
+  }
+
   test("duplicateSpans finds planted repeated passages; removal cuts exactly them") {
     val passage = (0 until 8).map(i => s"rep$i").mkString(" ")
     val df = Seq(
