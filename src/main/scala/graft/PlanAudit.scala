@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit harness (PLANS.md §8e): prints exchange / broadcast /
+  * nested-loop counts for the executed plans of the operator family, so
+  * a regression in join strategy or an accidental shuffle shows up as a
+  * number diff. `-v` dumps the full plans.
+  * Usage: runMain graft.PlanAudit [-v] [sfDir] */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = BenchCore.session(8)
+    import spark.implicits._
+    val d = args.find(a => !a.startsWith("-")).getOrElse("/root/testdata/sf0.01")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      val ex = p.split("\n").count(_.contains("Exchange"))
+      val bc = p.split("\n").count(_.contains("BroadcastExchange"))
+      val nlj = p.split("\n").count(_.contains("NestedLoop"))
+      println(s"== $name: exchanges=$ex (broadcast=$bc) nestedLoop=$nlj")
+      if (args.contains("-v")) println(p)
+    }
+    audit("quantizedTopK", Similarity.quantizedTopK(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, rerank = 20))
+    audit("duplicateSpans", Dedup.duplicateSpans(docs, "doc_id", "text"))
+    audit("removeSharedSpans", Dedup.removeSharedSpans(docs, "doc_id", "text"))
+    audit("domainFilter", WebText.filterByDomainBlocklist(docs, "doc_id", "text",
+      Seq("bad.test").toDF("domain"), "domain"))
+    audit("urlSignals", WebText.urlSignals(docs, "doc_id", "text"))
+    audit("stripMarkup", docs.select(WebText.stripMarkup(col("text"))))
+    audit("topKPerGroup", Sampling.topKPerGroup(docs, Seq("source"),
+      col("n_chars"), col("doc_id"), 3))
+    audit("psiDrift", graft.checks.PsiDriftCheck("n_chars",
+      docs.where(col("doc_id") % 2 === 0),
+      bin = c => floor(c / lit(50)).cast("long"))
+      .run(docs.withColumn("part", lit(0))).verdicts)
+    audit("chi2Drift", graft.checks.Chi2DriftCheck("n_chars", col("n_chars"),
+      docs.where(col("doc_id") % 2 === 0), col("n_chars"), threshold = 100.0)
+      .run(docs.withColumn("part", lit(0))).verdicts)
+    audit("ksDrift", graft.checks.KsDriftCheck("n_chars",
+      docs.where(col("doc_id") % 2 === 0))
+      .run(docs.withColumn("part", lit(0))).verdicts)
+    audit("suggestProfile", graft.checks.SuggestConstraints.profile(docs,
+      Seq("doc_id", "lang", "n_chars")))
+  }
+}
