@@ -1625,6 +1625,31 @@ object OpsQueries {
                JOIN w ON w.doc_id = d.doc_id
                LEFT JOIN starts s ON s.doc_id = d.doc_id""")),
 
+    // per-doc OOV rate against a Bloom vocabulary built from the first
+    // 50 docs' words (fpp 1e-8 → the oracle's exact list-membership
+    // restatement holds); zero joins — the vocab rides as a blob literal
+    Q("q_oov_rate",
+      (s, d) => {
+        import graft.sketch.BloomFunctions
+        val docs = T(s, d, "documents")
+        val blob = docs.where(col("doc_id") < 50)
+          .select(explode(TextAnalysis.words(col("text"))).as("w"))
+          .agg(BloomFunctions.bloom_agg(col("w"), 10000L, 1e-8).as("b"))
+          .head().getAs[Array[Byte]](0)
+        TextAnalysis.oovSignals(docs, "doc_id", "text", blob)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               v AS (SELECT list(DISTINCT t) AS vl
+                     FROM (SELECT unnest(w) AS t FROM w WHERE doc_id < 50)),
+               m AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                       len(list_filter(w, t -> NOT list_contains(v.vl, t)))::BIGINT
+                         AS n_oov
+                     FROM w, v)
+               SELECT doc_id, n_words, n_oov,
+                 CASE WHEN n_words > 0
+                      THEN round(n_oov::DOUBLE / n_words, 6) ELSE 0.0 END AS oov_rate
+               FROM m""")),
+
     // deterministic per-group top-k (quality-budgeted selection): same
     // window-sort family as sessionize — one shuffle on the group key —
     // with the HotKeys guard available for degenerate groups

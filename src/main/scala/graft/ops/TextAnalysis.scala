@@ -209,4 +209,33 @@ object TextAnalysis {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.compile.Fingerprint32(ColumnBridge.expression(text), mult))
   }
+
+  /** Per-document out-of-vocabulary signals against a Bloom-encoded
+    * vocabulary ([[graft.sketch.BloomSketch]]): (idCol, n_words, n_oov,
+    * oov_rate). A word reported OOV is DEFINITELY absent (Bloom has no
+    * false negatives); false positives under-count OOV at the filter's
+    * configured fpp — build the vocab at fpp ≤ 1e-8 when exactness
+    * matters (the gate oracle does).
+    *
+    * Scale shape: ZERO joins, zero shuffle — the vocabulary rides the
+    * plan as a blob literal (deserialized once per executor, not per
+    * row) and membership is one filter() pass over the word array; this
+    * is the per-doc twin of [[graft.checks.ReferentialBloomCheck]]'s
+    * row screen. The words array is bound in its own projection
+    * (lambda-CSE). */
+  def oovSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, vocabBlob: Array[Byte]): org.apache.spark.sql.DataFrame = {
+    import graft.sketch.BloomFunctions
+    graft.sketch.BloomSketch.deserialize(vocabBlob) // validate geometry early
+    df.select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol), size(col("_w")).as("_n"),
+        size(filter(col("_w"),
+          w => !BloomFunctions.bloom_contains(lit(vocabBlob), w))).as("_o"))
+      .select(col(idCol),
+        col("_n").cast("long").as("n_words"),
+        col("_o").cast("long").as("n_oov"),
+        when(col("_n") > 0,
+          Rounding.roundAt(col("_o").cast("double") / col("_n"), 6))
+          .otherwise(lit(0.0)).as("oov_rate"))
+  }
 }

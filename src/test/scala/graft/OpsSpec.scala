@@ -139,6 +139,29 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("oovSignals: definite OOV words counted, empty docs rate 0") {
+    import graft.sketch.BloomFunctions
+    val vocabDf = Seq("alpha", "beta", "gamma").toDF("w")
+    val blob = vocabDf.agg(BloomFunctions.bloom_agg(col("w"), 100L, 1e-8))
+      .head().getAs[Array[Byte]](0)
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha zzz qqq beta"),
+      (3L, ""),
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.oovSignals(df, "doc_id", "text", blob)
+      .orderBy("doc_id").collect()
+      .map(r => (Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    assert(out(0) == ((Some(3L), Some(0L), 0.0)))
+    assert(out(1) == ((Some(4L), Some(2L), 0.5)))
+    assert(out(2) == ((Some(0L), Some(0L), 0.0)))
+    // NULL text: counts stay NULL (size-of-null), rate reads 0.0
+    assert(out(3) == ((None, None, 0.0)))
+    // no shuffle: the vocab is a literal, membership is a narrow filter
+    assert(!TextAnalysis.oovSignals(df, "doc_id", "text", blob)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("WordWindowIds kernel: bit-identical to the slice-and-join Column fold") {
     val edge = Seq((1000L, "one two three"), (1001L, "a"), (1002L, ""),
       (1003L, null: String)).toDF("doc_id", "text")
