@@ -70,17 +70,22 @@ final case class WordShingles(child: Expression, n: Int)
 }
 
 /** Positional window-gram fingerprints of a tokenized word array: element
-  * i is the [[Fingerprint32]] hash of `concat_ws(" ", words[i..i+n-1])`,
-  * computed WITHOUT materializing the window string — the polynomial
-  * folds straight over each word's code points with a space folded
-  * between non-null words (concat_ws null-skipping). One JVM pass,
-  * O(len·n) code-point work, zero per-window allocations; replaces the
-  * `transform(sequence(…), i => fingerprint(concat_ws(" ", slice(…))))`
-  * formulation whose interpreted lambda re-sliced and re-concatenated
-  * per position. Fewer than n words → empty array (a short doc carries
-  * no window). Parity with the Column formulation is pinned in OpsSpec
-  * so the DuckDB span oracles keep matching. */
-final case class WordWindowIds(child: Expression, n: Int, mult: Long = 31L)
+  * i is the 62-BIT portable hash of `concat_ws(" ", words[i..i+n-1])` —
+  * `fp31(gram) + fp37(gram)·2^31`, the same two-polynomial combination
+  * [[graft.ops.Dedup.portableShingleId62]] uses — computed WITHOUT
+  * materializing the window string: both polynomials fold straight over
+  * each word's code points with a space folded between non-null words
+  * (concat_ws null-skipping). One JVM pass, O(len·n) code-point work,
+  * zero per-window allocations.
+  *
+  * 62 bits, not 31: span dedup hashes EVERY window occurrence (not a
+  * per-doc-distinct shingle set), so a corpus-scale run sees billions of
+  * windows and a 31-bit id false-shares at birthday rates (measured:
+  * ~3k false pairs at just 3.4M windows). At 62 bits the same corpus
+  * expects ≪ 1 collision. Fewer than n words → empty array (a short doc
+  * carries no window). Parity with the Column formulation is pinned in
+  * OpsSpec so the DuckDB span oracles keep matching. */
+final case class WordWindowIds(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "window size must be >= 1")
@@ -97,20 +102,6 @@ final case class WordWindowIds(child: Expression, n: Int, mult: Long = 31L)
       s"graft_word_window_ids requires array<string>, got ${other.simpleString}")
   }
 
-  /** Fold a word's code points into the rolling hash. */
-  private def foldWord(acc0: Long, w: UTF8String): Long = {
-    val s = w.toString
-    var acc = acc0
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      val cp = s.codePointAt(i)
-      acc = (acc * mult + cp) % M
-      i += Character.charCount(cp)
-    }
-    acc
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val m = words.numElements()
@@ -118,18 +109,29 @@ final case class WordWindowIds(child: Expression, n: Int, mult: Long = 31L)
     val out = new Array[Long](m - n + 1)
     var i = 0
     while (i <= m - n) {
-      var acc = 0L
+      var a31 = 0L; var a37 = 0L
       var first = true
       var j = 0
       while (j < n) {
         if (!words.isNullAt(i + j)) {
-          if (!first) acc = (acc * mult + 32L) % M // the joining space
-          acc = foldWord(acc, words.getUTF8String(i + j))
+          if (!first) {
+            a31 = (a31 * 31L + 32L) % M
+            a37 = (a37 * 37L + 32L) % M
+          }
+          val s = words.getUTF8String(i + j).toString
+          var k = 0
+          val len = s.length
+          while (k < len) {
+            val cp = s.codePointAt(k)
+            a31 = (a31 * 31L + cp) % M
+            a37 = (a37 * 37L + cp) % M
+            k += Character.charCount(cp)
+          }
           first = false
         }
         j += 1
       }
-      out(i) = acc
+      out(i) = a31 + a37 * 2147483648L
       i += 1
     }
     new GenericArrayData(out)

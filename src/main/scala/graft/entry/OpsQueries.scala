@@ -1585,8 +1585,8 @@ object OpsQueries {
 
     // exact-substring span dedup: every word 8-gram occurrence shared by
     // >= 2 distinct docs, with 0-based positions in normalized word
-    // space; the hash is the same portable fingerprint the LSH oracles
-    // restate
+    // space; the gid is the 62-bit two-polynomial hash (SimHash's
+    // portable combination) so occurrence-scale corpora don't birthday
     Q("q_dup_spans",
       (s, d) => Dedup.duplicateSpans(T(s, d, "documents"),
         "doc_id", "text", windowWords = 8, minDocs = 2),
@@ -1594,7 +1594,7 @@ object OpsQueries {
                wins AS (SELECT doc_id, i AS pos,
                           array_to_string(w[i+1:i+8], ' ') AS gram
                         FROM w, unnest(range(0, greatest(len(w)-7, 0)::BIGINT)) AS t(i)),
-               ids AS (SELECT doc_id, pos, ${duckFp("gram")} AS gid FROM wins),
+               ids AS (SELECT doc_id, pos, (${duckFp("gram")} + ${duckFp("gram", 37)} * 2147483648) AS gid FROM wins),
                shared AS (SELECT gid FROM ids GROUP BY gid
                           HAVING count(DISTINCT doc_id) >= 2)
                SELECT doc_id, pos::INT AS pos, gid FROM ids
@@ -1609,7 +1609,7 @@ object OpsQueries {
                wins AS (SELECT doc_id, i AS pos,
                           array_to_string(w[i+1:i+8], ' ') AS gram
                         FROM w, unnest(range(0, greatest(len(w)-7, 0)::BIGINT)) AS t(i)),
-               ids AS (SELECT doc_id, pos, ${duckFp("gram")} AS gid FROM wins),
+               ids AS (SELECT doc_id, pos, (${duckFp("gram")} + ${duckFp("gram", 37)} * 2147483648) AS gid FROM wins),
                shared AS (SELECT gid FROM ids GROUP BY gid
                           HAVING count(DISTINCT doc_id) >= 2),
                starts AS (SELECT doc_id, list_sort(list(pos)) AS starts

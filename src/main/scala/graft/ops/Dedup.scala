@@ -634,18 +634,20 @@ object Dedup {
   }
 
   /** The original Column formulation of [[windowIds]] (parity oracle):
-    * fingerprint of each slice-and-join window; null-propagating like
-    * the kernel (NULL words → NULL, not empty). */
+    * the 62-bit [[portableShingleId62]] of each slice-and-join window;
+    * null-propagating like the kernel (NULL words → NULL, not empty). */
   private[graft] def windowIdsColumns(ws: Column, n: Int): Column =
     when(ws.isNull, lit(null).cast("array<long>"))
       .when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
-          i => TextAnalysis.fingerprint(concat_ws(" ", slice(ws, i + 1, lit(n))))))
+          i => portableShingleId62(concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array().cast("array<long>"))
 
   /** Positional word w-gram frame: one (id, pos, gid) row per window
     * start (0-based, in normalized word space), gid = the portable
-    * 31-bit rolling hash of the window text. Unlike [[shingles]] this is
+    * 62-bit portable hash of the window text ([[portableShingleId62]] —
+    * wide enough that billions of window OCCURRENCES don't false-share
+    * at birthday rates the way a 31-bit id would). Unlike [[shingles]] this is
     * NOT distinct — positions are the point. */
   private def spanFrame(df: DataFrame, idCol: String, textCol: String,
                         windowWords: Int): DataFrame =
@@ -662,7 +664,7 @@ object Dedup {
     * [[decontaminate]]). Returns (idCol, pos, gid) with pos the 0-based
     * window start in normalized word space.
     *
-    * Scale shape: the exploded span frame is narrow (id, pos, 31-bit
+    * Scale shape: the exploded span frame is narrow (id, pos, 62-bit
     * gid); the shared-gram set derives from a per-doc-distinct +
     * per-gram-count aggregate (both partial-combine) and is BROADCAST
     * back for the membership join, so span rows never shuffle for the
