@@ -639,6 +639,58 @@ object OpsQueries {
               SELECT query_id, neighbor_id, approx_sim, sim, rank::INT AS rank
               FROM ranked WHERE rank <= 5""")),
 
+    // SemDeDup-style semantic dedup, EXACT oracle: pivot centroids (the
+    // q_ann_ivf trick) make the cell assignment restatable, the
+    // within-cell exact-cosine pairs reuse the q_embed_cosine_pairs
+    // parity, and the min-id survivor clustering restates the
+    // connected-components algorithm as the q_dedup_groups closure
+    Q("q_dedup_semantic",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val pivots = Seq(7L, 68L, 129L, 190L, 251L, 312L, 373L, 434L)
+        val centroids = e.where(col("vec_id").isin(pivots: _*))
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Similarity.semanticDedup(e, "vec_id", "embedding",
+          dim = 64, centroids = centroids, threshold = 0.35)
+          .select("vec_id")
+      },
+      Some("""WITH RECURSIVE ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS c
+                FROM ev WHERE vec_id IN (7,68,129,190,251,312,373,434)),
+              dist AS (
+                SELECT ev.vec_id, piv.j,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (ev.v[i]-piv.c[i])*(ev.v[i]-piv.c[i])), (a,b) -> a+b) AS dsq
+                FROM ev, piv),
+              rankedc AS (
+                SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dsq, j) AS rn
+                FROM dist),
+              cells AS (SELECT vec_id, j AS cell FROM rankedc WHERE rn = 1),
+              pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                JOIN ev ea ON ea.vec_id = a.vec_id
+                JOIN ev eb ON eb.vec_id = b.vec_id
+                WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              reach AS (
+                SELECT id, id AS r FROM nodes
+                UNION
+                SELECT e.dst AS id, reach.r FROM reach JOIN edges e
+                  ON e.src = reach.id),
+              losers AS (
+                SELECT id FROM (SELECT id, min(r) AS g FROM reach GROUP BY id)
+                WHERE id <> g)
+              SELECT vec_id FROM embeddings
+              WHERE vec_id NOT IN (SELECT id FROM losers)""")),
+
     // bigram-LM perplexity scoring (the CCNet-style fluency filter):
     // train counts on the corpus, score the same corpus; every count,
     // the smoothing arithmetic, and the order-independent decimal

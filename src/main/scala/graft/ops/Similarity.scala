@@ -285,6 +285,88 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // SemDeDup-style semantic deduplication (published method: cluster the
+  // embedding space, search for near-duplicates only WITHIN a cluster)
+  // ------------------------------------------------------------------
+
+  /** Within-cluster semantic near-duplicate pairs: each row is assigned
+    * its nearest centroid cell in one narrow kernel projection (no
+    * shuffle), candidate pairs arise only inside a cell, and every
+    * candidate is verified with exact cosine — precision 1, recall =
+    * within-cell coverage (the method's published trade-off; recall
+    * rises with `centroids.size`, which practitioners scale with corpus
+    * size precisely so cells stay bounded).
+    *
+    * Scale shape (same discipline as [[cosineDuplicates]]/`lshTopK`):
+    * the cell self-join carries (id, cell) only — vectors re-join by id
+    * for the exact verify, which AQE broadcasts. Skew guard: a cell
+    * above `maxCell` rows (a mega-cluster, or the degenerate all-zero
+    * cell) would put O(m²) pairs in one task; its members are REFINED by
+    * seeded hyperplane sub-buckets within the cell — pairs are still
+    * exactly verified, only cross-sub-bucket recall inside the
+    * mega-cell is given up — and any (cell, sub) still above the cap is
+    * dropped by [[graft.ops.Dedup.DefaultMaxBucket]]'s rule. The cell
+    * census the refinement needs is one partial-agg count over ≤ k
+    * cells, broadcast back. */
+  def semanticDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, centroids: Seq[Seq[Double]],
+                             threshold: Double,
+                             maxCell: Int = Dedup.DefaultMaxBucket,
+                             subPlanes: Int = 8,
+                             seed: Long = 42L): DataFrame = {
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      "centroid matrix must be k x dim")
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+    val census = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
+    // hot rows only pay the sub-bucket kernel: the CaseWhen short-circuits
+    val keyed = assigned.join(broadcast(census), Seq("cell"))
+      .select(col("id"), col("cell"),
+        when(col("_n") > maxCell, lshBucket(col("v"), dim, subPlanes, seed))
+          .otherwise(lit(-1L)).as("sub"))
+    val guarded = Dedup.capBuckets(keyed, Seq("cell", "sub"), maxCell)
+    val a = guarded.select(col("cell"), col("sub"), col("id").as("id_a"))
+    val b = guarded.select(col("cell"), col("sub"), col("id").as("id_b"))
+    // each row lives in exactly one (cell, sub) key → pairs need no dedup
+    val pairIds = a.join(b, Seq("cell", "sub"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairIds
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("sim", Rounding.roundAt(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** One-call semantic-duplicate REMOVAL over an embedding column:
+    * cell assignment → within-cell exact-cosine pairs ≥ `threshold` →
+    * connected components → min-id survivor per cluster → anti-join.
+    * Returns the deduplicated corpus (all columns of `df`). Rows whose
+    * vector cannot be assigned a cell (NULL / wrong length) never pair
+    * and therefore always survive — dropping them is a validation
+    * decision, not a dedup decision.
+    *
+    * Same composition discipline as [[graft.ops.Dedup.dedupCorpus]]:
+    * pairs are localCheckpoint'ed (the CC iteration re-reads them each
+    * round) and the final anti-join broadcasts the loser set, so the
+    * corpus never shuffles. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, centroids: Seq[Seq[Double]],
+                    threshold: Double,
+                    maxCell: Int = Dedup.DefaultMaxBucket,
+                    subPlanes: Int = 8, seed: Long = 42L,
+                    maxIter: Int = 25): DataFrame = {
+    val pairs = semanticDuplicatePairs(df, idCol, vecCol, dim, centroids,
+      threshold, maxCell, subPlanes, seed)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val losers = Dedup.duplicateGroups(pairs, maxIter)
+      .where(col("id") =!= col("group_id"))
+    df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // int8 quantization — the memory/bandwidth scale path for ANN
   // ------------------------------------------------------------------
 

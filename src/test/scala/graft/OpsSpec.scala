@@ -708,6 +708,47 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("semanticDedup: within-cell exact pairs, min-id survivor per clone group") {
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 6).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val clones = base.map { case (i, v) => (100L + i, v.clone()) }
+    val df = (base ++ clones).toDF("id", "v")
+    val centroids = Similarity.trainCentroids(df, "id", "v", dim = 16, k = 3, iters = 4)
+    val pairs = Similarity.semanticDuplicatePairs(df, "id", "v", 16, centroids, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an exact copy shares its original's cell by construction → every
+    // planted pair is found; nothing else clears the 0.999 verify
+    assert(pairs == (0 until 6).map(i => (i.toLong, 100L + i)).toSet)
+    val out = Similarity.semanticDedup(df, "id", "v", 16, centroids, 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == (0 until 6).map(_.toLong).toSet)
+  }
+
+  test("semanticDedup: mega-cell refined into sub-buckets; ids only on the cell join") {
+    val rnd = new scala.util.Random(31)
+    // one centroid → every vector lands in one cell, far above the cap
+    val hot = (0 until 3000).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val clonePair = Seq((9000L, hot.head._2.clone()))
+    val df = (hot ++ clonePair).toDF("id", "v")
+    val centroids = Seq(Seq.fill(16)(0.0))
+    val pairs = Similarity.semanticDuplicatePairs(df, "id", "v", 16, centroids,
+      threshold = 0.999, maxCell = 500, subPlanes = 8)
+    // hyperplane refinement splits the diffuse mega-cell into sub-buckets
+    // under the cap; the exact clone (identical sign pattern) still pairs
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 9000L)), s"clone pair lost in refinement: $found")
+    // the cell self-join must carry (id, cell, sub) only — no vectors
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val cellJoins = pairs.queryExecution.optimizedPlan.collect {
+      case j: Join if j.output.exists(_.name == "sub") => j
+    }
+    assert(cellJoins.nonEmpty)
+    cellJoins.foreach { j =>
+      val arrays = j.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty, s"cell join carries vector payload: ${arrays.map(_.name)}")
+    }
+  }
+
   test("dedupCorpus: one survivor per cluster, hot group collapsed as a group") {
     val corpus = docs.union(hotDocs)
     val out = Dedup.dedupCorpus(corpus, "doc_id", "text",
