@@ -986,6 +986,35 @@ object OpsQueries {
                  coalesce(round(st.top / st.total::DOUBLE, 6), 0.0) AS top_ngram_frac
                FROM w LEFT JOIN st ON w.doc_id = st.doc_id""")),
 
+    // lexical-diversity signals: code-point entropy (CharEntropy kernel —
+    // both engines sum -(k/n)·log2(k/n) in ascending code-point order, so
+    // round-6 absorbs only last-ulp libm differences) and type-token ratio
+    Q("q_lexical",
+      (s, d) => TextAnalysis.lexicalSignals(T(s, d, "documents"), "text")
+        .select("doc_id", "char_entropy", "ttr"),
+      Some(s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                           FROM documents WHERE length(text) > 0),
+               cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+               tot AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cnt GROUP BY doc_id),
+               terms AS (SELECT cnt.doc_id, unicode(cnt.c) AS cp,
+                           (cnt.k / tot.n) * log2(cnt.k / tot.n) AS t
+                         FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id),
+               ent AS (SELECT doc_id,
+                         list_reduce(list(t ORDER BY cp), (a, b) -> a + b) AS s
+                       FROM terms GROUP BY doc_id),
+               w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+               tt AS (SELECT doc_id,
+                        round(count(DISTINCT term) / count(*)::DOUBLE, 6) AS ttr
+                      FROM toks GROUP BY doc_id)
+               SELECT d.doc_id,
+                 coalesce(CASE WHEN ent.s = 0 THEN 0.0 ELSE round(-ent.s, 6) END,
+                          0.0) AS char_entropy,
+                 coalesce(tt.ttr, 0.0) AS ttr
+               FROM documents d
+               LEFT JOIN ent ON d.doc_id = ent.doc_id
+               LEFT JOIN tt ON d.doc_id = tt.doc_id""")),
+
     // PII detect + redact: deterministic synthetic PII is appended per row
     // in BOTH engines (the corpus itself carries none — verified), then
     // counts and the redacted text must agree span for span. Patterns are

@@ -210,6 +210,31 @@ object TextAnalysis {
     ColumnBridge.column(graft.compile.Fingerprint32(ColumnBridge.expression(text), mult))
   }
 
+  /** Shannon entropy (bits/char) of the code-point distribution via the
+    * one-pass [[graft.compile.CharEntropy]] kernel, rounded to 6 places
+    * (terms summed in ascending code-point order in BOTH engines — see
+    * the kernel's determinism contract). The cheap gibberish signal:
+    * natural prose ≈ 4-5, single-char spam ≈ 0. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    Rounding.roundAt(ColumnBridge.column(
+      graft.compile.CharEntropy(ColumnBridge.expression(text))), 6)
+  }
+
+  /** Lexical-diversity signals: `char_entropy` (above) and `ttr` (type-
+    * token ratio — distinct words / words, the Gopher "fraction of
+    * unique words" signal; 0.0 for empty docs). The unigram stats struct
+    * is bound in its own projection (the [[repetitionSignals]] lambda-CSE
+    * discipline), so tokenization runs once per row. Narrow, no shuffle. */
+  def lexicalSignals(df: org.apache.spark.sql.DataFrame,
+                     textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("_u", ngramStats(words(col(textCol)), 1))
+      .withColumn("char_entropy", charEntropy(col(textCol)))
+      .withColumn("ttr", when(col("_u.total_ngrams") > 0,
+        Rounding.roundAt(col("_u.distinct_ngrams").cast("double") /
+          col("_u.total_ngrams"), 6)).otherwise(lit(0.0)))
+      .drop("_u")
+
   /** Per-document out-of-vocabulary signals against a Bloom-encoded
     * vocabulary ([[graft.sketch.BloomSketch]]): (idCol, n_words, n_oov,
     * oov_rate). A word reported OOV is DEFINITELY absent (Bloom has no

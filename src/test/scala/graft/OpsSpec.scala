@@ -708,6 +708,15 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("duplicateGroups: 2000-node path graph converges via pointer jumping") {
+    // plain label propagation needs diameter rounds (1999 here); the
+    // path-halving step must bring it under the default 25
+    val chain = (0 until 1999).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateGroups(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 2000 && labels.forall(_._2 == 0L))
+  }
+
   test("semanticDedup: within-cell exact pairs, min-id survivor per clone group") {
     val rnd = new scala.util.Random(23)
     val base = (0 until 6).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
