@@ -986,6 +986,82 @@ object OpsQueries {
                  coalesce(round(st.top / st.total::DOUBLE, 6), 0.0) AS top_ngram_frac
                FROM w LEFT JOIN st ON w.doc_id = st.doc_id""")),
 
+    // corpus-level overlap (the corpus-granularity contamination
+    // question): EXACT distinct-shingle Jaccard/containment between the
+    // 'en' and non-'en' halves, portable shingle hash so DuckDB restates
+    // the id space verbatim (same restatement as the LSH oracles)
+    Q("q_corpus_overlap",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Overlap.shingleOverlap(
+          docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"),
+          "text", shingleN = 2, shingleId = Dedup.portableShingleId)
+      },
+      Some(s"""WITH w AS (SELECT lang, $duckWords AS w FROM documents),
+               sh AS (SELECT lang,
+                        CASE WHEN len(w) >= 2
+                             THEN list_distinct(list_transform(range(0, len(w)-1),
+                                    i -> w[i+1] || ' ' || w[i+2]))
+                             ELSE [coalesce(list_aggregate(w, 'string_agg', ' '), '')]
+                        END AS sh
+                      FROM w),
+               ids AS (SELECT lang, unnest(list_transform(sh, s -> ${duckFp("s")})) AS id
+                       FROM sh),
+               a AS (SELECT DISTINCT id FROM ids WHERE lang = 'en'),
+               b AS (SELECT DISTINCT id FROM ids WHERE lang <> 'en'),
+               m AS (SELECT (a.id IS NOT NULL)::INT AS ina,
+                            (b.id IS NOT NULL)::INT AS inb
+                     FROM a FULL OUTER JOIN b ON a.id = b.id),
+               t AS (SELECT sum(ina)::BIGINT AS shingles_a,
+                            sum(inb)::BIGINT AS shingles_b,
+                            sum(ina*inb)::BIGINT AS overlap,
+                            count(*)::BIGINT AS union_size FROM m)
+               SELECT shingles_a, shingles_b, overlap, union_size,
+                 CASE WHEN union_size > 0
+                      THEN round(overlap::DOUBLE / union_size, 6) ELSE 0.0 END AS jaccard,
+                 CASE WHEN shingles_a > 0
+                      THEN round(overlap::DOUBLE / shingles_a, 6) ELSE 0.0 END AS containment_a,
+                 CASE WHEN shingles_b > 0
+                      THEN round(overlap::DOUBLE / shingles_b, 6) ELSE 0.0 END AS containment_b
+               FROM t""")),
+
+    // the 100-TB overlap path: mergeable corpus-level MinHash signatures
+    // (k min-aggregates, a few hundred bytes per corpus) compared
+    // slot-for-slot; the affine family is interpolated into the oracle so
+    // both engines build the IDENTICAL signature
+    Q("q_corpus_minhash",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sa = Overlap.corpusSignature(docs.where(col("lang") === "en"),
+          "text", shingleN = 2, k = 64, seed = 42L,
+          shingleId = Dedup.portableShingleId)
+        val sb = Overlap.corpusSignature(docs.where(col("lang") =!= "en"),
+          "text", shingleN = 2, k = 64, seed = 42L,
+          shingleId = Dedup.portableShingleId)
+        Overlap.estimateJaccard(sa, sb)
+      },
+      Some {
+        val fam = Dedup.hashFamily(64, 42L)
+        val slots = fam.map { case (ha, hb) =>
+          s"min((id*$ha + $hb) % 2147483647)"
+        }.mkString("[", ",\n                 ", "]")
+        s"""WITH w AS (SELECT lang, $duckWords AS w FROM documents),
+            sh AS (SELECT lang,
+                     CASE WHEN len(w) >= 2
+                          THEN list_distinct(list_transform(range(0, len(w)-1),
+                                 i -> w[i+1] || ' ' || w[i+2]))
+                          ELSE [coalesce(list_aggregate(w, 'string_agg', ' '), '')]
+                     END AS sh
+                   FROM w),
+            ids AS (SELECT lang, unnest(list_transform(sh, s -> ${duckFp("s")})) AS id
+                    FROM sh),
+            sa AS (SELECT $slots AS sig FROM ids WHERE lang = 'en'),
+            sb AS (SELECT $slots AS sig FROM ids WHERE lang <> 'en'),
+            eq AS (SELECT len(list_filter(range(1, 65),
+                     i -> sa.sig[i] = sb.sig[i])) AS n FROM sa, sb)
+            SELECT n::INT AS n_equal, round(n / 64.0, 6) AS est_jaccard FROM eq"""
+      }),
+
     // lexical-diversity signals: code-point entropy (CharEntropy kernel —
     // both engines sum -(k/n)·log2(k/n) in ascending code-point order, so
     // round-6 absorbs only last-ulp libm differences) and type-token ratio

@@ -708,6 +708,36 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("corpus overlap: exact identities and a sane minhash estimate") {
+    val a = docs
+    // self-overlap is exactly 1 everywhere
+    val self = Overlap.shingleOverlap(a, a, "text", shingleN = 2).head()
+    assert(self.getAs[Long]("overlap") == self.getAs[Long]("union_size"))
+    assert(self.getAs[Double]("jaccard") == 1.0 &&
+      self.getAs[Double]("containment_a") == 1.0 &&
+      self.getAs[Double]("containment_b") == 1.0)
+    // disjoint corpora share nothing
+    val b = docs.select(col("doc_id"),
+      concat(lit("zq"), col("text")).as("text")) // every word mutated
+    val none = Overlap.shingleOverlap(
+      a, b.withColumn("text", regexp_replace(col("text"), "\\w+", "zzz")),
+      "text", shingleN = 2).head()
+    assert(none.getAs[Long]("overlap") == 0 && none.getAs[Double]("jaccard") == 0.0)
+    // estimator: identical corpora → every slot equal; J=1
+    val sa = Overlap.corpusSignature(a, "text", shingleN = 2)
+    val est = Overlap.estimateJaccard(sa, Overlap.corpusSignature(a, "text", shingleN = 2)).head()
+    assert(est.getAs[Int]("n_equal") == 64 && est.getAs[Double]("est_jaccard") == 1.0)
+    // estimator vs exact on a partial overlap: within 4σ, σ = √(J(1-J)/64)
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val exact = Overlap.shingleOverlap(a, half, "text", shingleN = 2)
+      .head().getAs[Double]("jaccard")
+    val estH = Overlap.estimateJaccard(sa,
+      Overlap.corpusSignature(half, "text", shingleN = 2)).head().getAs[Double]("est_jaccard")
+    val sigma = math.sqrt(exact * (1 - exact) / 64)
+    assert(math.abs(estH - exact) <= 4 * sigma + 0.02,
+      s"estimate $estH too far from exact $exact")
+  }
+
   test("duplicateGroups: 2000-node path graph converges via pointer jumping") {
     // plain label propagation needs diameter rounds (1999 here); the
     // path-halving step must bring it under the default 25
