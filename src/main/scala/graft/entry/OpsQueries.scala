@@ -1091,6 +1091,62 @@ object OpsQueries {
                LEFT JOIN ent ON d.doc_id = ent.doc_id
                LEFT JOIN tt ON d.doc_id = tt.doc_id""")),
 
+    // Gopher quality-filter rule set: every threshold is an INTEGER
+    // comparison (mean-word-length ∈ [3,10] is 3n ≤ Σlen ≤ 10n, etc.),
+    // so the oracle restates each verdict with zero float drift; the
+    // bigram stats reuse the q_repetition restatement
+    Q("q_gopher",
+      (s, d) => TextAnalysis.gopherFilter(T(s, d, "documents"), "text")
+        .select("doc_id", "word_count", "reasons", "keep"),
+      Some {
+        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+        s"""WITH w AS (SELECT doc_id, text, $duckWords AS w FROM documents),
+             g AS (SELECT doc_id,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(range(0, len(w)-1),
+                                 i -> w[i+1] || ' ' || w[i+2])
+                          ELSE [] END AS g
+                   FROM w),
+             ex AS (SELECT doc_id, unnest(g) AS gram FROM g),
+             cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+             st AS (SELECT doc_id, sum(c) AS total, max(c) AS top
+                    FROM cnt GROUP BY 1),
+             s AS (SELECT w.doc_id,
+                     len(w.w) AS n,
+                     list_reduce(list_prepend(0, list_transform(w.w, x -> length(x))),
+                       (a, b) -> a + b) AS sumlen,
+                     len(list_filter(w.w, x -> regexp_matches(x, '\\p{L}'))) AS alphaw,
+                     len(list_filter(w.w, x -> x IN ($stops))) AS stopn,
+                     list_filter(string_split(w.text, chr(10)),
+                       l -> trim(l) <> '') AS lines,
+                     length(regexp_replace(w.text, '[^#…]', '', 'g')) AS symbols,
+                     coalesce(st.total, 0) AS bg_total, coalesce(st.top, 0) AS bg_top
+                   FROM w LEFT JOIN st ON w.doc_id = st.doc_id),
+             v AS (SELECT doc_id, n::INT AS word_count,
+                     list_filter([
+                       CASE WHEN n < 50 THEN 'too_few_words' END,
+                       CASE WHEN n > 100000 THEN 'too_many_words' END,
+                       CASE WHEN n > 0 AND (sumlen < 3*n OR sumlen > 10*n)
+                            THEN 'word_length' END,
+                       CASE WHEN n > 0 AND 5*alphaw < 4*n THEN 'alpha_words' END,
+                       CASE WHEN stopn < 2 THEN 'stopwords' END,
+                       CASE WHEN len(lines) > 0 AND
+                         10*len(list_filter(lines,
+                           l -> regexp_matches(trim(l), '^[-*•]'))) > 9*len(lines)
+                            THEN 'bullets' END,
+                       CASE WHEN len(lines) > 0 AND
+                         10*len(list_filter(lines,
+                           l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) > 3*len(lines)
+                            THEN 'ellipsis' END,
+                       CASE WHEN n > 0 AND 10*symbols > n THEN 'symbol_ratio' END,
+                       CASE WHEN bg_total > 0 AND 5*bg_top > bg_total
+                            THEN 'top_bigram' END
+                     ], x -> x IS NOT NULL) AS reasons
+                   FROM s)
+             SELECT doc_id, word_count, reasons,
+                    (len(reasons) = 0) AS keep FROM v"""
+      }),
+
     // PII detect + redact: deterministic synthetic PII is appended per row
     // in BOTH engines (the corpus itself carries none — verified), then
     // counts and the redacted text must agree span for span. Patterns are

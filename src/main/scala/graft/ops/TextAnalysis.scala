@@ -235,6 +235,65 @@ object TextAnalysis {
           col("_u.total_ngrams"), 6)).otherwise(lit(0.0)))
       .drop("_u")
 
+  /** Gopher-style document quality filter (the published rule set for
+    * web-corpus pre-filtering), as per-rule verdicts: adds `reasons`
+    * (array of failed-rule tags, fixed order) and `keep` (reasons
+    * empty). Rules, with their published thresholds:
+    *  - word count ∈ [minWords, maxWords] ("too_few_words"/"too_many_words")
+    *  - mean word length ∈ [3, 10] ("word_length")
+    *  - ≥ 80% of words contain a letter ("alpha_words")
+    *  - ≥ 2 stopwords ("stopwords")
+    *  - ≤ 90% of lines start with a bullet ("bullets")
+    *  - ≤ 30% of lines end with an ellipsis ("ellipsis")
+    *  - symbol (#/…) to word ratio ≤ 0.1 ("symbol_ratio")
+    *  - most frequent bigram ≤ 20% of bigram occurrences ("top_bigram")
+    *
+    * Every threshold compares INTEGERS (e.g. mean-word-length ∈ [3,10]
+    * is `3·n ≤ Σlen ≤ 10·n`), so a SQL oracle restates the decisions
+    * with zero float drift. The word list and bigram stats are bound in
+    * their own projection (lambda-CSE discipline — tokenization runs
+    * once per row); everything is narrow, no shuffle, scan speed. */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   stopLang: String = "en"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("_w", words(t))
+      .withColumn("_bg", ngramStats(col("_w"), 2))
+      .withColumn("_lines", filter(split(t, "\n"), l => trim(l) =!= ""))
+    val n = size(col("_w"))
+    val sumLen = aggregate(transform(col("_w"), w => length(w)),
+      lit(0), (acc, x) => acc + x)
+    val alphaW = size(filter(col("_w"), w => w.rlike("\\p{L}")))
+    val stops = stopwords(stopLang).map(_.toLowerCase)
+    val stopN = size(filter(col("_w"), w => w.isin(stops: _*)))
+    val nLines = size(col("_lines"))
+    val bulletL = size(filter(col("_lines"),
+      l => trim(l).rlike("^[-*•]")))
+    val ellipsisL = size(filter(col("_lines"),
+      l => trim(l).rlike("(\\.\\.\\.|…)$")))
+    val symbols = length(regexp_replace(t, "[^#…]", ""))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_words" -> (n < minWords),
+      "too_many_words" -> (n > maxWords),
+      "word_length" -> (n > 0 && (sumLen < lit(3) * n || sumLen > lit(10) * n)),
+      "alpha_words" -> (n > 0 && lit(5) * alphaW < lit(4) * n),
+      "stopwords" -> (stopN < 2),
+      "bullets" -> (nLines > 0 && lit(10) * bulletL > lit(9) * nLines),
+      "ellipsis" -> (nLines > 0 && lit(10) * ellipsisL > lit(3) * nLines),
+      "symbol_ratio" -> (n > 0 && lit(10) * symbols > n),
+      "top_bigram" -> (col("_bg.total_ngrams") > 0 &&
+        lit(5) * col("_bg.top_ngram_count") > col("_bg.total_ngrams")))
+    val reasons = concat(rules.map { case (tag, cond) =>
+      when(cond, array(lit(tag))).otherwise(array().cast("array<string>"))
+    }: _*)
+    staged
+      .withColumn("word_count", n)
+      .withColumn("reasons", reasons)
+      .withColumn("keep", size(col("reasons")) === 0)
+      .drop("_w", "_bg", "_lines")
+  }
+
   /** Per-document out-of-vocabulary signals against a Bloom-encoded
     * vocabulary ([[graft.sketch.BloomSketch]]): (idCol, n_words, n_oov,
     * oov_rate). A word reported OOV is DEFINITELY absent (Bloom has no

@@ -708,6 +708,35 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("gopherFilter: each rule fires on its planted violator") {
+    val good = ("good", (("the quick brown fox jumps over the lazy dog and " * 8) +
+      "some more plain sensible readable text here with the usual words ").trim)
+    val cases = Seq(
+      good,
+      "short" -> "only three words",
+      "wordlen" -> (Seq.fill(60)("zz").mkString(" ")), // mean len 2 < 3
+      "alpha" -> (Seq.fill(60)("12345 the").mkString(" ")), // half numeric
+      "nostops" -> (Seq.fill(60)("zebra quartz").mkString(" ")),
+      "bullets" -> (0 until 4).map(i => s"- item $i of the list").mkString("\n"),
+      "ellipsis" -> (0 until 4).map(i => s"line $i trails off...").mkString("\n"),
+      "symbols" -> (Seq.fill(60)("w #tag").mkString(" ")),
+      "repeat" -> (Seq.fill(60)("again again").mkString(" ")))
+    val df = cases.toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "text")
+      .select("doc_id", "reasons", "keep").collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](1), r.getBoolean(2))).toMap
+    assert(out("good")._2, s"good doc rejected: ${out("good")._1}")
+    assert(out("short")._1.contains("too_few_words"))
+    assert(out("wordlen")._1.contains("word_length"))
+    assert(out("alpha")._1.contains("alpha_words"))
+    assert(out("nostops")._1.contains("stopwords"))
+    assert(out("bullets")._1.contains("bullets"))
+    assert(out("ellipsis")._1.contains("ellipsis"))
+    assert(out("symbols")._1.contains("symbol_ratio"))
+    assert(out("repeat")._1.contains("top_bigram"))
+    assert(!out("repeat")._2)
+  }
+
   test("corpus overlap: exact identities and a sane minhash estimate") {
     val a = docs
     // self-overlap is exactly 1 everywhere
