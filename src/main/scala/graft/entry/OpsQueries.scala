@@ -1091,6 +1091,17 @@ object OpsQueries {
                LEFT JOIN ent ON d.doc_id = ent.doc_id
                LEFT JOIN tt ON d.doc_id = tt.doc_id""")),
 
+    // deflate compression ratio — the long-range-repetition quality
+    // signal. No SQL engine exposes deflate, so this is the registry's
+    // one deliberate rows-only entry (the kernel is pinned by the unit
+    // corpus: boilerplate ≪ prose < shuffled-alphabet orderings)
+    Q("q_compression",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.compressionRatio(col("text"))
+          .as("compression_ratio"))
+        .where(col("compression_ratio") > 0),
+      None),
+
     // Gopher quality-filter rule set: every threshold is an INTEGER
     // comparison (mean-word-length ∈ [3,10] is 3n ≤ Σlen ≤ 10n, etc.),
     // so the oracle restates each verdict with zero float drift; the

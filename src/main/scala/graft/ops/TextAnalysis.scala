@@ -235,6 +235,19 @@ object TextAnalysis {
           col("_u.total_ngrams"), 6)).otherwise(lit(0.0)))
       .drop("_u")
 
+  /** Deflate compression ratio (compressed/raw UTF-8 bytes, level 6) via
+    * the one-pass [[graft.compile.DeflateRatio]] kernel, rounded to 6.
+    * Catches LONG-RANGE repetition (template/boilerplate spam) that the
+    * per-character [[charEntropy]] distribution misses; the two together
+    * are the standard cheap pair. Narrow, thread-local native deflater —
+    * no allocation in the hot loop. Not SQL-oracle-expressible (rows-only
+    * gate check); pinned by the unit corpus instead. */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    Rounding.roundAt(ColumnBridge.column(
+      graft.compile.DeflateRatio(ColumnBridge.expression(text))), 6)
+  }
+
   /** Gopher-style document quality filter (the published rule set for
     * web-corpus pre-filtering), as per-rule verdicts: adds `reasons`
     * (array of failed-rule tags, fixed order) and `keep` (reasons

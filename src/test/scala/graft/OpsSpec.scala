@@ -708,6 +708,30 @@ class OpsSpec extends SparkSpec {
       s"clone pairs lost: $out")
   }
 
+  test("compressionRatio: boilerplate << prose < random; deterministic; edge cases") {
+    val rnd = new scala.util.Random(5)
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders through a meadow full of unusual flowers while birds circle " * 4
+    val boiler = "click here to subscribe now " * 40
+    val noise = Array.fill(1000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq(("prose", prose), ("boiler", boiler), ("noise", noise),
+      ("empty", ""), ("nul", null)).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.compressionRatio(col("text")).as("r")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out("boiler").get < out("prose").get,
+      s"boilerplate ${out("boiler")} not below prose ${out("prose")}")
+    assert(out("prose").get < out("noise").get,
+      s"prose ${out("prose")} not below random ${out("noise")}")
+    assert(out("boiler").get < 0.2 && out("noise").get > 0.5)
+    assert(out("empty").contains(1.0) && out("nul").isEmpty)
+    // two evaluations agree bit-for-bit (thread-local deflater resets clean)
+    val twice = df.select(TextAnalysis.compressionRatio(col("text")).as("a"),
+      TextAnalysis.compressionRatio(col("text")).as("b"))
+      .where(col("a").isNotNull && col("a") =!= col("b")).count()
+    assert(twice == 0)
+  }
+
   test("gopherFilter: each rule fires on its planted violator") {
     val good = ("good", (("the quick brown fox jumps over the lazy dog and " * 8) +
       "some more plain sensible readable text here with the usual words ").trim)
