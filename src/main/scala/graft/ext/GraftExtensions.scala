@@ -29,6 +29,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
   *    over string keys; no false negatives)
   *  - `bloom_contains(filter, key)`     → boolean membership probe
   *  - `graft_nfc(str)`                  → string, Unicode NFC composition
+  *  - `graft_char_entropy(str)`         → double, Shannon entropy
+  *    (bits/char) of the code-point distribution
+  *  - `graft_deflate_ratio(str)`        → double, deflate compressed/raw
+  *    byte ratio (long-range repetition signal)
   *  - `graft_fingerprint(str[, mult])`  → bigint, 31-multiplier rolling
   *    code-point hash mod 2^31-1 (the oracle-restateable document
   *    fingerprint)
@@ -217,6 +221,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(c) => graft.compile.NormalizeNfc(c)
         case _ => throw new IllegalArgumentException("graft_nfc expects (str)")
+      }),
+
+    (FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy", "graft_char_entropy(str) - Shannon entropy (bits/char) of the code-point distribution (ascending-code-point summation; round to 6 for cross-engine compares)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.compile.CharEntropy(c)
+        case _ => throw new IllegalArgumentException("graft_char_entropy expects (str)")
+      }),
+
+    (FunctionIdentifier("graft_deflate_ratio"),
+      info("graft_deflate_ratio", "graft_deflate_ratio(str) - deflate(level 6) compressed/raw UTF-8 byte ratio (long-range repetition signal; empty string -> 1.0)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.compile.DeflateRatio(c)
+        case _ => throw new IllegalArgumentException("graft_deflate_ratio expects (str)")
       }),
 
     (FunctionIdentifier("graft_fingerprint"),

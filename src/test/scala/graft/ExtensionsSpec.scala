@@ -96,6 +96,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(m37 == 97L * 37 + 98, m37.toString)
   }
 
+  test("graft_char_entropy and graft_deflate_ratio match their Column twins") {
+    val ent = spark.sql(
+      "SELECT round(graft_char_entropy('aabb') * 1e6) / 1e6 AS e, " +
+        "graft_char_entropy('aaaa') AS z, graft_char_entropy('') AS emp").head()
+    assert(ent.getDouble(0) == 1.0 && ent.getDouble(1) == 0.0 && ent.getDouble(2) == 0.0)
+    val viaSql = spark.sql(
+      """SELECT id, round(graft_char_entropy(text) * 1e6) / 1e6 AS e,
+                round(graft_deflate_ratio(text) * 1e6) / 1e6 AS r
+         FROM ext_texts""").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    spark.table("ext_texts").select(col("id"),
+      graft.ops.TextAnalysis.charEntropy(col("text")).as("e"),
+      graft.ops.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().foreach { r =>
+        assert(viaSql(r.getLong(0)) == ((r.getDouble(1), r.getDouble(2))))
+      }
+  }
+
   test("FuseArrayBounds rule: forall(arr, bounds) → fused codegen, same 3-valued results") {
     import graft.ext.FuseArrayBounds
     // materialize through parquet so ConvertToLocalRelation can't fold the
