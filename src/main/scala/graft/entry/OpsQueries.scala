@@ -108,8 +108,52 @@ object OpsQueries {
   // the q_curate derivation from a (doc_id, text) CTE through the
   // exact-dedup survivor set `keep` (line dedup → PII → quality → exact
   // dedup), shared by q_curate / q_curate_cross / q_curate_web
-  private def duckCurateChain(src: String): String = {
+  private def duckCurateChain(src: String,
+                              gopherMinWords: Option[Int] = None): String = {
     val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
+    // optional Gopher-rule stage between the quality floor and exact
+    // dedup (mirrors CurationConfig.gopherRules; rule arithmetic is the
+    // q_gopher restatement — every threshold compares integers)
+    val preKeep = if (gopherMinWords.isDefined) "qa2" else "qa"
+    val gopherStage = gopherMinWords.map { mw =>
+      val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+      s"""gw AS (SELECT doc_id, text, quality, $duckWords AS w FROM qa),
+          gg AS (SELECT doc_id,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(0, len(w)-1),
+                               i -> w[i+1] || ' ' || w[i+2])
+                        ELSE [] END AS g
+                 FROM gw),
+          gex AS (SELECT doc_id, unnest(g) AS gram FROM gg),
+          gcnt AS (SELECT doc_id, gram, count(*) AS c FROM gex GROUP BY 1, 2),
+          gst AS (SELECT doc_id, sum(c) AS total, max(c) AS top
+                  FROM gcnt GROUP BY 1),
+          gsig AS (SELECT gw.doc_id, gw.text, gw.quality,
+                     len(gw.w) AS n,
+                     list_reduce(list_prepend(0, list_transform(gw.w, x -> length(x))),
+                       (a, b) -> a + b) AS sumlen,
+                     len(list_filter(gw.w, x -> regexp_matches(x, '\\p{L}'))) AS alphaw,
+                     len(list_filter(gw.w, x -> x IN ($stops))) AS stopn,
+                     list_filter(string_split(gw.text, chr(10)),
+                       l -> trim(l) <> '') AS lines,
+                     length(regexp_replace(gw.text, '[^#…]', '', 'g')) AS symbols,
+                     coalesce(gst.total, 0) AS bg_total,
+                     coalesce(gst.top, 0) AS bg_top
+                   FROM gw LEFT JOIN gst ON gw.doc_id = gst.doc_id),
+          qa2 AS (SELECT doc_id, text, quality FROM gsig
+                  WHERE NOT (n < $mw) AND NOT (n > 100000)
+                    AND NOT (n > 0 AND (sumlen < 3*n OR sumlen > 10*n))
+                    AND NOT (n > 0 AND 5*alphaw < 4*n)
+                    AND NOT (stopn < 2)
+                    AND NOT (len(lines) > 0 AND
+                      10*len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '^[-*•]'))) > 9*len(lines))
+                    AND NOT (len(lines) > 0 AND
+                      10*len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) > 3*len(lines))
+                    AND NOT (n > 0 AND 10*symbols > n)
+                    AND NOT (bg_total > 0 AND 5*bg_top > bg_total)),"""
+    }.getOrElse("")
     s"""lls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src),
         lines AS (SELECT doc_id, i AS pos, ls[i+1] AS line
                   FROM lls, unnest(range(0, len(ls))) AS u(i)),
@@ -143,10 +187,11 @@ object OpsQueries {
                 4) AS quality
               FROM qq),
         qa AS (SELECT * FROM q WHERE quality >= 0.5),
+        $gopherStage
         keep AS (SELECT doc_id, text, quality FROM (
                    SELECT *, row_number() OVER (PARTITION BY text
                                                 ORDER BY doc_id) AS rn
-                   FROM qa) WHERE rn = 1)"""
+                   FROM $preKeep) WHERE rn = 1)"""
   }
 
   private lazy val duckCurateKeepCtes: String =
@@ -1338,6 +1383,22 @@ object OpsQueries {
             splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
       },
       Some(s"WITH $duckCurateKeepCtes\n${duckCurateSplitSelect("keep")}")),
+
+    // the curation composition with the Gopher rule set engaged beside
+    // the quality floor: the oracle chains the q_curate derivation with
+    // the q_gopher integer-arithmetic verdicts over the CLEANED texts
+    Q("q_curate_quality", {
+      (s, d) =>
+        Curation.curate(
+          curateInput(T(s, d, "documents")), "doc_id", "text",
+          Curation.CurationConfig(
+            gopherRules = true, gopherMinWords = 20,
+            splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+            splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
+      },
+      Some(s"""WITH $duckCurateTCte,
+              ${duckCurateChain("t", gopherMinWords = Some(20))}
+              ${duckCurateSplitSelect("keep")}""")),
 
     // the same curation composition with the cross-corpus dedup stage
     // engaged against a reference corpus (raw documents < 50): the

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *  2. PII redaction ([[TextAnalysis.piiRedact]]) — before quality
   *     scoring so scores reflect the text that will be trained on,
   *  3. quality floor ([[TextAnalysis.qualityScore]] ≥ `minQuality`),
+  *     plus the optional Gopher rule set ([[TextAnalysis.gopherFilter]]),
   *  4. exact dedup — one survivor (lowest id) per identical cleaned
   *     text ([[Dedup.keepCanonical]] keyed on the text),
   *  5. optional MinHash near-dedup ([[Dedup.dedupCorpus]]),
@@ -59,6 +60,13 @@ object Curation {
     lineSep: String = "\n",
     redactPii: Boolean = true,
     minQuality: Double = 0.5,
+    /** Apply the published Gopher rule set ([[TextAnalysis.gopherFilter]])
+      * beside the quality floor — docs failing ANY rule are dropped.
+      * Off by default: the score floor is the cheap default; the rules
+      * are the stricter web-corpus preset. */
+    gopherRules: Boolean = false,
+    gopherMinWords: Int = 50,
+    gopherMaxWords: Int = 100000,
     nearDedup: Boolean = false,
     nearDedupThreshold: Double = 0.8,
     /** Reference corpus for incremental cross-corpus near-dedup; must
@@ -99,10 +107,16 @@ object Curation {
     val scored = redacted
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .where(col("quality") >= cfg.minQuality)
+    val ruled =
+      if (cfg.gopherRules)
+        TextAnalysis.gopherFilter(scored, textCol,
+          cfg.gopherMinWords, cfg.gopherMaxWords)
+          .where(col("keep")).drop("word_count", "reasons", "keep")
+      else scored
     // key on the text alone: the payload already carries it, and a
     // fingerprint prefix adds no discriminating power over the text it
     // accompanies — it only widens the dedup exchange
-    val exactDeduped = Dedup.keepCanonical(scored, col(textCol), Seq(col(idCol)))
+    val exactDeduped = Dedup.keepCanonical(ruled, col(textCol), Seq(col(idCol)))
     val nearDeduped =
       if (cfg.nearDedup)
         Dedup.dedupCorpus(exactDeduped, idCol, textCol, cfg.nearDedupThreshold)
