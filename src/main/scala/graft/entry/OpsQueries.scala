@@ -736,6 +736,45 @@ object OpsQueries {
               SELECT vec_id FROM embeddings
               WHERE vec_id NOT IN (SELECT id FROM losers)""")),
 
+    // cross-corpus semantic near-duplicates (embedding-space benchmark
+    // decontamination): new side = vec_id >= 100, reference = vec_id <
+    // 100, same pivot-centroid cell restatement as q_dedup_semantic
+    Q("q_dedup_semantic_cross",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val pivots = Seq(7L, 68L, 129L, 190L, 251L, 312L, 373L, 434L)
+        val centroids = e.where(col("vec_id").isin(pivots: _*))
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Similarity.crossSemanticDuplicates(
+          e.where(col("vec_id") >= 100), e.where(col("vec_id") < 100),
+          "vec_id", "embedding", dim = 64, centroids = centroids,
+          threshold = 0.35)
+      },
+      Some("""WITH ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS c
+                FROM ev WHERE vec_id IN (7,68,129,190,251,312,373,434)),
+              dist AS (
+                SELECT ev.vec_id, piv.j,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (ev.v[i]-piv.c[i])*(ev.v[i]-piv.c[i])), (a,b) -> a+b) AS dsq
+                FROM ev, piv),
+              rankedc AS (
+                SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dsq, j) AS rn
+                FROM dist),
+              cells AS (SELECT vec_id, j AS cell FROM rankedc WHERE rn = 1)
+              SELECT n.vec_id AS new_id, r.vec_id AS ref_id,
+                round(list_cosine_similarity(en.v, er.v), 6) AS sim
+              FROM cells n JOIN cells r ON n.cell = r.cell
+              JOIN ev en ON en.vec_id = n.vec_id
+              JOIN ev er ON er.vec_id = r.vec_id
+              WHERE n.vec_id >= 100 AND r.vec_id < 100
+                AND round(list_cosine_similarity(en.v, er.v), 6) >= 0.35""")),
+
     // bigram-LM perplexity scoring (the CCNet-style fluency filter):
     // train counts on the corpus, score the same corpus; every count,
     // the smoothing arithmetic, and the order-independent decimal

@@ -340,6 +340,40 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Cross-corpus semantic near-duplicates: pairs (new_id, ref_id, sim)
+    * where a NEW document's embedding clears `threshold` cosine against
+    * a REFERENCE document sharing its centroid cell — the embedding-
+    * space twin of [[graft.ops.Dedup.crossCorpusDuplicates]] (semantic
+    * benchmark decontamination / incremental ingestion against an
+    * already-ingested index). Both sides assign cells in one narrow
+    * kernel projection; the cell join carries ids only; vectors re-join
+    * by id for the exact verify. Each side's cells are capped at
+    * `maxCell` independently (drop, not refine — cross pairs lack the
+    * self-join's sub-bucket symmetry guarantee only when the two sides'
+    * hot sets differ, so the conservative rule is used; route dropped
+    * cells via exact/LSH dedup). */
+  def crossSemanticDuplicates(newDf: DataFrame, refDf: DataFrame,
+                              idCol: String, vecCol: String,
+                              dim: Int, centroids: Seq[Seq[Double]],
+                              threshold: Double,
+                              maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      "centroid matrix must be k x dim")
+    def cells(df: DataFrame) = Dedup.capBuckets(
+      df.select(col(idCol).as("id"),
+        element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell")),
+      Seq("cell"), maxCell)
+    val pairIds = cells(newDf).select(col("cell"), col("id").as("new_id"))
+      .join(cells(refDf).select(col("cell"), col("id").as("ref_id")), Seq("cell"))
+      .select("new_id", "ref_id")
+    pairIds
+      .join(newDf.select(col(idCol).as("new_id"), col(vecCol).as("v_n")), Seq("new_id"))
+      .join(refDf.select(col(idCol).as("ref_id"), col(vecCol).as("v_r")), Seq("ref_id"))
+      .withColumn("sim", Rounding.roundAt(cosine(col("v_n"), col("v_r")), 6))
+      .where(col("sim") >= threshold)
+      .select("new_id", "ref_id", "sim")
+  }
+
   /** One-call semantic-duplicate REMOVAL over an embedding column:
     * cell assignment → within-cell exact-cosine pairs ≥ `threshold` →
     * connected components → min-id survivor per cluster → anti-join.

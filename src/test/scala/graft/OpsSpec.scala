@@ -841,6 +841,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("crossSemanticDuplicates: cross-corpus clone found, within-side pairs excluded") {
+    val rnd = new scala.util.Random(41)
+    val ref = (0 until 20).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // new corpus: one exact clone of ref #3 plus fresh vectors
+    val newer = Seq((100L, ref(3)._2.clone())) ++
+      (101 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val refDf = ref.toDF("id", "v"); val newDf = newer.toDF("id", "v")
+    val centroids = Similarity.trainCentroids(refDf, "id", "v", dim = 16, k = 3, iters = 4)
+    val hits = Similarity.crossSemanticDuplicates(newDf, refDf, "id", "v",
+      16, centroids, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 3L)), s"expected only the planted clone pair: $hits")
+  }
+
   test("dedupCorpus: one survivor per cluster, hot group collapsed as a group") {
     val corpus = docs.union(hotDocs)
     val out = Dedup.dedupCorpus(corpus, "doc_id", "text",
