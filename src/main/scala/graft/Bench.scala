@@ -258,9 +258,11 @@ object ScalingBench {
     // engine's shuffle shapes scale too, not just its scans), "session"
     // (native session_window aggregation over events derived
     // deterministically from the token table — the exchange + sort +
-    // MergingSessions shape), or "curate" (the full multi-stage curation
+    // MergingSessions shape), "curate" (the full multi-stage curation
     // composition — line dedup explode/rebuild + PII + scoring + exact
-    // dedup + splits — the end-to-end pipeline shape)
+    // dedup + splits — the end-to-end pipeline shape), or "semantic"
+    // (the SemDeDup cell self-join + exact-cosine verify over synthetic
+    // embeddings — the embedding-dedup shuffle shape)
     val jobKind = sys.env.getOrElse("SPARK_GRAFT_SCALING_JOB", "validate")
 
     // host-weather probes bracket the whole alternating run (recorded
@@ -300,6 +302,21 @@ object ScalingBench {
             // (token-digit "words" score low on the alpha heuristic)
             graft.ops.Curation.curate(txt, "doc_id", "text",
               graft.ops.Curation.CurationConfig(minQuality = 0.0)).count()
+          case "semantic" =>
+            // deterministic synthetic embeddings (16 dims hashed from
+            // doc_id, uniform in [-1,1)) + 256 seeded ±1 centroid
+            // "corners": the SemDeDup cell self-join + exact-cosine
+            // verify shape. Candidate pairs grow with cell population²:
+            // 200k rows measured ~2 min at 4 cores on this host — size
+            // with SPARK_GRAFT_SCALING_ROWS, not the validate default
+            val emb = input.where(col("doc_id").isNotNull).select(
+              col("doc_id").as("id"),
+              array((0 until 16).map(i =>
+                (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000L))
+                  .cast("double") / 500.0 - 2.0).cast("float")): _*).as("v"))
+            val cents = graft.ops.Similarity.hyperplanes(256, 16, 42L)
+            graft.ops.Similarity.semanticDuplicatePairs(emb, "id", "v", 16, cents,
+              threshold = 0.9).count()
           case "dedup" =>
             val txt = input.where(col("doc_id").isNotNull)
               .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))

@@ -45,5 +45,20 @@ object PlanAudit {
       .run(docs.withColumn("part", lit(0))).verdicts)
     audit("suggestProfile", graft.checks.SuggestConstraints.profile(docs,
       Seq("doc_id", "lang", "n_chars")))
+    val pivots = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    audit("semanticPairs", Similarity.semanticDuplicatePairs(emb, "vec_id",
+      "embedding", 64, pivots, 0.35))
+    audit("crossSemantic", Similarity.crossSemanticDuplicates(
+      emb.where(col("vec_id") >= 100), emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", 64, pivots, 0.35))
+    audit("shingleOverlap", Overlap.shingleOverlap(
+      docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"), "text", 2))
+    audit("corpusSignature", Overlap.corpusSignature(docs, "text", 2))
+    audit("gopherFilter", TextAnalysis.gopherFilter(docs, "text"))
+    audit("lexicalSignals", TextAnalysis.lexicalSignals(docs, "text"))
+    audit("compressionRatio", docs.select(
+      TextAnalysis.compressionRatio(col("text"))))
   }
 }

@@ -1070,6 +1070,55 @@ object OpsQueries {
                  coalesce(round(st.top / st.total::DOUBLE, 6), 0.0) AS top_ngram_frac
                FROM w LEFT JOIN st ON w.doc_id = st.doc_id""")),
 
+    // INTRA-document line dedup (the within-page half of the C4 rule —
+    // q_dedup_lines gates the corpus-wide half): repeated lines are
+    // injected deterministically in BOTH engines, kept-line selection is
+    // first-occurrence-index arithmetic restated with list_position
+    Q("q_dedup_lines_doc",
+      (s, d) => {
+        val injected = concat(col("text"), lit("\nREPEAT ME\nREPEAT ME\n"),
+          substring(col("text"), 1, 30),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("\n"), substring(col("text"), 1, 30))).otherwise(lit("")))
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            Dedup.dedupLinesWithinDoc(injected).as("text"))
+      },
+      Some("""WITH inj AS (
+                SELECT doc_id,
+                  text || chr(10) || 'REPEAT ME' || chr(10) || 'REPEAT ME' ||
+                  chr(10) || substr(text, 1, 30) ||
+                  CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || substr(text, 1, 30) ELSE '' END AS t
+                FROM documents),
+              ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM inj)
+              SELECT doc_id,
+                array_to_string(
+                  list_filter(ls, (l, i) -> trim(l) = '' OR list_position(ls, l) = i),
+                  chr(10)) AS text
+              FROM ls""")),
+
+    // per-source corpus composition report: exact integer rollups + one
+    // IEEE division, dominant language via a deterministic tie-break
+    Q("q_source_report",
+      (s, d) => Report.sourceReport(T(s, d, "documents"), "source", "text", "lang"),
+      Some("""WITH pl AS (
+                SELECT source, lang, count(*) AS docs,
+                       sum(coalesce(length(text), 0))::BIGINT AS chars
+                FROM documents GROUP BY source, lang),
+              rk AS (SELECT *, row_number() OVER
+                       (PARTITION BY source
+                        ORDER BY docs DESC, lang ASC NULLS LAST) AS r
+                     FROM pl)
+              SELECT source,
+                sum(docs)::BIGINT AS n_docs,
+                sum(chars)::BIGINT AS total_chars,
+                round(sum(chars)::DOUBLE / sum(docs), 6) AS avg_chars,
+                count(*)::BIGINT AS n_langs,
+                max(CASE WHEN r = 1 THEN lang END) AS top_lang,
+                max(CASE WHEN r = 1 THEN docs END)::BIGINT AS top_lang_docs
+              FROM rk GROUP BY source""")),
+
     // corpus-level overlap (the corpus-granularity contamination
     // question): EXACT distinct-shingle Jaccard/containment between the
     // 'en' and non-'en' halves, portable shingle hash so DuckDB restates

@@ -597,6 +597,24 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** INTRA-document line dedup (the other half of the published C4 rule:
+    * within one page, keep only the first occurrence of each non-blank
+    * line; [[dedupLines]] is the corpus-wide half). A pure narrow
+    * Column — zero shuffle, scan speed at any corpus size: lines whose
+    * first index in the split equals their own position survive; blank
+    * lines always survive (they are structure, not content). NULL text
+    * stays NULL. */
+  def dedupLinesWithinDoc(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    // repeated lines become NULL in the zip_with and array_join WITHOUT
+    // a null-replacement argument drops null elements (and their
+    // separators) — the exact "delete the repeated line" reading
+    array_join(
+      zip_with(lines, sequence(lit(0), size(lines) - 1),
+        (l, i) => when(trim(l) === "" || array_position(lines, l) === i + 1, l)),
+      sep)
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least `minMatches`
     * DISTINCT word n-grams with the benchmark set (the published
     * eval-overlap filter for training corpora — n-gram collision against

@@ -732,6 +732,34 @@ class OpsSpec extends SparkSpec {
     assert(twice == 0)
   }
 
+  test("dedupLinesWithinDoc: first occurrence kept, blanks kept, null passthrough") {
+    val df = Seq((1L, "a\nb\na\n\nb\nc"), (2L, null.asInstanceOf[String]),
+      (3L, "solo")).toDF("id", "text")
+    val out = df.select(col("id"), Dedup.dedupLinesWithinDoc(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\nb\n\nc")
+    assert(out(2L) == null)
+    assert(out(3L) == "solo")
+    // pure narrow op: no exchange in the plan
+    val plan = df.select(Dedup.dedupLinesWithinDoc(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("sourceReport: exact rollups, dominant-language tie-break, nulls surfaced") {
+    val df = Seq(
+      ("s1", "en", "xx"), ("s1", "en", "yyy"), ("s1", "de", "z"),
+      ("s2", null, "abcd"), ("s2", "fr", "ab")).toDF("source", "lang", "text")
+    val out = Report.sourceReport(df, "source", "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 6 && s1.getDouble(3) == 2.0)
+    assert(s1.getLong(4) == 2 && s1.getString(5) == "en" && s1.getLong(6) == 2)
+    val s2 = out("s2")
+    // docs tie (1 vs 1): lexically smallest lang wins, NULL lang last
+    assert(s2.getLong(1) == 2 && s2.getString(5) == "fr" && s2.getLong(4) == 2)
+  }
+
   test("gopherFilter: each rule fires on its planted violator") {
     val good = ("good", (("the quick brown fox jumps over the lazy dog and " * 8) +
       "some more plain sensible readable text here with the usual words ").trim)
