@@ -60,5 +60,12 @@ object PlanAudit {
     audit("lexicalSignals", TextAnalysis.lexicalSignals(docs, "text"))
     audit("compressionRatio", docs.select(
       TextAnalysis.compressionRatio(col("text"))))
+    val lm = CharLm.train(docs, "text", maxAlphabet = 64)
+    audit("charLmScore", CharLm.score(docs, "text", lm))
+    audit("sampleToBudget", Sampling.sampleToBudget(docs,
+      col("doc_id").cast("string"), length(col("text")), 30000L))
+    audit("sourceReport", Report.sourceReport(docs, "source", "text", "lang"))
+    audit("dedupLinesWithinDoc", docs.select(
+      Dedup.dedupLinesWithinDoc(col("text"))))
   }
 }

@@ -1119,6 +1119,78 @@ object OpsQueries {
                 max(CASE WHEN r = 1 THEN docs END)::BIGINT AS top_lang_docs
               FROM rk GROUP BY source""")),
 
+    // corpus-trained character-bigram LM scoring (the CCNet-style
+    // perplexity filter, dependency-free form). The oracle restates the
+    // WHOLE pipeline: top-64 alphabet census (ties → smaller code
+    // point), UNK collapse, add-one-smoothed conditionals, and the
+    // POSITION-ORDERED log2 fold (the q_lexical list_reduce technique);
+    // cap 64 so the UNK path is exercised on the gate corpus
+    Q("q_lm_score",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = CharLm.train(docs, "text", maxAlphabet = 64)
+        CharLm.score(docs, "text", model)
+          .select("doc_id", "n_bigrams", "lm_bits_per_char")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                          FROM documents WHERE text IS NOT NULL),
+              cc AS (SELECT unicode(c) AS cp, count(*) AS k FROM ch GROUP BY 1),
+              alpha AS (SELECT cp FROM cc ORDER BY k DESC, cp ASC LIMIT 64),
+              cs AS (SELECT doc_id, string_split(text, '') AS cs
+                     FROM documents WHERE text IS NOT NULL),
+              bg AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(cs) - 1),
+                         i -> {'i': i, 'c1': unicode(cs[i]),
+                               'c2': unicode(cs[i + 1])})) AS b
+                     FROM cs WHERE len(cs) >= 2),
+              mb AS (SELECT doc_id, b.i AS i,
+                       (CASE WHEN a1.cp IS NULL THEN 1114112 ELSE b.c1 END)::BIGINT
+                         * 2097152 +
+                       (CASE WHEN a2.cp IS NULL THEN 1114112 ELSE b.c2 END) AS key
+                     FROM bg LEFT JOIN alpha a1 ON b.c1 = a1.cp
+                             LEFT JOIN alpha a2 ON b.c2 = a2.cp),
+              bc AS (SELECT key, count(*) AS cnt FROM mb GROUP BY key),
+              ctx AS (SELECT key // 2097152 AS c1, sum(cnt) AS cn
+                      FROM bc GROUP BY 1),
+              v AS (SELECT count(*) + 1 AS v FROM alpha),
+              terms AS (SELECT mb.doc_id, mb.i,
+                          log2((bc.cnt + 1)::DOUBLE / (ctx.cn + v.v)::DOUBLE) AS t
+                        FROM mb JOIN bc ON mb.key = bc.key
+                                JOIN ctx ON mb.key // 2097152 = ctx.c1
+                                CROSS JOIN v),
+              sc AS (SELECT doc_id, count(*) AS n,
+                       list_reduce(list(t ORDER BY i), (a, b) -> a + b) AS s
+                     FROM terms GROUP BY doc_id)
+              SELECT d.doc_id,
+                coalesce(sc.n, 0)::BIGINT AS n_bigrams,
+                coalesce(round(-(sc.s) / sc.n, 6), 0.0) AS lm_bits_per_char
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
+
+    // deterministic token-budget sampling: the kept set is the
+    // hash-ordered prefix whose exclusive cumulative char count stays
+    // under the budget — the oracle restates it as ONE window cumsum
+    // over (h, key) order (the library's bounded-grid + straddling-cell
+    // decomposition computes the identical set without shuffling the
+    // corpus); same salted portable hash as q_sample_strata
+    Q("q_sample_budget",
+      (s, d) => Sampling.sampleToBudget(
+        T(s, d, "documents"),
+        key = concat(col("doc_id").cast("string"), lit("#"), col("source")),
+        weight = length(col("text")),
+        budget = 30000L,
+        hash = TextAnalysis.fingerprint(_))
+        .select("doc_id", "source", "lang"),
+      Some(s"""WITH t AS (SELECT doc_id, source, lang,
+                 CAST(doc_id AS VARCHAR) || '#' || source AS k,
+                 ${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")} % 1000000 AS h,
+                 coalesce(length(text), 0)::BIGINT AS w
+               FROM documents),
+               c AS (SELECT *, coalesce(sum(w) OVER
+                       (ORDER BY h, k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                     FROM t)
+               SELECT doc_id, source, lang FROM c WHERE cb < 30000""")),
+
     // corpus-level overlap (the corpus-granularity contamination
     // question): EXACT distinct-shingle Jaccard/containment between the
     // 'en' and non-'en' halves, portable shingle hash so DuckDB restates

@@ -136,4 +136,59 @@ object Sampling {
     guarded.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Deterministic token-budget sampling — "give me (at least) N tokens
+    * from this corpus": keep the prefix of the corpus, ordered by
+    * `(pmod(hash(key), 1e6), key)`, whose EXCLUSIVE cumulative `weight`
+    * stays below `budget`. The prefix first reaches the budget with at
+    * most one document of overshoot; membership is a pure function of
+    * the key, so the sample is stable across runs, partitionings, and
+    * engines, and a larger budget's sample always CONTAINS a smaller
+    * budget's (nested samples — grow the training set without churning
+    * it).
+    *
+    * Scale shape — the corpus itself never shuffles:
+    *  1. one partial-agg shuffle onto the 1e6-value hash grid
+    *     (≤ 1e6 rows out),
+    *  2. a global cumulative window over that BOUNDED frame (single
+    *     task, ≤ 1e6 rows by construction),
+    *  3. the per-grid-cell cut table broadcast back onto the corpus —
+    *     cells strictly below the budget keep everything, cells past it
+    *     drop everything, and the ONE straddling cell (monotone
+    *     cumulative ⇒ unique) resolves its few hash-collision docs with
+    *     a window over just those rows.
+    * Total cost = three corpus scans and zero corpus shuffles; the
+    * exact-global-sort alternative is one full shuffle + sort of the
+    * whole corpus, strictly worse at scale.
+    *
+    * NULL weights count 0; NULL keys hash to grid cell -1 and sort
+    * first (they join the sample before anything else — drop them
+    * upstream if that is not wanted). Zero-weight docs sitting exactly
+    * at the budget boundary are excluded (strict `<`). Keys must be
+    * UNIQUE: duplicate keys inside the straddling cell have no total
+    * order, so their cut would not be deterministic. */
+  def sampleToBudget(df: DataFrame, key: Column, weight: Column, budget: Long,
+                     hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(budget >= 0, s"budget ($budget) must be >= 0")
+    val cols = df.columns
+    val withH = df
+      .withColumn("_h", coalesce(pmod(hash(key), lit(Denom)), lit(-1L)))
+      .withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
+      .withColumn("_k", key)
+    val w = org.apache.spark.sql.expressions.Window
+    val cut = withH.groupBy("_h").agg(sum("_w").as("_cw"))
+      .withColumn("_cb", coalesce(
+        sum("_cw").over(w.orderBy("_h")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val joined = withH.join(broadcast(cut), "_h")
+    val full = joined.where(col("_cb") + col("_cw") < budget)
+    val straddle = joined
+      .where(col("_cb") < budget && col("_cb") + col("_cw") >= budget)
+      .withColumn("_p", coalesce(
+        sum("_w").over(w.partitionBy("_h").orderBy("_k")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .where(col("_cb") + col("_p") < budget)
+      .drop("_p")
+    full.unionByName(straddle).select(cols.map(col): _*)
+  }
 }

@@ -760,6 +760,94 @@ class OpsSpec extends SparkSpec {
     assert(s2.getLong(1) == 2 && s2.getString(5) == "fr" && s2.getLong(4) == 2)
   }
 
+  test("charLm: exact counts, hand-computed surprisal, UNK path, edge docs") {
+    import graft.ops.CharLm
+    val corpus = Seq((1L, "abab")).toDF("id", "text")
+    val m = CharLm.train(corpus, "text", maxAlphabet = 2)
+    assert(m.alphabet.toSeq == Seq(97, 98) && m.v == 3)
+    val ab = (97L << 21) | 98L
+    val ba = (98L << 21) | 97L
+    assert(m.bigramKeys.toSeq == Seq(ab, ba).sorted)
+    assert(m.bigramKeys.zip(m.bigramCounts).toMap == Map(ab -> 2L, ba -> 1L))
+    assert(m.ctxKeys.zip(m.ctxCounts).toMap == Map(97 -> 2L, 98 -> 1L))
+    val l2 = (x: Double) => math.log(x) / math.log(2.0)
+    def bits(terms: Seq[Double]) =
+      math.round(-terms.reduceLeft(_ + _) / terms.size * 1e6) / 1e6
+    val scored = CharLm.score(Seq(
+      (1L, "abab"), (2L, "axb"), (3L, "a"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "text"), "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(scored(1L) ==
+      (3L, bits(Seq(l2(3.0 / 5), l2(2.0 / 4), l2(3.0 / 5)))))
+    // x is out-of-alphabet: (a,UNK) unseen bigram, (UNK,b) unseen context
+    assert(scored(2L) == (2L, bits(Seq(l2(1.0 / 5), l2(1.0 / 3)))))
+    assert(scored(3L) == (0L, 0.0) && scored(4L) == (0L, 0.0))
+    assert(scored(5L) == (0L, 0.0))
+    // scoring is a pure narrow projection
+    val plan = CharLm.score(corpus, "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("charLm: in-distribution text scores below gibberish; blob round-trips") {
+    import graft.ops.CharLm
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog jumps over the quick brown fox again and again "
+    val corpus = (0 until 20).map(i => (i.toLong, prose)).toDF("id", "text")
+    val m = CharLm.train(corpus, "text")
+    val out = CharLm.score(Seq(
+      (1L, "the quick brown dog jumps over the lazy fox"),
+      (2L, "zq xj qz jx wv kq vz qk zx jq")).toDF("id", "text"), "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L))
+    val rt = CharLm.Model.deserialize(m.serialize)
+    assert(rt.alphabet.toSeq == m.alphabet.toSeq &&
+      rt.bigramKeys.toSeq == m.bigramKeys.toSeq &&
+      rt.bigramCounts.toSeq == m.bigramCounts.toSeq &&
+      rt.ctxKeys.toSeq == m.ctxKeys.toSeq &&
+      rt.ctxCounts.toSeq == m.ctxCounts.toSeq)
+    intercept[IllegalArgumentException] {
+      CharLm.Model.deserialize(m.serialize.take(7))
+    }
+    intercept[IllegalArgumentException] {
+      CharLm.Model.deserialize(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    }
+  }
+
+  test("sampleToBudget: brute-force parity, nesting, edges, collision cut") {
+    import graft.ops.Sampling
+    val df = (1 to 200).map(i => (i.toLong, s"doc$i", (i * 7) % 50 + 1))
+      .toDF("id", "k", "w")
+    def sample(b: Long) = Sampling.sampleToBudget(
+      df, col("k"), col("w"), b).collect().map(_.getLong(0)).toSet
+    // brute-force restatement: exclusive prefix over (pmod(xxhash64(k),1e6), k)
+    val ordered = df.withColumn("_h", pmod(xxhash64(col("k")), lit(1000000L)))
+      .orderBy("_h", "k").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong))
+    def brute(b: Long) = {
+      var cum = 0L
+      ordered.filter { case (_, w) => val in = cum < b; cum += w; in }
+        .map(_._1).toSet
+    }
+    for (b <- Seq(0L, 1L, 500L, 2500L, 100000L)) assert(sample(b) == brute(b))
+    assert(sample(0L).isEmpty && sample(100000L).size == 200)
+    val s1 = sample(1000L); val s2 = sample(3000L)
+    assert(s1.subsetOf(s2) && s1.nonEmpty && s2.size > s1.size)
+    // all rows forced into ONE straddling cell: the cut is by key order
+    val one = Sampling.sampleToBudget(df, col("k"), col("w"), 300L,
+      hash = _ => lit(0L)).collect().map(_.getString(1)).toSet
+    var cum = 0L
+    val expect = df.collect().map(r => (r.getString(1), r.getInt(2).toLong))
+      .sortBy(_._1)
+      .filter { case (_, w) => val in = cum < 300L; cum += w; in }
+      .map(_._1).toSet
+    assert(one == expect && one.nonEmpty && one.size < 200)
+    // corpus side joins the broadcast cut table — never a sort-merge join
+    val plan = Sampling.sampleToBudget(df, col("k"), col("w"), 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
+  }
+
   test("gopherFilter: each rule fires on its planted violator") {
     val good = ("good", (("the quick brown fox jumps over the lazy dog and " * 8) +
       "some more plain sensible readable text here with the usual words ").trim)
