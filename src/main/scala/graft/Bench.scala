@@ -304,17 +304,20 @@ object ScalingBench {
               graft.ops.Curation.CurationConfig(minQuality = 0.0)).count()
           case "semantic" =>
             // deterministic synthetic embeddings (16 dims hashed from
-            // doc_id, uniform in [-1,1)) + 256 seeded ±1 centroid
-            // "corners": the SemDeDup cell self-join + exact-cosine
-            // verify shape. Candidate pairs grow with cell population²:
-            // 200k rows measured ~2 min at 4 cores on this host — size
-            // with SPARK_GRAFT_SCALING_ROWS, not the validate default
+            // doc_id, uniform in [-1,1)) + seeded ±1 centroid "corners":
+            // the SemDeDup cell self-join + exact-cosine verify shape.
+            // Centroid count scales with the input (~160 rows/cell,
+            // the published method's sizing rule — k grows with the
+            // corpus so cells stay bounded); per-cell pair work is
+            // quadratic, so FIXED k would both blow up the work
+            // superlinearly and skew it into few join keys
+            val k = math.max(64L, math.min(4096L, nRows / 160L)).toInt
             val emb = input.where(col("doc_id").isNotNull).select(
               col("doc_id").as("id"),
               array((0 until 16).map(i =>
                 (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000L))
                   .cast("double") / 500.0 - 2.0).cast("float")): _*).as("v"))
-            val cents = graft.ops.Similarity.hyperplanes(256, 16, 42L)
+            val cents = graft.ops.Similarity.hyperplanes(k, 16, 42L)
             graft.ops.Similarity.semanticDuplicatePairs(emb, "id", "v", 16, cents,
               threshold = 0.9).count()
           case "dedup" =>

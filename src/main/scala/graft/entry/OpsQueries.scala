@@ -109,12 +109,15 @@ object OpsQueries {
   // exact-dedup survivor set `keep` (line dedup → PII → quality → exact
   // dedup), shared by q_curate / q_curate_cross / q_curate_web
   private def duckCurateChain(src: String,
-                              gopherMinWords: Option[Int] = None): String = {
+                              gopherMinWords: Option[Int] = None,
+                              lmMaxBits: Option[Double] = None,
+                              lmMaxAlphabet: Int = 64): String = {
     val Seq(email, phone, ipv4) = TextAnalysis.piiPatterns.map(_._2)
     // optional Gopher-rule stage between the quality floor and exact
     // dedup (mirrors CurationConfig.gopherRules; rule arithmetic is the
     // q_gopher restatement — every threshold compares integers)
-    val preKeep = if (gopherMinWords.isDefined) "qa2" else "qa"
+    val afterGopher = if (gopherMinWords.isDefined) "qa2" else "qa"
+    val preKeep = if (lmMaxBits.isDefined) "qa3" else afterGopher
     val gopherStage = gopherMinWords.map { mw =>
       val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
       s"""gw AS (SELECT doc_id, text, quality, $duckWords AS w FROM qa),
@@ -188,11 +191,49 @@ object OpsQueries {
               FROM qq),
         qa AS (SELECT * FROM q WHERE quality >= 0.5),
         $gopherStage
+        ${lmStage(afterGopher, lmMaxBits, lmMaxAlphabet)}
         keep AS (SELECT doc_id, text, quality FROM (
                    SELECT *, row_number() OVER (PARTITION BY text
                                                 ORDER BY doc_id) AS rn
                    FROM $preKeep) WHERE rn = 1)"""
   }
+
+  // optional char-LM perplexity stage between the quality filters and
+  // exact dedup (mirrors CurationConfig.maxLmBits; the q_lm_score
+  // restatement re-sourced from the cleaned post-quality corpus)
+  private def lmStage(src: String, maxBits: Option[Double],
+                      maxAlphabet: Int): String = maxBits.map { mb =>
+    s"""lmch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM $src),
+        lmcc AS (SELECT unicode(c) AS cp, count(*) AS k FROM lmch GROUP BY 1),
+        lmalpha AS (SELECT cp FROM lmcc ORDER BY k DESC, cp ASC LIMIT $maxAlphabet),
+        lmcs AS (SELECT doc_id, string_split(text, '') AS cs FROM $src),
+        lmbg AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(cs) - 1),
+                     i -> {'i': i, 'c1': unicode(cs[i]),
+                           'c2': unicode(cs[i + 1])})) AS b
+                 FROM lmcs WHERE len(cs) >= 2),
+        lmmb AS (SELECT doc_id, b.i AS i,
+                   (CASE WHEN a1.cp IS NULL THEN 1114112 ELSE b.c1 END)::BIGINT
+                     * 2097152 +
+                   (CASE WHEN a2.cp IS NULL THEN 1114112 ELSE b.c2 END) AS key
+                 FROM lmbg LEFT JOIN lmalpha a1 ON b.c1 = a1.cp
+                           LEFT JOIN lmalpha a2 ON b.c2 = a2.cp),
+        lmbc AS (SELECT key, count(*) AS cnt FROM lmmb GROUP BY key),
+        lmctx AS (SELECT key // 2097152 AS c1, sum(cnt) AS cn
+                  FROM lmbc GROUP BY 1),
+        lmv AS (SELECT count(*) + 1 AS v FROM lmalpha),
+        lmterms AS (SELECT lmmb.doc_id, lmmb.i,
+                      log2((lmbc.cnt + 1)::DOUBLE / (lmctx.cn + lmv.v)::DOUBLE) AS t
+                    FROM lmmb JOIN lmbc ON lmmb.key = lmbc.key
+                              JOIN lmctx ON lmmb.key // 2097152 = lmctx.c1
+                              CROSS JOIN lmv),
+        lmsc AS (SELECT doc_id, count(*) AS n,
+                   list_reduce(list(t ORDER BY i), (a, b) -> a + b) AS s
+                 FROM lmterms GROUP BY doc_id),
+        qa3 AS (SELECT g.doc_id, g.text, g.quality
+                FROM $src g LEFT JOIN lmsc ON g.doc_id = lmsc.doc_id
+                WHERE coalesce(round(-(lmsc.s) / lmsc.n, 6), 0.0) <= $mb),"""
+  }.getOrElse("")
 
   private lazy val duckCurateKeepCtes: String =
     s"""$duckCurateTCte,
@@ -1166,6 +1207,41 @@ object OpsQueries {
                 coalesce(round(-(sc.s) / sc.n, 6), 0.0) AS lm_bits_per_char
               FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
 
+    // Unicode script signals: per-script code-point fractions and the
+    // dominant script. The oracle restates the kernel's counts with
+    // RE2 \p{Script} classes (one regexp strip per script) and the
+    // alphabetical-first-match dominance CASE; fractions are the usual
+    // portable rounding of exact-integer divisions
+    Q("q_script_signals",
+      (s, d) => TextAnalysis.scriptSignals(T(s, d, "documents"), "text")
+        .select("doc_id", "n_cp", "n_letters", "letter_frac",
+          "latin_frac", "han_frac", "cyrillic_frac",
+          "dominant_script", "dominant_frac"),
+      Some {
+        val names = graft.compile.ScriptHistogram.scripts.map(_._1)
+        val cnts = graft.compile.ScriptHistogram.scripts.map { case (n, _, re) =>
+          s"coalesce(length(regexp_replace(text, '[^\\p{$re}]', '', 'g')), 0) AS $n"
+        }.mkString(",\n                   ")
+        val m = s"greatest(${names.mkString(", ")})"
+        val firstMatch = names.map(n => s"WHEN $n = m THEN '$n'").mkString("\n                     ")
+        s"""WITH c AS (SELECT doc_id,
+                   coalesce(length(text), 0)::BIGINT AS n_cp,
+                   coalesce(length(regexp_replace(text, '[^\\p{L}]', '', 'g')), 0)::BIGINT AS n_letters,
+                   $cnts
+                 FROM documents),
+              g AS (SELECT *, $m AS m FROM c)
+              SELECT doc_id, n_cp, n_letters,
+                CASE WHEN n_cp > 0 THEN round(n_letters::DOUBLE / n_cp, 6) ELSE 0.0 END AS letter_frac,
+                CASE WHEN n_cp > 0 THEN round(latin::DOUBLE / n_cp, 6) ELSE 0.0 END AS latin_frac,
+                CASE WHEN n_cp > 0 THEN round(han::DOUBLE / n_cp, 6) ELSE 0.0 END AS han_frac,
+                CASE WHEN n_cp > 0 THEN round(cyrillic::DOUBLE / n_cp, 6) ELSE 0.0 END AS cyrillic_frac,
+                CASE WHEN m = 0 THEN 'other'
+                     $firstMatch
+                     END AS dominant_script,
+                CASE WHEN n_cp > 0 AND m > 0 THEN round(m::DOUBLE / n_cp, 6) ELSE 0.0 END AS dominant_frac
+              FROM g"""
+      }),
+
     // deterministic token-budget sampling: the kept set is the
     // hash-ordered prefix whose exclusive cumulative char count stays
     // under the budget — the oracle restates it as ONE window cumsum
@@ -1558,6 +1634,24 @@ object OpsQueries {
       },
       Some(s"""WITH $duckCurateTCte,
               ${duckCurateChain("t", gopherMinWords = Some(20))}
+              ${duckCurateSplitSelect("keep")}""")),
+
+    // the curation composition with the char-LM perplexity filter
+    // engaged (self-trained on the post-quality-floor corpus, cap 64,
+    // ceiling at the corpus's ~p90 surprisal): the oracle chains the
+    // q_curate derivation with the q_lm_score restatement re-sourced
+    // from the cleaned texts
+    Q("q_curate_lm", {
+      (s, d) =>
+        Curation.curate(
+          curateInput(T(s, d, "documents")), "doc_id", "text",
+          Curation.CurationConfig(
+            maxLmBits = Some(2.65), lmMaxAlphabet = 64,
+            splits = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+            splitHash = c => TextAnalysis.fingerprint(concat(c, lit("#salt")))))
+      },
+      Some(s"""WITH $duckCurateTCte,
+              ${duckCurateChain("t", lmMaxBits = Some(2.65))}
               ${duckCurateSplitSelect("keep")}""")),
 
     // the same curation composition with the cross-corpus dedup stage

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *  2. PII redaction ([[TextAnalysis.piiRedact]]) — before quality
   *     scoring so scores reflect the text that will be trained on,
   *  3. quality floor ([[TextAnalysis.qualityScore]] ≥ `minQuality`),
-  *     plus the optional Gopher rule set ([[TextAnalysis.gopherFilter]]),
+  *     plus the optional Gopher rule set ([[TextAnalysis.gopherFilter]])
+  *     and the optional char-LM perplexity filter ([[CharLm]] —
+  *     self-trained on the quality-floored corpus or scored against a
+  *     supplied model),
   *  4. exact dedup — one survivor (lowest id) per identical cleaned
   *     text ([[Dedup.keepCanonical]] keyed on the text),
   *  5. optional MinHash near-dedup ([[Dedup.dedupCorpus]]),
@@ -67,6 +70,18 @@ object Curation {
     gopherRules: Boolean = false,
     gopherMinWords: Int = 50,
     gopherMaxWords: Int = 100000,
+    /** Drop documents whose char-bigram LM surprisal
+      * ([[CharLm.score]] `lm_bits_per_char`) exceeds this — the
+      * CCNet-style perplexity filter, run beside the other quality
+      * filters (after the score floor / Gopher rules, before dedup).
+      * The model is [[lmModel]] if given (score against yesterday's
+      * corpus model — the incremental-ingestion shape), else trained on
+      * the post-quality-floor corpus itself (outlier removal: docs far
+      * from the corpus's own character statistics are gibberish or
+      * binary junk). */
+    maxLmBits: Option[Double] = None,
+    lmMaxAlphabet: Int = 256,
+    lmModel: Option[CharLm.Model] = None,
     nearDedup: Boolean = false,
     nearDedupThreshold: Double = 0.8,
     /** Reference corpus for incremental cross-corpus near-dedup; must
@@ -113,10 +128,26 @@ object Curation {
           cfg.gopherMinWords, cfg.gopherMaxWords)
           .where(col("keep")).drop("word_count", "reasons", "keep")
       else scored
+    val lmFiltered = cfg.maxLmBits match {
+      case Some(maxBits) =>
+        // self-training runs two census jobs over the upstream chain —
+        // persist it for their duration (the cross-stage pattern); a
+        // supplied model costs nothing extra
+        val model = cfg.lmModel.getOrElse {
+          val cached = ruled.persist()
+          val m = CharLm.train(cached, textCol, cfg.lmMaxAlphabet)
+          cached.unpersist(false)
+          m
+        }
+        CharLm.score(ruled, textCol, model)
+          .where(col("lm_bits_per_char") <= maxBits)
+          .drop("n_bigrams", "lm_bits_per_char")
+      case None => ruled
+    }
     // key on the text alone: the payload already carries it, and a
     // fingerprint prefix adds no discriminating power over the text it
     // accompanies — it only widens the dedup exchange
-    val exactDeduped = Dedup.keepCanonical(ruled, col(textCol), Seq(col(idCol)))
+    val exactDeduped = Dedup.keepCanonical(lmFiltered, col(textCol), Seq(col(idCol)))
     val nearDeduped =
       if (cfg.nearDedup)
         Dedup.dedupCorpus(exactDeduped, idCol, textCol, cfg.nearDedupThreshold)

@@ -235,6 +235,48 @@ object TextAnalysis {
           col("_u.total_ngrams"), 6)).otherwise(lit(0.0)))
       .drop("_u")
 
+  /** Unicode script signals via the one-pass
+    * [[graft.compile.ScriptHistogram]] kernel — the multilingual
+    * curation complement to [[langId]]: per-script code-point fractions
+    * (rounded 6), letter fraction, and the dominant script. Adds
+    * `n_cp`, `n_letters`, `letter_frac`, one `<script>_frac` per major
+    * script (arabic, cyrillic, devanagari, greek, han, hangul, hebrew,
+    * hiragana, katakana, latin, thai), `dominant_script` and
+    * `dominant_frac`. Dominance ties break to the alphabetically
+    * smallest script name; a document with no code points in any of
+    * the eleven scripts (or no text at all) is `"other"` with fraction
+    * 0. Pure narrow projection — scan speed at any corpus size. */
+  def scriptSignals(df: org.apache.spark.sql.DataFrame,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.compile.ScriptHistogram
+    val names = ScriptHistogram.scripts.map(_._1)
+    val hist = ColumnBridge.column(
+      ScriptHistogram(ColumnBridge.expression(col(textCol))))
+    val withH = df.withColumn("_sh", hist)
+      .withColumn("n_cp", coalesce(col("_sh.n_cp"), lit(0L)))
+      .withColumn("n_letters", coalesce(col("_sh.n_letters"), lit(0L)))
+    def frac(c: Column) = when(col("n_cp") > 0,
+      Rounding.roundAt(c.cast("double") / col("n_cp"), 6)).otherwise(lit(0.0))
+    val withFracs = names.foldLeft(
+      withH.withColumn("letter_frac", frac(col("n_letters")))) {
+      (acc, n) => acc.withColumn(s"${n}_frac",
+        frac(coalesce(col(s"_sh.$n"), lit(0L))))
+    }
+    // positional fold over the name-sorted scripts: strict > keeps the
+    // earlier (alphabetically smaller) name on ties
+    val cnt = (n: String) => coalesce(col(s"_sh.$n"), lit(0L))
+    val (domName, domCnt) = names.tail.foldLeft(
+      (lit(names.head), cnt(names.head))) { case ((n0, c0), n) =>
+      (when(cnt(n) > c0, lit(n)).otherwise(n0), greatest(cnt(n), c0))
+    }
+    withFracs
+      .withColumn("dominant_script",
+        when(domCnt > 0, domName).otherwise(lit("other")))
+      .withColumn("dominant_frac", frac(when(domCnt > 0, domCnt).otherwise(lit(0L))))
+      .drop("_sh")
+  }
+
   /** Deflate compression ratio (compressed/raw UTF-8 bytes, level 6) via
     * the one-pass [[graft.compile.DeflateRatio]] kernel, rounded to 6.
     * Catches LONG-RANGE repetition (template/boilerplate spam) that the

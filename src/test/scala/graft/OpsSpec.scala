@@ -760,6 +760,46 @@ class OpsSpec extends SparkSpec {
     assert(s2.getLong(1) == 2 && s2.getString(5) == "fr" && s2.getLong(4) == 2)
   }
 
+  test("scriptSignals: counts, dominance tie-break, other/null, supplementary") {
+    val df = Seq(
+      (1L, "hello мир"),           // latin 5, cyrillic 3, 1 space
+      (2L, "漢字です"),             // han 2, hiragana 2 → tie: han wins
+      (3L, "123 !?"),              // no script code points → other
+      (4L, null.asInstanceOf[String]),
+      (5L, "a𐍈b")       // 𐐈-style supplementary (Gothic hwair)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptSignals(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_cp") == 9 && r1.getAs[Long]("n_letters") == 8)
+    assert(r1.getAs[Double]("latin_frac") == 0.555556)
+    assert(r1.getAs[Double]("cyrillic_frac") == 0.333333)
+    assert(r1.getAs[String]("dominant_script") == "latin")
+    assert(r1.getAs[Double]("dominant_frac") == 0.555556)
+    val r2 = out(2L)
+    // 漢字=han(2), です=hiragana(2): tie breaks to alphabetically first
+    assert(r2.getAs[String]("dominant_script") == "han")
+    assert(r2.getAs[Double]("han_frac") == 0.5)
+    assert(r2.getAs[Double]("hiragana_frac") == 0.5)
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_cp") == 6 && r3.getAs[Long]("n_letters") == 0)
+    assert(r3.getAs[String]("dominant_script") == "other")
+    assert(r3.getAs[Double]("dominant_frac") == 0.0)
+    val r4 = out(4L)
+    assert(r4.getAs[Long]("n_cp") == 0 &&
+      r4.getAs[String]("dominant_script") == "other" &&
+      r4.getAs[Double]("letter_frac") == 0.0)
+    // surrogate pair = ONE code point (Gothic: a letter, not a listed script)
+    val r5 = out(5L)
+    assert(r5.getAs[Long]("n_cp") == 3 && r5.getAs[Long]("n_letters") == 3)
+    assert(r5.getAs[Double]("latin_frac") == 0.666667)
+    assert(r5.getAs[String]("dominant_script") == "latin")
+    // pure narrow projection
+    val plan = TextAnalysis.scriptSignals(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("charLm: exact counts, hand-computed surprisal, UNK path, edge docs") {
     import graft.ops.CharLm
     val corpus = Seq((1L, "abab")).toDF("id", "text")
@@ -1204,6 +1244,29 @@ class OpsSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L), got.keySet.toString)
     assert(got(1L) == body)
     assert(got(3L).startsWith("contact [EMAIL] now"), got(3L))
+  }
+
+  test("curate: maxLmBits drops surprisal outliers, supplied model skips training") {
+    import graft.ops.CharLm
+    val prose = "the quick brown fox jumps over the lazy dog and then " * 4
+    val corpus = ((1L to 20L).map(i => (i, prose + s"variant number $i here")) :+
+      (99L, prose.take(30) + " zq xjw qzv kqx " * 10 + "end"))
+      .toDF("doc_id", "text")
+    // self-trained: the gibberish doc is the corpus's surprisal outlier
+    val cfgBase = Curation.CurationConfig(minQuality = 0.0, redactPii = false)
+    val base = Curation.curate(corpus, "doc_id", "text", cfgBase)
+      .collect().map(_.getLong(0)).toSet
+    assert(base.contains(99L))
+    val filtered = Curation.curate(corpus, "doc_id", "text",
+      cfgBase.copy(maxLmBits = Some(3.2)))
+      .collect().map(_.getLong(0)).toSet
+    assert(!filtered.contains(99L) && filtered.contains(1L), filtered.toString)
+    // supplied model (incremental shape): same behavior, no self-training
+    val model = CharLm.train(corpus.where(col("doc_id") <= 20), "text")
+    val withModel = Curation.curate(corpus, "doc_id", "text",
+      cfgBase.copy(maxLmBits = Some(3.2), lmModel = Some(model)))
+      .collect().map(_.getLong(0)).toSet
+    assert(!withModel.contains(99L) && withModel.contains(1L))
   }
 
   test("curate: web stages drop blocked domains and strip markup first") {
