@@ -1242,6 +1242,121 @@ object OpsQueries {
               FROM g"""
       }),
 
+    // hashed Naive-Bayes quality classifier (the GPT-3/CCNet
+    // "reference vs crawl" model-based filter): train en-vs-rest on the
+    // corpus, score every document's mean log-likelihood ratio. The
+    // oracle restates the WHOLE pipeline — unigram+bigram features in
+    // position order, Fingerprint32 bucket hash, per-bucket per-class
+    // census, add-one smoothing over the bucket event space, and the
+    // (kind, i)-ordered float fold (the q_lm_score technique)
+    Q("q_nb_quality",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = QualityClassifier.train(
+          docs, "text", col("lang") === "en", buckets = 4096)
+        QualityClassifier.score(docs, "text", model)
+          .select("doc_id", "n_features", "nb_score")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+              feats AS (
+                SELECT doc_id, lang, 0 AS kind, i, w[i] AS f
+                FROM w, unnest(generate_series(1, len(w))) AS t(i)
+                UNION ALL
+                SELECT doc_id, lang, 1 AS kind, i, w[i] || ' ' || w[i+1] AS f
+                FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+              fb AS (SELECT doc_id, lang, kind, i,
+                       ${duckFp("f")} % 4096 AS b
+                     FROM feats),
+              counts AS (SELECT b,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+                       sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS neg
+                     FROM fb GROUP BY b),
+              tot AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM counts),
+              terms AS (SELECT fb.doc_id, fb.kind, fb.i,
+                          log2((c.pos + 1)::DOUBLE / (tot.pt + 4096)::DOUBLE)
+                        - log2((c.neg + 1)::DOUBLE / (tot.nt + 4096)::DOUBLE) AS t
+                        FROM fb JOIN counts c ON fb.b = c.b CROSS JOIN tot),
+              sc AS (SELECT doc_id, count(*) AS n,
+                       list_reduce(list(t ORDER BY kind, i), (a, b) -> a + b) AS s
+                     FROM terms GROUP BY doc_id)
+              SELECT d.doc_id,
+                coalesce(sc.n, 0)::BIGINT AS n_features,
+                coalesce(round(sc.s / sc.n, 6), 0.0) AS nb_score
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
+
+    // URL canonicalization for URL-level dedup: messy URLs synthesized
+    // with identical concat arithmetic on both sides exercise every
+    // rule — case folding, www/default-port/fragment/tracking-param
+    // stripping, query sort, trailing-slash collapse, non-URL
+    // passthrough; the oracle restates the same RE2 decomposition
+    Q("q_url_canonical",
+      (s, d) => {
+        val id = col("doc_id")
+        val url = when(id % 7 === 0,
+            concat(lit("not a url "), id.cast("string")))
+          .otherwise(concat(
+            when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+            lit("://"),
+            when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+            lit("Host"), (id % 20).cast("string"), lit(".Example.TEST"),
+            when(id % 4 === 0, lit(":80")).when(id % 4 === 1, lit(":443"))
+              .when(id % 4 === 2, lit(":8080")).otherwise(lit("")),
+            when(id % 5 === 0, lit(""))
+              .otherwise(concat(lit("/Path/"), id.cast("string"),
+                when(id % 5 === 1, lit("/")).otherwise(lit("")))),
+            when(id % 3 === 0, lit("?utm_source=x&b=2&a=1&gclid=z"))
+              .when(id % 3 === 1, lit("?b=2&a=1&utm_campaign=c"))
+              .otherwise(lit("")),
+            when(id % 2 === 0, lit("#frag")).otherwise(lit(""))))
+        T(s, d, "documents")
+          .select(id, concat(lit("  "), url, lit(" ")).as("url"))
+          .withColumn("canonical", WebText.canonicalizeUrl(col("url")))
+          .select("doc_id", "url", "canonical")
+      },
+      Some("""WITH u0 AS (SELECT doc_id,
+                '  ' || (CASE WHEN doc_id % 7 = 0 THEN 'not a url ' || doc_id::VARCHAR ELSE
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+                  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+                  'Host' || (doc_id % 20)::VARCHAR || '.Example.TEST' ||
+                  (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+                        WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) ||
+                  (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Path/' || doc_id::VARCHAR ||
+                    (CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END) END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1&gclid=z'
+                        WHEN doc_id % 3 = 1 THEN '?b=2&a=1&utm_campaign=c' ELSE '' END) ||
+                  (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)
+                END) || ' ' AS url
+              FROM documents),
+              p0 AS (SELECT doc_id, url, trim(url) AS t FROM u0),
+              p1 AS (SELECT *,
+                       lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                     FROM p0),
+              p2 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+                       substr(rest, length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1) AS tail
+                     FROM p1),
+              p3 AS (SELECT *,
+                       regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)), '^www\.', '') AS host,
+                       regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                       regexp_extract(tail, '^([^?#]*)', 1) AS path,
+                       regexp_extract(tail, '^[^?#]*\?([^#]*)', 1) AS query
+                     FROM p2),
+              p4 AS (SELECT *,
+                       CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                            ELSE regexp_replace(path, '/+$', '') END AS npath,
+                       coalesce(list_aggregate(list_sort(list_filter(string_split(query, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))),
+                         'string_agg', '&'), '') AS nquery,
+                       CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                                  OR (scheme = 'https' AND port = '443'))
+                            THEN ':' || port ELSE '' END AS nport
+                     FROM p3)
+              SELECT doc_id, url,
+                CASE WHEN scheme = '' OR host = '' THEN t
+                     ELSE scheme || '://' || host || nport || npath ||
+                          (CASE WHEN nquery <> '' THEN '?' || nquery ELSE '' END) END AS canonical
+              FROM p4""")),
+
     // deterministic token-budget sampling: the kept set is the
     // hash-ordered prefix whose exclusive cumulative char count stays
     // under the budget — the oracle restates it as ONE window cumsum

@@ -86,6 +86,42 @@ object WebText {
     corpus.join(bad.withColumnRenamed("_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Canonicalize a URL for URL-level dedup (the crawl-frontier /
+    * WARC-dedup normalization): lower-case scheme and host, strip a
+    * leading `www.`, drop the default port (`:80` for http, `:443` for
+    * https — others kept), drop the fragment, drop tracking parameters
+    * (`utm_*`, `gclid`, `fbclid`), sort the remaining query parameters
+    * byte-ascending, collapse the path's trailing slashes (empty path →
+    * `/`). Inputs that don't parse as scheme://host URLs pass through
+    * trimmed but otherwise untouched (no guessing). Pure narrow Column
+    * chain — RE2-safe regexes shared verbatim with the oracle, scan
+    * speed at any corpus size; key [[Dedup.keepCanonical]] on the
+    * result for URL-level dedup. NULL → "". */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(coalesce(url, lit("")))
+    val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(t, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
+    val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = regexp_replace(
+      lower(regexp_extract(hostport, "^([^:]+)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val path = regexp_extract(tail, "^([^?#]*)", 1)
+    val query = regexp_extract(tail, "^[^?#]*\\?([^#]*)", 1)
+    val strippedPath = regexp_replace(path, "/+$", "")
+    val normPath = when(strippedPath === "", lit("/")).otherwise(strippedPath)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$"))
+    val normQuery = array_join(array_sort(params), "&")
+    val normPort = when(port =!= "" &&
+        !((scheme === "http" && port === "80") ||
+          (scheme === "https" && port === "443")),
+      concat(lit(":"), port)).otherwise(lit(""))
+    when(scheme === "" || host === "", t).otherwise(
+      concat(scheme, lit("://"), host, normPort, normPath,
+        when(normQuery =!= "", concat(lit("?"), normQuery)).otherwise(lit(""))))
+  }
+
   // HTML entity decode table, applied AFTER tag removal; "&amp;" is
   // decoded last so "&amp;lt;" single-decodes to the literal text "&lt;"
   private val Entities = Seq(

@@ -800,6 +800,82 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("nbClassifier: exact census, reference-scored parity, edges") {
+    import graft.ops.QualityClassifier
+    import graft.compile.NbKernels
+    val B = 64
+    val corpus = Seq(
+      (1L, "aa bb aa", java.lang.Boolean.TRUE),
+      (2L, "cc dd", java.lang.Boolean.FALSE),
+      (3L, null.asInstanceOf[String], java.lang.Boolean.TRUE),
+      (4L, "ee", null.asInstanceOf[java.lang.Boolean])) // null label: dropped
+      .toDF("doc_id", "text", "y")
+    val m = QualityClassifier.train(corpus, "text", col("y"), buckets = B)
+    assert(m.posDocs == 2 && m.negDocs == 1)
+    assert(m.posTotal == 5 && m.negTotal == 3)
+    // reference census with the same hash
+    def bucket(f: String) = (NbKernels.fp(f, 31L) % B).toInt
+    val posFeats = Seq("aa", "bb", "aa", "aa bb", "bb aa")
+    val negFeats = Seq("cc", "dd", "cc dd")
+    val expPos = posFeats.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val expNeg = negFeats.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    assert(m.bucketKeys.toSeq == (expPos.keySet ++ expNeg.keySet).toSeq.sorted)
+    assert(m.bucketKeys.zip(m.posCounts).toMap ==
+      m.bucketKeys.map(k => k -> expPos.getOrElse(k, 0L)).toMap)
+    assert(m.bucketKeys.zip(m.negCounts).toMap ==
+      m.bucketKeys.map(k => k -> expNeg.getOrElse(k, 0L)).toMap)
+    // hand scorer: identical smoothing + fold order
+    val l2 = (x: Double) => math.log(x) / math.log(2.0)
+    def handScore(feats: Seq[String]) = {
+      val terms = feats.map { f =>
+        val b = bucket(f)
+        val bi = m.bucketKeys.indexOf(b)
+        val (p, n) = if (bi >= 0) (m.posCounts(bi), m.negCounts(bi)) else (0L, 0L)
+        l2((p + 1).toDouble / (m.posTotal + B)) -
+          l2((n + 1).toDouble / (m.negTotal + B))
+      }
+      math.round(terms.reduceLeft(_ + _) / terms.size * 1e6) / 1e6
+    }
+    val scored = QualityClassifier.score(Seq(
+      (1L, "aa cc"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(scored(1L) == (3L, handScore(Seq("aa", "cc", "aa cc"))))
+    assert(scored(2L) == (0L, 0.0) && scored(3L) == (0L, 0.0))
+    assert(m.priorLogOdds == l2(3.0 / 2.0))
+  }
+
+  test("nbClassifier: separates classes, blob round-trips, narrow plan") {
+    import graft.ops.QualityClassifier
+    val prose = "the quick brown fox jumps over the lazy dog again "
+    val junk = "zq xjw qzv kqx wvz jqk xzq vqw "
+    val train = ((1L to 20L).map(i => (i, prose + i, true)) ++
+      (21L to 40L).map(i => (i, junk + i, false))).toDF("id", "text", "y")
+    val m = QualityClassifier.train(train, "text", col("y"))
+    val out = QualityClassifier.score(Seq(
+      (1L, "the brown dog jumps over the quick fox"),
+      (2L, "kqx zq vqw xjw")).toDF("id", "text"), "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) > 0 && out(2L) < 0, out.toString)
+    val rt = QualityClassifier.Model.deserialize(m.serialize)
+    assert(rt.buckets == m.buckets && rt.mult == m.mult &&
+      rt.posDocs == m.posDocs && rt.negDocs == m.negDocs &&
+      rt.posTotal == m.posTotal && rt.negTotal == m.negTotal &&
+      rt.bucketKeys.toSeq == m.bucketKeys.toSeq &&
+      rt.posCounts.toSeq == m.posCounts.toSeq &&
+      rt.negCounts.toSeq == m.negCounts.toSeq)
+    intercept[IllegalArgumentException] {
+      QualityClassifier.Model.deserialize(m.serialize.take(9))
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.Model.deserialize(Array[Byte](9, 8, 7, 6, 5, 4, 3, 2, 1))
+    }
+    // scoring is a pure narrow projection
+    val plan = QualityClassifier.score(train, "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("charLm: exact counts, hand-computed surprisal, UNK path, edge docs") {
     import graft.ops.CharLm
     val corpus = Seq((1L, "abab")).toDF("id", "text")

@@ -20,6 +20,37 @@ class WebTextSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L)
   }
 
+  test("canonicalizeUrl: every rule plus non-URL passthrough") {
+    val cases = Seq(
+      // case folding + www + default port + fragment
+      (1L, " HTTP://WWW.Example.COM:80/A/b#frag ", "http://example.com/A/b"),
+      (2L, "https://Host.test:443/x", "https://host.test/x"),
+      // non-default ports kept; http default on https kept
+      (3L, "http://h.test:8080/x", "http://h.test:8080/x"),
+      (4L, "https://h.test:80/x", "https://h.test:80/x"),
+      // tracking params dropped, remainder sorted; bare utm name dropped
+      (5L, "http://h.test/p?utm_source=a&b=2&a=1&gclid=x&utm_x", "http://h.test/p?a=1&b=2"),
+      // all params dropped -> no '?'
+      (6L, "http://h.test/p?utm_campaign=c&fbclid=z", "http://h.test/p"),
+      // empty path -> /, trailing slashes collapse
+      (7L, "http://h.test", "http://h.test/"),
+      (8L, "http://h.test/a/b///", "http://h.test/a/b"),
+      (9L, "http://h.test/?b=2&a=1", "http://h.test/?a=1&b=2"),
+      // non-URL passthrough (trimmed only)
+      (10L, "  not a url  ", "not a url"),
+      (11L, "ftp//missing.scheme/x", "ftp//missing.scheme/x"),
+      (12L, null.asInstanceOf[String], ""))
+    val df = cases.map { case (id, u, _) => (id, u) }.toDF("id", "url")
+    val out = df.withColumn("c", WebText.canonicalizeUrl(col("url")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(out(id) == want, s"id=$id got=${out(id)} want=$want") }
+    // pure narrow projection
+    val plan = df.select(WebText.canonicalizeUrl(col("url")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("domain blocklist matches exact hosts and parent suffixes") {
     val docs = Seq(
       (1L, "see http://ads.bad.test/x"),     // subdomain of blocked suffix
