@@ -275,3 +275,130 @@ final case class QuantizedDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantizedDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Dense matrix-vector product in one pass: the k raw dot products of a
+  * dim-length vector against a k × dim literal matrix (row-major flat)
+  * — the projection step of the seeded-hyperplane Johnson-Lindenstrauss
+  * reduction ([[graft.ops.Similarity.randomProject]]). Each output j is
+  * the EXACT sequential fold `0.0 + x₀·m_{j,0} + x₁·m_{j,1} + …`, so a
+  * SQL oracle restating the same positional fold matches bit-for-bit.
+  * NULL on NULL input, length mismatch, or NULL element. */
+final case class MatVec(
+    child: Expression,
+    matrixFlat: Seq[Double],
+    k: Int,
+    dim: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(matrixFlat.length == k * dim, "projection matrix shape mismatch")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.elemGetter(child.dataType) match {
+      case Right(_) => TypeCheckResult.TypeCheckSuccess
+      case Left(m)  => TypeCheckResult.TypeCheckFailure(s"graft_matvec $m")
+    }
+
+  @transient private lazy val get = VectorKernels.elemGetter(child.dataType).toOption.get
+  @transient private lazy val m: Array[Double] = matrixFlat.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      x(i) = get(v, i)
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var s = 0.0
+      var i2 = 0
+      while (i2 < dim) { s += x(i2) * m(base + i2); i2 += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment PLUS cosine to the winning centroid in
+  * one pass — the per-row signal behind prototypicality sampling
+  * ([[graft.ops.Similarity.prototypeSample]]): struct(cell, cos) where
+  * `cell` is the L2-argmin index (the [[NearestCells]] fold and
+  * tie-break: strict <, lower index wins) and `cos` is the exact
+  * [[CosineSim]] fold against that centroid (NULL when either norm is
+  * zero). Degenerate input (NULL vector, wrong length, NULL element) →
+  * NULL struct. */
+final case class NearestCellSim(
+    child: Expression,
+    centroidsFlat: Seq[Double],
+    k: Int,
+    dim: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroidsFlat.length == k * dim, "centroid matrix shape mismatch")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cell_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.elemGetter(child.dataType) match {
+      case Right(_) => TypeCheckResult.TypeCheckSuccess
+      case Left(m)  => TypeCheckResult.TypeCheckFailure(s"graft_nearest_cell_sim $m")
+    }
+
+  @transient private lazy val get = VectorKernels.elemGetter(child.dataType).toOption.get
+  @transient private lazy val c: Array[Double] = centroidsFlat.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      x(i) = get(v, i)
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var d = 0.0
+      var i2 = 0
+      while (i2 < dim) { val t = x(i2) - c(base + i2); d += t * t; i2 += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    val base = best * dim
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i3 = 0
+    while (i3 < dim) {
+      val a = x(i3); val b = c(base + i3)
+      dot += a * b; na += a * a; nb += b * b
+      i3 += 1
+    }
+    val cos: Any =
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    InternalRow(best.toLong, cos)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellSim =
+    copy(child = newChild)
+}

@@ -618,6 +618,77 @@ object OpsQueries {
               SELECT query_id, neighbor_id, sim, rank::INT AS rank
               FROM rr WHERE rank <= 5""")),
 
+    // Johnson-Lindenstrauss random projection 64 -> 8 dims: the seeded
+    // ±1 hyperplane matrix is interpolated into the oracle as list
+    // literals; each component is the identical positional double fold
+    // scaled by 1/sqrt(k) (IEEE sqrt + division — bit-equal both sides)
+    Q("q_embed_project",
+      (s, d) => Similarity.reduceDims(
+        T(s, d, "embeddings"), "embedding", dim = 64, k = 8, seed = 42L)
+        .select("vec_id", "rp"),
+      Some {
+        val rows = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
+          case (p, j) => s"(${j + 1}, [${p.mkString(", ")}])"
+        }.mkString(",\n                  ")
+        s"""WITH ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              planes AS (SELECT j, m FROM (VALUES
+                  $rows) AS t(j, m)),
+              dots AS (
+                SELECT ev.vec_id, planes.j,
+                  round(list_reduce(list_transform(range(1, 65),
+                    i -> ev.v[i] * planes.m[i]), (a, b) -> a + b) / sqrt(8.0), 6) AS p
+                FROM ev, planes)
+              SELECT vec_id, list(p ORDER BY j) AS rp
+              FROM dots GROUP BY vec_id"""
+      }),
+
+    // prototypicality sampling (SSL-prototypes / "beyond neural scaling
+    // laws" pruning): assign each vector to its L2-nearest pivot
+    // centroid, rank by cosine to the centroid (least-prototypical
+    // first), keep 10 per cell. Same pivot-centroid pinning and fold
+    // parity as q_ann_ivf; dominance ties break to the smaller id
+    Q("q_proto_sample",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val pivots = Seq(7L, 68L, 129L, 190L, 251L, 312L, 373L, 434L)
+        val centroids = e.where(col("vec_id").isin(pivots: _*))
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Similarity.prototypeSample(e, "vec_id", "embedding", centroids,
+          keepPerCell = 10, keepLeastPrototypical = true)
+          .select("vec_id", "cell", "proto_sim", "rank")
+      },
+      Some("""WITH ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS c
+                FROM ev WHERE vec_id IN (7,68,129,190,251,312,373,434)),
+              dist AS (
+                SELECT ev.vec_id, piv.j,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (ev.v[i]-piv.c[i])*(ev.v[i]-piv.c[i])), (a,b) -> a+b) AS dsq
+                FROM ev, piv),
+              cells AS (
+                SELECT vec_id, j FROM (
+                  SELECT vec_id, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dsq, j) AS rn
+                  FROM dist) WHERE rn = 1),
+              ps AS (
+                SELECT cells.vec_id, cells.j - 1 AS cell,
+                  round(list_cosine_similarity(ev.v, piv.c), 6) AS proto_sim
+                FROM cells JOIN ev ON ev.vec_id = cells.vec_id
+                           JOIN piv ON piv.j = cells.j
+                WHERE list_cosine_similarity(ev.v, piv.c) IS NOT NULL),
+              r AS (
+                SELECT *, row_number() OVER
+                  (PARTITION BY cell ORDER BY proto_sim ASC, vec_id ASC) AS rank
+                FROM ps)
+              SELECT vec_id, cell, proto_sim, rank::INT AS rank
+              FROM r WHERE rank <= 10""")),
+
     // the same IVF probe with the centroid matrix round-tripped through
     // the persisted-index surface (save -> manifest-checked load): pins
     // that persisted centroids reproduce the direct result bit-for-bit

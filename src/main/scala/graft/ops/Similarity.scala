@@ -498,4 +498,70 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "approx_sim", "sim", "rank")
   }
+
+  // ------------------------------------------------------------------
+  // dimensionality reduction + prototypicality sampling
+  // ------------------------------------------------------------------
+
+  /** Johnson-Lindenstrauss random projection: the k raw dot products of
+    * a dim-length vector against the seeded ±1 [[hyperplanes]] matrix,
+    * scaled by 1/√k (the sign-matrix JL variant — pairwise distances
+    * preserved in expectation), each component rounded to 6. One
+    * [[graft.compile.MatVec]] kernel pass with the matrix as plan
+    * literals — pure narrow projection, scan speed at any corpus size;
+    * run it before LSH/IVF when the raw dimensionality makes bucketing
+    * or centroid scans bandwidth-bound. Degenerate vectors (NULL, wrong
+    * length, NULL element) → NULL. */
+  def randomProject(vec: Column, dim: Int, k: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(k >= 1, "randomProject: k must be >= 1")
+    val raw = ColumnBridge.column(graft.compile.MatVec(
+      ColumnBridge.expression(vec), hyperplanes(k, dim, seed).flatten, k, dim))
+    val invScale = lit(math.sqrt(k.toDouble))
+    transform(raw, d => Rounding.roundAt(d / invScale, 6))
+  }
+
+  /** Reduce an embedding table's dimensionality: adds `outCol` =
+    * [[randomProject]] of `vecCol`. Narrow, no shuffle. */
+  def reduceDims(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                 seed: Long = 42L, outCol: String = "rp"): DataFrame =
+    df.withColumn(outCol, randomProject(col(vecCol), dim, k, seed))
+
+  /** Prototypicality sampling (the SemDeDup-sibling published as
+    * "Beyond neural scaling laws": rank each cluster's members by
+    * cosine similarity to their centroid and keep a fixed count per
+    * cluster — least-prototypical-first prunes redundancy in large
+    * corpora, most-prototypical-first keeps canonical examples in small
+    * ones). Adds `cell` (L2-nearest centroid index), `proto_sim`
+    * (cosine to that centroid, rounded 6) and `rank`, keeping
+    * `keepPerCell` rows per cell; ties break to the smaller id.
+    * Degenerate vectors (NULL cosine) are excluded from the sample.
+    *
+    * Scale shape: assignment + similarity is ONE narrow
+    * [[graft.compile.NearestCellSim]] kernel pass (centroids ride as
+    * plan literals); the per-cell ranking is one shuffle over
+    * (cell, proto_sim, id) — size the centroid count to the corpus
+    * (~O(rows/cell) bounded, the [[trainCentroids]] sizing rule) so no
+    * cell's sort exceeds a task; screen degenerate hot cells with
+    * [[graft.ops.HotKeys]] if the embedding source can contain
+    * mass-identical vectors. */
+  def prototypeSample(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Seq[Double]], keepPerCell: Int,
+                      keepLeastPrototypical: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(keepPerCell >= 1, "prototypeSample: keepPerCell must be >= 1")
+    val dim = centroids.head.length
+    val sim = ColumnBridge.column(graft.compile.NearestCellSim(
+      ColumnBridge.expression(col(vecCol)), centroids.flatten,
+      centroids.length, dim))
+    val assigned = df.withColumn("_pc", sim)
+      .withColumn("cell", col("_pc.cell"))
+      .withColumn("proto_sim", Rounding.roundAt(col("_pc.cos"), 6))
+      .drop("_pc")
+      .where(col("proto_sim").isNotNull)
+    val ord = if (keepLeastPrototypical) col("proto_sim").asc else col("proto_sim").desc
+    val w = Window.partitionBy("cell").orderBy(ord, col(idCol).asc)
+    assigned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= keepPerCell)
+  }
 }

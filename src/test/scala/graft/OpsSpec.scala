@@ -800,6 +800,57 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("randomProject: hand-computed fold, scaling, degenerate inputs") {
+    import graft.ops.Similarity
+    val planes = Similarity.hyperplanes(2, 3, 7L)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, -1.0f)),
+      (2L, Seq(1.0f, 2.0f)),                     // wrong length
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+      Similarity.randomProject(col("v"), dim = 3, k = 2, seed = 7L).as("rp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val x = Seq(1.0, 2.0, -1.0)
+    val want = planes.map { p =>
+      val s = x.zip(p).foldLeft(0.0) { case (a, (xi, wi)) => a + xi * wi }
+      math.round(s / math.sqrt(2.0) * 1e6) / 1e6
+    }
+    assert(out(1L).get == want)
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+    // narrow plan
+    val plan = df.select(Similarity.randomProject(col("v"), 3, 2, 7L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("prototypeSample: ranking per cell, tie-break, keepMost, degenerates") {
+    import graft.ops.Similarity
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(10.0f, 1.0f)),   // cell 0, cos ~0.995
+      (2L, Seq(5.0f, 0.0f)),    // cell 0, cos 1.0
+      (3L, Seq(3.0f, 2.0f)),    // cell 0, cos ~0.857
+      (4L, Seq(0.5f, 4.0f)),    // cell 1
+      (5L, Seq(0.0f, 0.0f)),    // zero vector: cos NULL, excluded
+      (6L, Seq(5.0f, 0.0f)))    // duplicate of 2: tie -> smaller id first
+      .toDF("id", "v")
+    val least = Similarity.prototypeSample(df, "id", "v", cents, keepPerCell = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cell"),
+        r.getAs[Int]("rank"))).sortBy(_._1)
+    // cell 0 ascending cos: 3 (0.857), 1 (0.995), [2, 6 cut]; cell 1: 4
+    assert(least.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 0L, 2), (3L, 0L, 1), (4L, 1L, 1)), least.toSeq.toString)
+    val most = Similarity.prototypeSample(df, "id", "v", cents,
+      keepPerCell = 2, keepLeastPrototypical = false)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank"))).sortBy(_._1)
+    // cell 0 descending cos: 2 (1.0) then tie 6 loses to... 2 and 6 tie at
+    // 1.0 -> smaller id (2) ranks 1, 6 ranks 2; cell 1: 4
+    assert(most.toSeq == Seq((2L, 1), (4L, 1), (6L, 2)), most.toSeq.toString)
+    // excluded degenerate never appears
+    assert(!least.exists(_._1 == 5L) && !most.exists(_._1 == 5L))
+  }
+
   test("nbClassifier: exact census, reference-scored parity, edges") {
     import graft.ops.QualityClassifier
     import graft.compile.NbKernels
