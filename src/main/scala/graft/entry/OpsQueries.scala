@@ -32,6 +32,53 @@ object OpsQueries {
          ELSE list_reduce(list_transform(string_split($s, ''), c -> ascii(c)::BIGINT),
                           (a, b) -> (a*$mult + b) % 2147483647) END)"""
 
+  // DuckDB restatement of LmScore.train (topV=500, maxBigrams=2000) as a
+  // prefixed CTE block parameterized by the training-corpus filter —
+  // shared by the DSIR gate pair (target slice vs whole corpus)
+  private def dsirModelCtes(p: String, where: String): String =
+    s"""${p}w AS (SELECT doc_id, $duckWords AS w FROM documents $where),
+      ${p}nz AS (SELECT doc_id, w FROM ${p}w WHERE len(w) > 0),
+      ${p}toks AS (SELECT doc_id, unnest(w) AS term FROM ${p}nz),
+      ${p}t AS (SELECT count(*) AS total FROM ${p}toks),
+      ${p}unir AS (SELECT term, count(*) AS n,
+                     row_number() OVER (ORDER BY count(*) DESC, term ASC) AS r
+                   FROM ${p}toks GROUP BY term),
+      ${p}uni AS (SELECT term, n FROM ${p}unir WHERE r <= 500),
+      ${p}v AS (SELECT count(*) AS vs FROM ${p}uni),
+      ${p}pairs AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+                    FROM ${p}nz, unnest(range(0, len(w)-1)) AS u(i)),
+      ${p}bir AS (SELECT w1, w2, count(*) AS n,
+                    row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS r
+                  FROM ${p}pairs q
+                  WHERE EXISTS (SELECT 1 FROM ${p}uni WHERE term = q.w1)
+                    AND EXISTS (SELECT 1 FROM ${p}uni WHERE term = q.w2)
+                  GROUP BY w1, w2),
+      ${p}bi AS (SELECT w1, w2, n FROM ${p}bir WHERE r <= 2000)"""
+
+  // the fused dual-model scoring over the whole corpus's bigram pairs
+  // (r_pairs — the raw model trains on everything): per-bigram round-6
+  // decimal log probs under both models, decimal-summed per doc
+  private val dsirScoreCtes: String =
+    """sc AS (SELECT p.doc_id,
+              round(ln((coalesce(tb.n, 0) +
+                  1.0 * (coalesce(tu2.n, 0) + 1.0) / (tt.total + tv.vs + 1.0))
+                / (coalesce(tu1.n, 0) + 1.0)), 6)::DECIMAL(18,6) AS lt,
+              round(ln((coalesce(rb.n, 0) +
+                  1.0 * (coalesce(ru2.n, 0) + 1.0) / (rt.total + rv.vs + 1.0))
+                / (coalesce(ru1.n, 0) + 1.0)), 6)::DECIMAL(18,6) AS lr
+            FROM r_pairs p
+            LEFT JOIN t_uni tu1 ON tu1.term = p.w1
+            LEFT JOIN t_uni tu2 ON tu2.term = p.w2
+            LEFT JOIN t_bi tb ON tb.w1 = p.w1 AND tb.w2 = p.w2
+            LEFT JOIN r_uni ru1 ON ru1.term = p.w1
+            LEFT JOIN r_uni ru2 ON ru2.term = p.w2
+            LEFT JOIN r_bi rb ON rb.w1 = p.w1 AND rb.w2 = p.w2
+            CROSS JOIN t_t tt CROSS JOIN t_v tv
+            CROSS JOIN r_t rt CROSS JOIN r_v rv),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                sum(lt) AS st, sum(lr) AS sr
+              FROM sc GROUP BY 1)"""
+
   // DuckDB restatement of the cross-corpus banding->pair->verify chain,
   // shared by the direct (q_dedup_cross) and the persisted-index
   // (q_dedup_cross_persisted) gate variants
@@ -931,6 +978,54 @@ object OpsQueries {
               SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
                      round(-(a.s::DOUBLE) / a.n_bigrams, 6) AS cross_entropy
               FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // DSIR importance weights: target LM trained on the lang='en' slice,
+    // raw LM on the whole corpus (the published shape: select
+    // target-like docs out of a multilingual pool); both models and the
+    // fused dual scoring restated verbatim — weight is the DECIMAL
+    // subtraction of the two round-6 decimal log-prob sums
+    Q("q_dsir_weights",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val target = LmScore.train(docs.where(col("lang") === "en"),
+          "text", topV = 500, maxBigrams = 2000)
+        val raw = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
+        Dsir.importanceWeights(docs, "doc_id", "text", target, raw)
+      },
+      Some(s"""WITH ${dsirModelCtes("t_", "WHERE lang = 'en'")},
+              ${dsirModelCtes("r_", "")},
+              ${dsirScoreCtes}
+              SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+                     (a.st - a.sr)::DECIMAL(18,6) AS log_weight
+              FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // DSIR Gumbel-top-k resampling: u derives from the oracled
+    // fingerprint32 of (doc_id || ':42'), so the weighted
+    // sample-without-replacement is exactly restatable; top-25 by
+    // (key desc, doc_id asc)
+    Q("q_dsir_resample",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val target = LmScore.train(docs.where(col("lang") === "en"),
+          "text", topV = 500, maxBigrams = 2000)
+        val raw = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
+        Dsir.resample(docs, "doc_id", "text", target, raw, k = 25, seed = 42L)
+      },
+      Some(s"""WITH ${dsirModelCtes("t_", "WHERE lang = 'en'")},
+              ${dsirModelCtes("r_", "")},
+              ${dsirScoreCtes},
+              g AS (
+                SELECT doc_id, n_bigrams,
+                  (st - sr)::DECIMAL(18,6) AS log_weight,
+                  round((st - sr)::DOUBLE - ln(-ln(
+                    (${duckFp("doc_id::VARCHAR || ':42'")} + 1.0) / 2147483648.0)), 6)
+                    AS gumbel_key
+                FROM agg),
+              r AS (SELECT *, row_number() OVER
+                      (ORDER BY gumbel_key DESC, doc_id ASC) AS rank
+                    FROM g)
+              SELECT doc_id, n_bigrams, log_weight, gumbel_key, rank::INT AS rank
+              FROM r WHERE rank <= 25""")),
 
     // words() is bound in its own projection: CollapseProject keeps a
     // non-cheap multiply-referenced alias un-inlined, so the tokenization

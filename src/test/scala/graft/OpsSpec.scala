@@ -851,6 +851,48 @@ class OpsSpec extends SparkSpec {
     assert(!least.exists(_._1 == 5L) && !most.exists(_._1 == 5L))
   }
 
+  test("dsir: weights favor target-like docs, edges, resample determinism") {
+    import graft.ops.{Dsir, LmScore}
+    val target = Seq((100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "the cat sat on the mat"),        // exactly target-like
+      (2L, "zz qq xx ww yy vv"),             // nothing like target
+      (3L, "the cat sat somewhere else"),    // partially target-like
+      (4L, "single"),                        // 1 word: no bigrams
+      (5L, null.asInstanceOf[String]))       // NULL text
+      .toDF("doc_id", "text")
+    val tm = LmScore.train(target, "text", topV = 100, maxBigrams = 100)
+    val rm = LmScore.train(pool, "text", topV = 100, maxBigrams = 100)
+    val w = Dsir.importanceWeights(pool, "doc_id", "text", tm, rm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getDecimal(2)).map(_.doubleValue))).toMap
+    // zero-bigram docs carry NULL weight
+    assert(w(4L) == ((0L, None)) && w(5L) == ((0L, None)))
+    // target-like doc outranks the alien one; partial in between
+    assert(w(1L)._2.get > w(3L)._2.get && w(3L)._2.get > w(2L)._2.get,
+      w.toString)
+    // resample: deterministic per seed, caps at k, rank is 1..k,
+    // excludes the evidence-free docs
+    val s1 = Dsir.resample(pool, "doc_id", "text", tm, rm, k = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    val s2 = Dsir.resample(pool, "doc_id", "text", tm, rm, k = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(s1.toSeq == s2.toSeq && s1.length == 2)
+    assert(s1.map(_._2).sorted.toSeq == Seq(1, 2))
+    assert(!s1.exists(t => t._1 == 4L || t._1 == 5L))
+    // everything selected when k >= eligible population
+    val all = Dsir.resample(pool, "doc_id", "text", tm, rm, k = 10, seed = 7L)
+      .collect()
+    assert(all.length == 3)
+    // scale shape: model joins broadcast (no SortMergeJoin), selection
+    // is TakeOrderedAndProject (per-task heaps, no global sort)
+    val plan = Dsir.resample(pool, "doc_id", "text", tm, rm, k = 2, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("nbClassifier: exact census, reference-scored parity, edges") {
     import graft.ops.QualityClassifier
     import graft.compile.NbKernels
