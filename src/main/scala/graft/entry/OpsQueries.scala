@@ -2072,6 +2072,22 @@ object OpsQueries {
                        (${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")} % 1000000) AS h
                      FROM documents)""")),
 
+    // deterministic shard layout: hash-balanced shard + seeded
+    // within-shard permutation, restated verbatim (fingerprint is
+    // non-negative so pmod == %)
+    Q("q_assign_shards",
+      (s, d) => Sampling.assignShards(
+        T(s, d, "documents"), key = col("doc_id"), numShards = 8,
+        seed = 42L, hash = TextAnalysis.fingerprint(_))
+        .select("doc_id", "shard", "pos"),
+      Some(s"""WITH h AS (SELECT doc_id,
+                 ${duckFp("CAST(doc_id AS VARCHAR) || ':42'")} AS h
+               FROM documents)
+               SELECT doc_id, (h % 8)::INT AS shard,
+                 (row_number() OVER (PARTITION BY h % 8
+                    ORDER BY h ASC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS pos
+               FROM h""")),
+
     // training-data mixing: 2:1:1 target over three sources at the
     // largest feasible total (the weight-2 source is fully kept, the
     // others hash-downsample); the oracle recomputes counts → feasible

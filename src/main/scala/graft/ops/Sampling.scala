@@ -191,4 +191,41 @@ object Sampling {
       .drop("_p")
     full.unionByName(straddle).select(cols.map(col): _*)
   }
+
+  /** Deterministic training-shard layout — the write-side twin of
+    * [[assignSplits]]: every row gets a `shard` in [0, numShards) and a
+    * 0-based within-shard `pos`, both pure functions of (key, seed).
+    * Together they form a seeded global permutation of the corpus cut
+    * into hash-balanced shards: the reproducible shuffle a pretraining
+    * writer needs so that any re-run, on any cluster, lays out byte-
+    * identical shards (and a different `seed` reshuffles the curriculum
+    * without touching the data).
+    *
+    * Scale shape: ONE shuffle (the per-shard ranking window). Shards
+    * are hash-uniform, so each task sorts ~rows/numShards — size
+    * numShards to keep that in task memory (a 100-TB corpus typically
+    * writes 10^4–10^5 shards, far past uniform). Materialize with
+    * `.repartition(col("shard")).sortWithinPartitions("pos")` before
+    * the write so files land in layout order. Rows ranked by (hash,
+    * key-as-string) so duplicate hash values still order totally; NULL
+    * keys land in shard 0 at the front (drop them upstream if unwanted).
+    */
+  def assignShards(df: DataFrame, key: Column, numShards: Int,
+                   seed: Long = 42L,
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(numShards >= 1, s"numShards ($numShards) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+    // NULL keys get a NULL hash under ANY hash function (xxhash64 maps
+    // NULL to its seed, which would scatter them) -> shard 0, front
+    val h = when(key.isNull, lit(null).cast("long"))
+      .otherwise(hash(concat(key.cast("string"), lit(":"), lit(seed.toString))))
+    df.withColumn("_h", h)
+      .withColumn("shard", when(col("_h").isNull, lit(0))
+        .otherwise(pmod(col("_h"), lit(numShards.toLong)).cast("int")))
+      .withColumn("pos", row_number().over(
+        w.partitionBy("shard")
+          .orderBy(col("_h").asc_nulls_first, key.cast("string").asc))
+        .cast("long") - 1L)
+      .drop("_h")
+  }
 }

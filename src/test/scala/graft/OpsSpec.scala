@@ -851,6 +851,36 @@ class OpsSpec extends SparkSpec {
     assert(!least.exists(_._1 == 5L) && !most.exists(_._1 == 5L))
   }
 
+  test("assignShards: balanced permutation, contiguous pos, null key, one shuffle") {
+    import graft.ops.Sampling
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "t")
+    val out = Sampling.assignShards(df, col("id"), numShards = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // exhaustive, shards in range, per-shard pos contiguous from 0
+    assert(out.length == 200 && out.forall(t => t._2 >= 0 && t._2 < 4))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // hash-balance: no shard takes more than half the corpus
+    assert(out.groupBy(_._2).values.map(_.size).max < 100, out.groupBy(_._2).view.mapValues(_.size).toMap.toString)
+    // deterministic per seed; a different seed permutes
+    val again = Sampling.assignShards(df, col("id"), 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Sampling.assignShards(df, col("id"), 4, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq)
+    // NULL key lands in shard 0 at pos 0
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("id", "t")
+    val n = Sampling.assignShards(withNull, col("id"), 4, seed = 7L)
+      .where(col("id").isNull).collect()
+    assert(n.length == 1 && n(0).getInt(2) == 0 && n(0).getLong(3) == 0L)
+    // exactly one exchange (the ranking window shuffle)
+    val plan = Sampling.assignShards(df, col("id"), 4, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("dsir: weights favor target-like docs, edges, resample determinism") {
     import graft.ops.{Dsir, LmScore}
     val target = Seq((100L, "the cat sat on the mat"),
