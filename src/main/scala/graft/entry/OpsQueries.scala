@@ -1587,6 +1587,34 @@ object OpsQueries {
                       THEN round(overlap::DOUBLE / shingles_b, 6) ELSE 0.0 END AS containment_b
                FROM t""")),
 
+    // unigram-distribution divergence between the en and non-en corpora:
+    // KL both ways (epsilon-clamped, PSI convention) + Jensen-Shannon;
+    // the oracle restates the clamps and mixture term-for-term
+    Q("q_unigram_divergence",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Overlap.unigramDivergence(
+          docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"),
+          "text")
+      },
+      Some(s"""WITH w AS (SELECT lang, unnest($duckWords) AS term FROM documents),
+               j AS (SELECT sum((lang = 'en')::INT)::DOUBLE AS ca,
+                            sum((lang <> 'en')::INT)::DOUBLE AS cb
+                     FROM w GROUP BY term),
+               t AS (SELECT greatest(sum(ca), 1.0) AS na,
+                            greatest(sum(cb), 1.0) AS nb FROM j),
+               d AS (SELECT ca/na AS p, cb/nb AS q, (ca/na + cb/nb)/2 AS m
+                     FROM j, t)
+               SELECT count(*)::BIGINT AS vocab_union,
+                 coalesce(round(sum(CASE WHEN p > 0
+                   THEN p * ln(p / greatest(q, 1e-9)) ELSE 0.0 END), 4), 0.0) AS kl_ab,
+                 coalesce(round(sum(CASE WHEN q > 0
+                   THEN q * ln(q / greatest(p, 1e-9)) ELSE 0.0 END), 4), 0.0) AS kl_ba,
+                 coalesce(round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0.0 END)
+                        + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0.0 END), 4),
+                   0.0) AS js_divergence
+               FROM d""")),
+
     // the 100-TB overlap path: mergeable corpus-level MinHash signatures
     // (k min-aggregates, a few hundred bytes per corpus) compared
     // slot-for-slot; the affine family is interpolated into the oracle so

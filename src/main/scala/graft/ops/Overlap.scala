@@ -80,6 +80,49 @@ object Overlap {
       .select(array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
 
+  /** Unigram-distribution divergence between two corpora: ONE row
+    * (vocab_union, kl_ab, kl_ba, js_divergence) over the word unigram
+    * distributions p (corpus a) and q (corpus b) — the corpus-mix drift
+    * diagnostic ("did this snapshot's token distribution move?") where
+    * [[shingleOverlap]] answers the set-overlap question. KL terms clamp
+    * the OTHER side at `epsilon` (the finite-KL convention, as in
+    * [[graft.checks.PsiDriftCheck]]); JS needs no clamp (the mixture is
+    * positive wherever either side is) and is bounded by ln 2, so one
+    * threshold works across corpus sizes. All three rounded to 4.
+    *
+    * Scale shape: ONE shuffle — both corpora's (term, side) counts
+    * union into a single hash aggregation with map-side partial combine,
+    * so only (term, two longs) rows cross the wire; the totals row rides
+    * back as a lazy 1-row broadcast (the exchange is reused, not
+    * rescanned). Tokenization is [[TextAnalysis.words]], matching every
+    * other text operator (and the SQL oracle restatement). */
+  def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                        epsilon: Double = 1e-9): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be positive (keeps KL finite)")
+    def sided(df: DataFrame, ca: Int, cb: Int) =
+      df.select(explode(TextAnalysis.words(col(textCol))).as("term"))
+        .select(col("term"), lit(ca.toLong).as("ca"), lit(cb.toLong).as("cb"))
+    val cnts = sided(a, 1, 0).union(sided(b, 0, 1))
+      .groupBy("term").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val tot = cnts.agg(
+      greatest(sum("ca"), lit(1L)).cast("double").as("na"),
+      greatest(sum("cb"), lit(1L)).cast("double").as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / 2.0
+    val eps = lit(epsilon)
+    cnts.crossJoin(broadcast(tot))
+      .select(
+        when(p > 0, p * log(p / greatest(q, eps))).otherwise(lit(0.0)).as("_ab"),
+        when(q > 0, q * log(q / greatest(p, eps))).otherwise(lit(0.0)).as("_ba"),
+        (when(p > 0, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
+          when(q > 0, q * log(q / m)).otherwise(lit(0.0)) * 0.5).as("_js"))
+      .agg(count(lit(1)).as("vocab_union"),
+        coalesce(Rounding.roundAt(sum("_ab"), 4), lit(0.0)).as("kl_ab"),
+        coalesce(Rounding.roundAt(sum("_ba"), 4), lit(0.0)).as("kl_ba"),
+        coalesce(Rounding.roundAt(sum("_js"), 4), lit(0.0)).as("js_divergence"))
+  }
+
   /** Jaccard estimate from two [[corpusSignature]] rows: the fraction of
     * equal components, rounded to 6. Returns ONE row (n_equal,
     * est_jaccard). Both inputs are single rows, so the join is a lazy

@@ -1146,6 +1146,25 @@ class OpsSpec extends SparkSpec {
       s"estimate $estH too far from exact $exact")
   }
 
+  test("unigramDivergence: identical zero, disjoint ln2, empty side bounded") {
+    val a = Seq((1L, "the cat sat"), (2L, "the dog ran")).toDF("doc_id", "text")
+    val same = Overlap.unigramDivergence(a, a, "text").head()
+    assert(same.getAs[Long]("vocab_union") == 5)
+    assert(same.getAs[Double]("kl_ab") == 0.0 &&
+      same.getAs[Double]("kl_ba") == 0.0 &&
+      same.getAs[Double]("js_divergence") == 0.0)
+    // disjoint vocabularies: JS = ln 2 exactly, both KLs epsilon-bounded
+    val b = Seq((3L, "un deux trois")).toDF("doc_id", "text")
+    val dis = Overlap.unigramDivergence(a, b, "text").head()
+    assert(dis.getAs[Long]("vocab_union") == 8)
+    assert(dis.getAs[Double]("js_divergence") == 0.6931) // round(ln 2, 4)
+    assert(dis.getAs[Double]("kl_ab") > 0.0 && dis.getAs[Double]("kl_ba") > 0.0)
+    // empty side: KL(b||a) over nothing is 0, JS = ln 2 / 2 from the a side
+    val e = Overlap.unigramDivergence(a, a.where(lit(false)), "text").head()
+    assert(e.getAs[Double]("kl_ba") == 0.0 &&
+      e.getAs[Double]("js_divergence") == 0.3466)
+  }
+
   test("duplicateGroups: 2000-node path graph converges via pointer jumping") {
     // plain label propagation needs diameter rounds (1999 here); the
     // path-halving step must bring it under the default 25
