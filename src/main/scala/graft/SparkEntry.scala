@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def registry: Seq[Q] =
-    ValidationQueries.all ++ CheckQueries.all ++ OpsQueries.all
+  private def registry: Seq[Q] = {
+    val all = ValidationQueries.all ++ CheckQueries.all ++ OpsQueries.all
+    val dupes = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dupes.isEmpty,
+      s"duplicate gate-query registrations (toMap would silently shadow): " +
+        dupes.mkString(", "))
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001: the full check suite over
     * the documents table — row constraints + uniqueness + referential +

@@ -338,8 +338,15 @@ object CheckQueries {
     // enum CASE keeps the oracle sf-independent (source crosses the
     // cardinality cap between sfs)
     Q("q_suggest_constraints",
+      // enum_values is an ARRAY internally (sorted, ≤8 entries); the gate
+      // surface serializes it ('|' join, NULL -> '' — DuckDB's
+      // array_to_string returns NULL for empty lists so '' is the one
+      // unambiguous no-enum spelling) because the driver's comparer
+      // cannot sort array cells
       (s, d) => SuggestConstraints.profile(T(s, d, "documents"),
-        Seq("doc_id", "text", "lang", "source", "n_chars")),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .withColumn("enum_values",
+          coalesce(array_join(col("enum_values"), "|"), lit(""))),
       Some {
         def numCol(c: String, dtype: String) =
           s"""SELECT '$c' AS "column", '$dtype' AS dtype,
@@ -350,9 +357,10 @@ object CheckQueries {
                 min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
                 NULL::BIGINT AS min_len, NULL::BIGINT AS max_len,
                 CASE WHEN count(DISTINCT $c) BETWEEN 1 AND 8
-                     THEN list_sort(list(DISTINCT $c::VARCHAR)
-                                    FILTER (WHERE $c IS NOT NULL))
-                     ELSE NULL END AS enum_values
+                     THEN coalesce(array_to_string(
+                            list_sort(list(DISTINCT $c::VARCHAR)
+                                      FILTER (WHERE $c IS NOT NULL)), '|'), '')
+                     ELSE '' END AS enum_values
               FROM documents"""
         def strCol(c: String) =
           s"""SELECT '$c' AS "column", 'string' AS dtype,
@@ -364,9 +372,10 @@ object CheckQueries {
                 min(length($c))::BIGINT AS min_len,
                 max(length($c))::BIGINT AS max_len,
                 CASE WHEN count(DISTINCT $c) BETWEEN 1 AND 8
-                     THEN list_sort(list(DISTINCT $c)
-                                    FILTER (WHERE $c IS NOT NULL))
-                     ELSE NULL END AS enum_values
+                     THEN coalesce(array_to_string(
+                            list_sort(list(DISTINCT $c)
+                                      FILTER (WHERE $c IS NOT NULL)), '|'), '')
+                     ELSE '' END AS enum_values
               FROM documents"""
         Seq(numCol("doc_id", "bigint"), strCol("text"), strCol("lang"),
           strCol("source"), numCol("n_chars", "bigint"))

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
 object OpsQueries {
   import QueryUtil._
 
-  // shared DuckDB fragment: word list of a text column (mirrors
-  // TextAnalysis.words)
-  private val duckWords =
-    "list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), w -> w <> '')"
+  // shared DuckDB fragment: word list of an arbitrary string expression
+  // (mirrors TextAnalysis.words)
+  private def duckWordsOf(e: String): String =
+    s"list_filter(string_split_regex(lower(regexp_replace($e, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), w -> w <> '')"
+  private val duckWords = duckWordsOf("text")
 
   private def duckStopRatio(lang: String): String = {
     val sw = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(",")
@@ -186,7 +187,8 @@ object OpsQueries {
                      len(list_filter(gw.w, x -> x IN ($stops))) AS stopn,
                      list_filter(string_split(gw.text, chr(10)),
                        l -> trim(l) <> '') AS lines,
-                     length(regexp_replace(gw.text, '[^#…]', '', 'g')) AS symbols,
+                     length(gw.text) - length(replace(gw.text, '#', ''))
+                       + len(regexp_extract_all(gw.text, '\\.\\.\\.|…')) AS symbols,
                      coalesce(gst.total, 0) AS bg_total,
                      coalesce(gst.top, 0) AS bg_top
                    FROM gw LEFT JOIN gst ON gw.doc_id = gst.doc_id),
@@ -670,9 +672,13 @@ object OpsQueries {
     // literals; each component is the identical positional double fold
     // scaled by 1/sqrt(k) (IEEE sqrt + division — bit-equal both sides)
     Q("q_embed_project",
+      // rp is an ARRAY internally; the gate surface explodes it to one
+      // (vec_id, j, p) row per component — no float-to-string formatting
+      // drift and no array cell for the driver comparer to sort
       (s, d) => Similarity.reduceDims(
         T(s, d, "embeddings"), "embedding", dim = 64, k = 8, seed = 42L)
-        .select("vec_id", "rp"),
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("_j0", "p")))
+        .select(col("vec_id"), (col("_j0") + 1).cast("int").as("j"), col("p")),
       Some {
         val rows = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
           case (p, j) => s"(${j + 1}, [${p.mkString(", ")}])"
@@ -687,8 +693,7 @@ object OpsQueries {
                   round(list_reduce(list_transform(range(1, 65),
                     i -> ev.v[i] * planes.m[i]), (a, b) -> a + b) / sqrt(8.0), 6) AS p
                 FROM ev, planes)
-              SELECT vec_id, list(p ORDER BY j) AS rp
-              FROM dots GROUP BY vec_id"""
+              SELECT vec_id, j::INT AS j, p FROM dots"""
       }),
 
     // prototypicality sampling (SSL-prototypes / "beyond neural scaling
@@ -983,7 +988,10 @@ object OpsQueries {
     // raw LM on the whole corpus (the published shape: select
     // target-like docs out of a multilingual pool); both models and the
     // fused dual scoring restated verbatim — weight is the DECIMAL
-    // subtraction of the two round-6 decimal log-prob sums
+    // subtraction of the two round-6 decimal log-prob sums, cast to
+    // double at the GATE SURFACE (the driver comparer cannot hash
+    // DECIMAL; values are round-6 exact so the cast is lossless —
+    // same convention as cross_entropy / nb_score)
     Q("q_dsir_weights",
       (s, d) => {
         val docs = T(s, d, "documents")
@@ -991,12 +999,13 @@ object OpsQueries {
           "text", topV = 500, maxBigrams = 2000)
         val raw = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
         Dsir.importanceWeights(docs, "doc_id", "text", target, raw)
+          .withColumn("log_weight", round(col("log_weight").cast("double"), 6))
       },
       Some(s"""WITH ${dsirModelCtes("t_", "WHERE lang = 'en'")},
               ${dsirModelCtes("r_", "")},
               ${dsirScoreCtes}
               SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
-                     (a.st - a.sr)::DECIMAL(18,6) AS log_weight
+                     round((a.st - a.sr)::DOUBLE, 6) AS log_weight
               FROM documents d LEFT JOIN agg a USING (doc_id)""")),
 
     // DSIR Gumbel-top-k resampling: u derives from the oracled
@@ -1004,19 +1013,22 @@ object OpsQueries {
     // sample-without-replacement is exactly restatable; top-25 by
     // (key desc, doc_id asc)
     Q("q_dsir_resample",
+      // log_weight cast to double at the gate surface (driver comparer
+      // cannot hash DECIMAL; round-6 exact so lossless)
       (s, d) => {
         val docs = T(s, d, "documents")
         val target = LmScore.train(docs.where(col("lang") === "en"),
           "text", topV = 500, maxBigrams = 2000)
         val raw = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
         Dsir.resample(docs, "doc_id", "text", target, raw, k = 25, seed = 42L)
+          .withColumn("log_weight", round(col("log_weight").cast("double"), 6))
       },
       Some(s"""WITH ${dsirModelCtes("t_", "WHERE lang = 'en'")},
               ${dsirModelCtes("r_", "")},
               ${dsirScoreCtes},
               g AS (
                 SELECT doc_id, n_bigrams,
-                  (st - sr)::DECIMAL(18,6) AS log_weight,
+                  round((st - sr)::DOUBLE, 6) AS log_weight,
                   round((st - sr)::DOUBLE - ln(-ln(
                     (${duckFp("doc_id::VARCHAR || ':42'")} + 1.0) / 2147483648.0)), 6)
                     AS gumbel_key
@@ -1332,7 +1344,7 @@ object OpsQueries {
     // point), UNK collapse, add-one-smoothed conditionals, and the
     // POSITION-ORDERED log2 fold (the q_lexical list_reduce technique);
     // cap 64 so the UNK path is exercised on the gate corpus
-    Q("q_lm_score",
+    Q("q_char_lm",
       (s, d) => {
         val docs = T(s, d, "documents")
         val model = CharLm.train(docs, "text", maxAlphabet = 64)
@@ -1682,23 +1694,45 @@ object OpsQueries {
                LEFT JOIN tt ON d.doc_id = tt.doc_id""")),
 
     // deflate compression ratio — the long-range-repetition quality
-    // signal. No SQL engine exposes deflate, so this is the registry's
-    // one deliberate rows-only entry (the kernel is pinned by the unit
-    // corpus: boilerplate ≪ prose < shuffled-alphabet orderings)
+    // signal. No SQL engine exposes deflate, so the exact values stay
+    // unit-pinned (OpsSpec: boilerplate ≪ prose < shuffled orderings);
+    // the gate instead asserts SQL-expressible INVARIANTS per document,
+    // each of which a broken kernel would flip:
+    //  - in_range: 0 < ratio ≤ 1.5 for ≥64-byte inputs (deflate's
+    //    worst case is raw + 5 B/64 KiB block + 11 B header),
+    //  - doubling_compresses: ratio(text||text) < ratio(text) — the
+    //    second copy sits inside the 32 KiB LZ77 window, so long-range
+    //    repetition MUST compress (the signal's entire point),
+    //  - deterministic: two separate kernel invocations agree (the
+    //    concat(text,'') spelling defeats subexpression elimination)
     Q("q_compression",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.compressionRatio(col("text"))
-          .as("compression_ratio"))
-        .where(col("compression_ratio") > 0),
-      None),
+      (s, d) => {
+        val t = coalesce(col("text"), lit(""))
+        val r = TextAnalysis.compressionRatio(t)
+        val rTwice = TextAnalysis.compressionRatio(concat(t, t))
+        val rAgain = TextAnalysis.compressionRatio(concat(t, lit("")))
+        T(s, d, "documents")
+          .where(length(t) >= 64)
+          .select(col("doc_id"),
+            (r > 0.0 && r <= 1.5).as("in_range"),
+            (rTwice < r).as("doubling_compresses"),
+            (rAgain === r).as("deterministic"))
+      },
+      Some("""SELECT doc_id, true AS in_range, true AS doubling_compresses,
+                     true AS deterministic
+              FROM documents WHERE length(coalesce(text, '')) >= 64""")),
 
     // Gopher quality-filter rule set: every threshold is an INTEGER
     // comparison (mean-word-length ∈ [3,10] is 3n ≤ Σlen ≤ 10n, etc.),
     // so the oracle restates each verdict with zero float drift; the
     // bigram stats reuse the q_repetition restatement
     Q("q_gopher",
+      // reasons is an ARRAY internally; the gate surface serializes it
+      // ('|' join, order fixed by the rule list) because the driver's
+      // comparer cannot sort array cells
       (s, d) => TextAnalysis.gopherFilter(T(s, d, "documents"), "text")
-        .select("doc_id", "word_count", "reasons", "keep"),
+        .select(col("doc_id"), col("word_count"),
+          array_join(col("reasons"), "|").as("reasons"), col("keep")),
       Some {
         val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
         s"""WITH w AS (SELECT doc_id, text, $duckWords AS w FROM documents),
@@ -1720,7 +1754,8 @@ object OpsQueries {
                      len(list_filter(w.w, x -> x IN ($stops))) AS stopn,
                      list_filter(string_split(w.text, chr(10)),
                        l -> trim(l) <> '') AS lines,
-                     length(regexp_replace(w.text, '[^#…]', '', 'g')) AS symbols,
+                     length(w.text) - length(replace(w.text, '#', ''))
+                       + len(regexp_extract_all(w.text, '\\.\\.\\.|…')) AS symbols,
                      coalesce(st.total, 0) AS bg_total, coalesce(st.top, 0) AS bg_top
                    FROM w LEFT JOIN st ON w.doc_id = st.doc_id),
              v AS (SELECT doc_id, n::INT AS word_count,
@@ -1744,7 +1779,8 @@ object OpsQueries {
                             THEN 'top_bigram' END
                      ], x -> x IS NOT NULL) AS reasons
                    FROM s)
-             SELECT doc_id, word_count, reasons,
+             SELECT doc_id, word_count,
+                    coalesce(array_to_string(reasons, '|'), '') AS reasons,
                     (len(reasons) = 0) AS keep FROM v"""
       }),
 
@@ -2354,7 +2390,11 @@ object OpsQueries {
             when(col("doc_id") % 3 === 0,
               concat(lit(" and https://Extra.Example.test/x?q="),
                 col("doc_id").cast("string"))).otherwise(lit(""))))
+        // domains is an ARRAY internally; serialized at the gate surface
+        // (first-appearance order, '|' join) for the driver comparer
         WebText.urlSignals(t2, "doc_id", "text")
+          .select(col("doc_id"), col("n_urls"),
+            array_join(col("domains"), "|").as("domains"), col("top_domain"))
       },
       Some(s"""WITH t AS (
                  SELECT doc_id, text || ' see http://h' || (doc_id % 50)::VARCHAR ||
@@ -2374,7 +2414,9 @@ object OpsQueries {
                             'https?://([^/\\s:?#<>"'']+)', 1))) AS dall
                       FROM u)
                SELECT doc_id, len(urls)::BIGINT AS n_urls,
-                 list_filter(dall, (x, i) -> list_position(dall, x) = i) AS domains,
+                 array_to_string(
+                   list_filter(dall, (x, i) -> list_position(dall, x) = i),
+                   '|') AS domains,
                  coalesce(list_filter(dall, (x, i) -> list_position(dall, x) = i)[1],
                           '') AS top_domain
                FROM ds""")),
@@ -2527,5 +2569,154 @@ object OpsQueries {
                 FROM documents)
               SELECT doc_id, source, n_chars, rank::INT AS rank
               FROM r WHERE rank <= 3""")),
+
+    // C4 page filter (Raffel et al. 2020 §2.2): one planted violator
+    // per rule class, injected deterministically by doc_id residue; the
+    // oracle restates the line keep-predicate and every page verdict
+    // (reasons serialized — the driver comparer cannot sort arrays)
+    Q("q_c4",
+      (s, d) => {
+        val t2 = concat(
+          lit("A good first sentence with plenty of words here.\n"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("This page contains Lorem Ipsum filler text honestly.\n"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("function f() { return broken markup }\n")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("Please enable JavaScript to view the comments properly.\n"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("The word zqnaughty appears right here in this sentence.\n"))
+            .otherwise(lit("")),
+          col("text"))
+        TextAnalysis.c4Filter(
+          T(s, d, "documents").select(col("doc_id"), t2.as("text")),
+          "text", badWords = Seq("zqnaughty"))
+          .select(col("doc_id"), col("clean_text"), col("n_sentences"),
+            array_join(col("reasons"), "|").as("reasons"), col("keep"))
+      },
+      Some {
+        val inj = """'A good first sentence with plenty of words here.' || chr(10) ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN 'This page contains Lorem Ipsum filler text honestly.' || chr(10)
+                 ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN 'function f() { return broken markup }' || chr(10) ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN 'Please enable JavaScript to view the comments properly.' || chr(10)
+                 ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+                 THEN 'The word zqnaughty appears right here in this sentence.' || chr(10)
+                 ELSE '' END || text"""
+        s"""WITH t AS (SELECT doc_id, $inj AS text FROM documents),
+            c AS (SELECT doc_id, text,
+                    coalesce(array_to_string(list_filter(
+                      string_split(text, chr(10)), l ->
+                        regexp_matches(trim(l), '[.!?"]$$')
+                        AND len(${duckWordsOf("l")}) >= 5
+                        AND NOT regexp_matches(lower(l), '\\bjavascript\\b')),
+                      chr(10)), '') AS clean_text
+                  FROM t),
+            v AS (SELECT doc_id, clean_text,
+                    len(regexp_extract_all(clean_text, '[.!?]+'))::BIGINT
+                      AS n_sentences,
+                    list_filter([
+                      CASE WHEN contains(lower(text), 'lorem ipsum')
+                           THEN 'lorem_ipsum' END,
+                      CASE WHEN contains(text, '{') THEN 'curly_brace' END,
+                      CASE WHEN len(list_filter($duckWords,
+                             w -> w = 'zqnaughty')) > 0 THEN 'bad_words' END,
+                      CASE WHEN len(regexp_extract_all(clean_text, '[.!?]+')) < 3
+                           THEN 'too_few_sentences' END
+                    ], x -> x IS NOT NULL) AS reasons
+                  FROM c)
+            SELECT doc_id, clean_text, n_sentences,
+                   coalesce(array_to_string(reasons, '|'), '') AS reasons,
+                   (len(reasons) = 0) AS keep
+            FROM v"""
+      }),
+
+    // temperature-scaled source mixing (tau = 0.5): weights sqrt(n_s)
+    // via the IEEE sqrt-chain, the binding-source/fraction math and the
+    // ordered weight-sum fold restated verbatim (the q_mix_sources
+    // machinery with census-derived weights)
+    Q("q_temperature_mix",
+      (s, d) => Sampling.temperatureMix(
+        T(s, d, "documents"),
+        key = concat(col("doc_id").cast("string"), lit("#"), col("source")),
+        sourceCol = "source", tau = 0.5,
+        hash = TextAnalysis.fingerprint(_))._1
+        .select("doc_id", "source"),
+      Some(s"""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+                          WHERE source IS NOT NULL GROUP BY 1),
+               w AS (SELECT source, n, sqrt(n::DOUBLE) AS wt FROM c),
+               ws AS (SELECT list_reduce(list(wt ORDER BY source),
+                               (a, b) -> a + b) AS wsum FROM w),
+               b AS (SELECT source AS bsrc,
+                       n::DOUBLE / (wt / ws.wsum) AS total
+                     FROM w, ws
+                     ORDER BY n::DOUBLE / (wt / ws.wsum) ASC, source ASC
+                     LIMIT 1),
+               f AS (SELECT w.source,
+                       CASE WHEN w.source = b.bsrc THEN 1000000
+                            ELSE trunc(least(1.0,
+                              (w.wt / ws.wsum) * b.total / w.n) * 1000000)::BIGINT
+                       END AS cut
+                     FROM w, ws, b)
+               SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
+               WHERE (${duckFp("CAST(doc_id AS VARCHAR) || '#' || source")}
+                      % 1000000) < f.cut""")),
+
+    // deterministic exact-k uniform sample: hash-rank prefix as
+    // TakeOrderedAndProject; collisions at 1e6 granularity tie-break by
+    // the key string, so the boundary is total and restatable
+    Q("q_sample_exact_k",
+      (s, d) => Sampling.sampleExactK(
+        T(s, d, "documents").select("doc_id", "source"),
+        col("doc_id").cast("string"), k = 100,
+        hash = TextAnalysis.fingerprint(_)),
+      Some(s"""SELECT doc_id, source FROM documents
+               ORDER BY (${duckFp("CAST(doc_id AS VARCHAR)")} % 1000000) ASC,
+                        CAST(doc_id AS VARCHAR) ASC
+               LIMIT 100""")),
+
+    // distributed Lloyd refinement step over the full embedding corpus:
+    // assignment restated via the q_ann_ivf pivot-centroid fold parity
+    // (0-based cells), per-(cell, component) means as round-6 DECIMAL
+    // sums (order-independent, exact) divided under the cross_entropy
+    // double convention
+    Q("q_refine_centroids",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val pivots = Seq(7L, 68L, 129L, 190L, 251L, 312L, 373L, 434L)
+        val centroids = e.where(col("vec_id").isin(pivots: _*))
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Similarity.refineCentroidsDf(e, "embedding", dim = 64, centroids)
+      },
+      Some("""WITH ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS c
+                FROM ev WHERE vec_id IN (7,68,129,190,251,312,373,434)),
+              dist AS (
+                SELECT ev.vec_id, piv.j,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (ev.v[i]-piv.c[i])*(ev.v[i]-piv.c[i])), (a,b) -> a+b) AS dsq
+                FROM ev, piv),
+              ranked AS (
+                SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dsq, j) AS rn
+                FROM dist),
+              cells AS (SELECT vec_id, j - 1 AS cell FROM ranked WHERE rn = 1),
+              x AS (SELECT cl.cell, u.i::INT AS j,
+                      round(ev.v[u.i], 6)::DECIMAL(38,6) AS xr
+                    FROM cells cl JOIN ev USING (vec_id),
+                         unnest(range(1, 65)) AS u(i))
+              SELECT cell, j, round((sum(xr)::DOUBLE) / count(*), 6) AS c,
+                     count(*)::BIGINT AS n
+              FROM x GROUP BY cell, j""")),
   )
 }

@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   *  0. Unicode NFC normalization ([[TextAnalysis.normalizeNfc]]) —
   *     composes mixed-encoder variants so every later hash/shingle/
   *     equality sees canonical bytes (line structure untouched),
+  *  0.5. optional C4 cleanup ([[TextAnalysis.c4Filter]] — line rules
+  *     rewrite, page rules drop; the published pre-dedup order),
   *  1. line-level boilerplate removal ([[Dedup.dedupLines]]),
   *  2. PII redaction ([[TextAnalysis.piiRedact]]) — before quality
   *     scoring so scores reflect the text that will be trained on,
@@ -59,8 +61,27 @@ object Curation {
       * document — the right reading for HTML inputs, whose line breaks
       * are presentation, not structure. */
     stripMarkup: Boolean = false,
+    /** Apply the published C4 cleanup ([[TextAnalysis.c4Filter]])
+      * after NFC and before line dedup — the published order: line
+      * rules REWRITE the text (terminal punctuation, ≥5 words, no
+      * "javascript" lines), page rules (lorem ipsum, curly brace,
+      * bad words, <3 sentences) DROP the page. Off by default; the
+      * C4 and Gopher rule sets compose (C4 cleans lines first, the
+      * Gopher thresholds then judge the cleaned text). */
+    c4Rules: Boolean = false,
+    c4MinSentences: Int = 3,
+    c4MinLineWords: Int = 5,
+    c4BadWords: Seq[String] = Nil,
     lineDedupMinDocs: Int = 3,
     lineSep: String = "\n",
+    /** Skew guard for the line-dedup per-doc rebuild — the one per-key
+      * collect stage in this composition ([[Dedup.dedupLines]]'s
+      * contract: the cap is total exploded LINES per id, covering both
+      * a pathological giant document and a duplicated-id ingestion
+      * loop). Off by default; production ingestion should set
+      * [[HotKeys.SkewGuard.Raise]] (fail fast) or `Drop` (route
+      * degenerate ids out; recover via [[HotKeys.hotKeys]]). */
+    skewGuard: HotKeys.SkewGuard = HotKeys.SkewGuard.Off,
     redactPii: Boolean = true,
     minQuality: Double = 0.5,
     /** Apply the published Gopher rule set ([[TextAnalysis.gopherFilter]])
@@ -115,8 +136,16 @@ object Curation {
     val canonical = stripped.select(col(idCol),
       (if (cfg.nfcNormalize) TextAnalysis.normalizeNfc(col(textCol))
        else col(textCol)).as(textCol))
-    val deboiled = Dedup.dedupLines(canonical, idCol, textCol,
-      cfg.lineDedupMinDocs, cfg.lineSep)
+    val c4ed =
+      if (cfg.c4Rules)
+        TextAnalysis.c4Filter(canonical, textCol, cfg.c4MinSentences,
+            cfg.c4MinLineWords, cfg.c4BadWords, cfg.lineSep)
+          .where(col("keep"))
+          .withColumn(textCol, col("clean_text"))
+          .drop("clean_text", "n_sentences", "reasons", "keep")
+      else canonical
+    val deboiled = Dedup.dedupLines(c4ed, idCol, textCol,
+      cfg.lineDedupMinDocs, cfg.lineSep, guard = cfg.skewGuard)
     val redacted = deboiled.withColumn(textCol,
       if (cfg.redactPii) TextAnalysis.piiRedact(col(textCol)) else col(textCol))
     val scored = redacted

@@ -572,16 +572,28 @@ object Dedup {
     * membership join is conditional (left + null check), not an
     * anti-join, precisely so all-boilerplate docs keep their group. For
     * corpora where even the repeated-line set is too large to broadcast,
-    * pass `broadcastHot = false`. Returns (idCol, textCol) only. */
+    * pass `broadcastHot = false`. Returns (idCol, textCol) only.
+    *
+    * Skew guard: the per-doc rebuild is a collect_list grouped by id —
+    * the window-sort hazard class ([[HotKeys]]): a degenerate id (one
+    * pathological 10^8-line document, or the same id ingested millions
+    * of times) serializes its whole line set into a single task's
+    * buffer. `guard` applies to the EXPLODED (id, line) frame keyed by
+    * id, so the cap is total lines per id and covers both degeneracies;
+    * [[HotKeys.SkewGuard.Drop]] removes guarded ids from the OUTPUT
+    * entirely (recover them via [[HotKeys.hotKeys]] on the same exploded
+    * shape and route to a degenerate path). */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  minDocs: Int = 3, sep: String = "\n",
-                 broadcastHot: Boolean = true): DataFrame = {
+                 broadcastHot: Boolean = true,
+                 guard: HotKeys.SkewGuard = HotKeys.SkewGuard.Off): DataFrame = {
     require(minDocs >= 2,
       s"minDocs ($minDocs) < 2 would mark every line hot and blank the corpus")
     // NULL text → "" so posexplode keeps the document's group
-    val lines = df.select(col(idCol).as("id"),
+    val lines0 = df.select(col(idCol).as("id"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val lines = HotKeys.applyGuard(lines0, Seq("id"), guard, "dedupLines")
     val hot0 = lines.where(trim(col("line")) =!= "")
       .select("id", "line").distinct()
       .groupBy("line").agg(count(lit(1)).as("_docs"))

@@ -62,23 +62,110 @@ object Sampling {
                  hash: Column => Column = xxhash64(_)): (DataFrame, Map[String, Double]) = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
-    val wsum = weights.values.sum
     val counts = df.where(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(weights.keySet.subsetOf(counts.keySet),
       s"sources with zero rows: ${weights.keySet -- counts.keySet}")
+    val fractions = mixFractions(counts, weights)
+    (hashSampleByStrata(df, key, col(sourceCol), fractions,
+      defaultFraction = 0.0, hash), fractions)
+  }
+
+  /** The mixing fraction math shared by [[mixSources]] and
+    * [[temperatureMix]]: per-source keep fractions so proportions match
+    * `weights` at the largest feasible total. */
+  private def mixFractions(counts: Map[String, Long],
+                           weights: Map[String, Double]): Map[String, Double] = {
+    // sum in sorted-source order: double addition is order-dependent,
+    // and a SQL oracle restates this as an ORDER BY source fold
+    val wsum = weights.toSeq.sortBy(_._1).map(_._2).sum
     // the binding source (smallest feasible total, ties by name) is
     // pinned to fraction 1.0 EXACTLY — the divide-then-multiply float
     // round-trip can land a hair below 1.0 and silently drop rows from
     // the source the contract says is fully kept
     val binding = weights.keys.minBy(s => (counts(s) / (weights(s) / wsum), s))
     val total = counts(binding) / (weights(binding) / wsum)
-    val fractions = weights.map { case (s, w) =>
+    weights.map { case (s, w) =>
       s -> (if (s == binding) 1.0
             else math.min(1.0, (w / wsum) * total / counts(s))) }
+  }
+
+  /** Temperature-scaled source mixing — the published multilingual /
+    * multi-source pretraining mix (mC4/mT5, XLM-R, PaLM): sample
+    * probability p_s ∝ n_s^τ with τ < 1, so head sources downsample
+    * and tail sources keep more of their share (τ = 1 reproduces the
+    * natural mix, τ → 0 the uniform one). Weights derive from the
+    * per-source census and feed the same largest-feasible-total,
+    * pure-hash-membership machinery as [[mixSources]]; returns
+    * (sampled df, fractions used).
+    *
+    * Determinism contract: n^τ is computed as a binary-expansion
+    * sqrt-chain (each step an IEEE-exact `sqrt` or multiply, so any
+    * engine reproduces it bit-for-bit — the Rounding.roundAt/IEEE-sqrt
+    * discipline); τ must therefore be a dyadic rational with at most
+    * `MaxTauBits` binary digits (0.5, 0.25, 0.75, 0.625, ... — covers
+    * every published setting to well within corpus noise). */
+  def temperatureMix(df: DataFrame, key: Column, sourceCol: String,
+                     tau: Double,
+                     hash: Column => Column = xxhash64(_)): (DataFrame, Map[String, Double]) = {
+    require(tau > 0.0 && tau <= 1.0, s"tau ($tau) must be in (0, 1]")
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMix: no non-null sources")
+    val weights = counts.map { case (s, n) => s -> dyadicPow(n.toDouble, tau) }
+    val fractions = mixFractions(counts, weights)
     (hashSampleByStrata(df, key, col(sourceCol), fractions,
       defaultFraction = 0.0, hash), fractions)
+  }
+
+  private val MaxTauBits = 20
+
+  /** x^τ for dyadic τ via the binary-expansion sqrt-chain: walk τ's
+    * binary digits, taking one IEEE sqrt per position and multiplying
+    * in the positions that are set (most-significant first). Every step
+    * is correctly rounded, so the value — unlike libm `pow` — is
+    * bit-identical across JVMs, C runtimes, and SQL engines. */
+  private[graft] def dyadicPow(x: Double, tau: Double): Double = {
+    if (tau == 1.0) return x
+    var rem = tau
+    var cur = x
+    var acc = 1.0
+    var i = 0
+    while (rem > 0.0 && i < MaxTauBits) {
+      cur = math.sqrt(cur)
+      rem *= 2.0
+      if (rem >= 1.0) { acc *= cur; rem -= 1.0 }
+      i += 1
+    }
+    require(rem == 0.0,
+      s"tau must be a dyadic rational with <= $MaxTauBits binary digits " +
+        s"(0.5, 0.25, 0.75, ...) for engine-exact sqrt-chain pow")
+    acc
+  }
+
+  /** Deterministic EXACT-k uniform sample: the k corpus rows with the
+    * smallest `(pmod(hash(key), 1e6), key-as-string)` rank — "give me
+    * exactly k documents, the same k on every run, engine, and
+    * partitioning" ([[hashSample]] gives a fraction with binomial
+    * count noise; this gives a count). Keys should be unique (the
+    * string tie-break keeps the selection total either way; NULL keys
+    * sort first, drop them upstream if unwanted).
+    *
+    * Scale shape: TakeOrderedAndProject — per-task k-heaps, no global
+    * sort; only k rows ever reach one task. k must fit driver/task
+    * memory (it is the SAMPLE size — thousands, not billions); for
+    * budget-shaped cuts at corpus scale use [[sampleToBudget]]. */
+  def sampleExactK(df: DataFrame, key: Column, k: Int,
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val cols = df.columns
+    df.withColumn("_h", pmod(hash(key), lit(Denom)))
+      .withColumn("_k", key.cast("string"))
+      .orderBy(col("_h").asc, col("_k").asc)
+      .limit(k)
+      .select(cols.map(col): _*)
   }
 
   /** Reproducible train/val/test assignment: each row gets the split
@@ -165,14 +252,19 @@ object Sampling {
     * first (they join the sample before anything else — drop them
     * upstream if that is not wanted). Zero-weight docs sitting exactly
     * at the budget boundary are excluded (strict `<`). Keys must be
-    * UNIQUE: duplicate keys inside the straddling cell have no total
-    * order, so their cut would not be deterministic. */
+    * UNIQUE (including at most ONE NULL): duplicate keys inside the
+    * straddling cell have no total order, so their cut would not be
+    * deterministic. */
   def sampleToBudget(df: DataFrame, key: Column, weight: Column, budget: Long,
                      hash: Column => Column = xxhash64(_)): DataFrame = {
     require(budget >= 0, s"budget ($budget) must be >= 0")
     val cols = df.columns
+    // explicit NULL guard (assignShards discipline): xxhash64(NULL)
+    // returns the seed — NOT NULL — so relying on the hash to propagate
+    // NULL would scatter NULL keys into cell pmod(seed, Denom)
     val withH = df
-      .withColumn("_h", coalesce(pmod(hash(key), lit(Denom)), lit(-1L)))
+      .withColumn("_h", when(key.isNull, lit(-1L))
+        .otherwise(pmod(hash(key), lit(Denom))))
       .withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
       .withColumn("_k", key)
     val w = org.apache.spark.sql.expressions.Window

@@ -187,6 +187,61 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** One distributed Lloyd step over the FULL corpus — the 100-TB
+    * refinement path for [[trainCentroids]]' driver-sample seeds (a
+    * 4096-row sample places centroids well enough to bucket, but the
+    * cell means it converges to are the SAMPLE's, not the corpus's):
+    * assign every vector its nearest cell in one narrow kernel pass,
+    * then per-(cell, component) means via ONE partial-agg exchange
+    * carrying (cell, j, decimal sum, count) — ≤ k×dim rows out.
+    * Per-element contributions are rounded to 6 places and summed as
+    * DECIMAL: exact and order-independent under any shuffle or
+    * partitioning, so the refined centroids are bit-reproducible
+    * across runs/engines and oracle-checkable (the cross_entropy
+    * decimal-sum discipline). Returns (cell, j, c, n) with 1-based
+    * component j and mean c = round(sum::double / n, 6). Degenerate
+    * vectors (NULL / wrong length) never assign and are excluded;
+    * empty cells produce no rows ([[refineCentroids]] keeps their
+    * previous centroid). */
+  def refineCentroidsDf(df: DataFrame, vecCol: String, dim: Int,
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      "centroid matrix must be k x dim")
+    df.select(col(vecCol).as("v"),
+        element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+      .where(col("cell").isNotNull)
+      .select(col("cell"), posexplode(col("v")).as(Seq("_j0", "x")))
+      .groupBy(col("cell"), (col("_j0") + 1).cast("int").as("j"))
+      .agg(sum(Rounding.roundAt(col("x").cast("double"), 6)
+          .cast("decimal(38,6)")).as("_s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("j"),
+        Rounding.roundAt(col("_s").cast("double") / col("n"), 6).as("c"),
+        col("n"))
+  }
+
+  /** `iters` full-corpus Lloyd steps: each round collects the BOUNDED
+    * k×dim refinement table ([[refineCentroidsDf]]) and rebuilds the
+    * centroid literals for the next assignment pass; cells that lost
+    * every member keep their previous centroid (standard Lloyd empty-
+    * cell rule). Cost per round = one corpus scan + one bounded
+    * exchange; nothing corpus-sized ever reaches the driver. */
+  def refineCentroids(df: DataFrame, vecCol: String, dim: Int,
+                      centroids: Seq[Seq[Double]], iters: Int = 1): Seq[Seq[Double]] = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    var cur = centroids.map(_.toArray).toArray
+    (0 until iters).foreach { _ =>
+      val next = cur.map(_.clone())
+      refineCentroidsDf(df, vecCol, dim, cur.map(_.toSeq).toSeq)
+        .collect().foreach { r =>
+          next(r.getAs[Long]("cell").toInt)(r.getAs[Int]("j") - 1) =
+            r.getAs[Double]("c")
+        }
+      cur = next
+    }
+    cur.map(_.toSeq).toSeq
+  }
+
   /** The `nprobe` nearest centroid indices of a vector (ascending
     * distance, ties to the lower index), via the
     * [[graft.compile.NearestCells]] kernel. */
@@ -316,8 +371,22 @@ object Similarity {
                              seed: Long = 42L): DataFrame = {
     require(centroids.nonEmpty && centroids.forall(_.length == dim),
       "centroid matrix must be k x dim")
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    pairsFromAssignment(assignCells(df, idCol, vecCol, dim, centroids),
+      dim, threshold, maxCell, subPlanes, seed)
+  }
+
+  /** The (id, v, cell) assignment frame — ONE kernel projection that
+    * every downstream path (census, keying, exact verify) reads, so an
+    * eager caller ([[semanticDedup]]) persists exactly this frame and
+    * the nearest-cell kernel runs once per row total. */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, centroids: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+
+  private def pairsFromAssignment(assigned: DataFrame, dim: Int,
+                                  threshold: Double, maxCell: Int,
+                                  subPlanes: Int, seed: Long): DataFrame = {
     val census = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
     // hot rows only pay the sub-bucket kernel: the CaseWhen short-circuits
     val keyed = assigned.join(broadcast(census), Seq("cell"))
@@ -331,7 +400,9 @@ object Similarity {
     val pairIds = a.join(b, Seq("cell", "sub"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // verify against the SAME assignment frame (not the raw input): a
+    // persisted `assigned` then covers all three reads of the corpus
+    val vecs = assigned.select(col("id"), col("v"))
     pairIds
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -383,18 +454,24 @@ object Similarity {
     * decision, not a dedup decision.
     *
     * Same composition discipline as [[graft.ops.Dedup.dedupCorpus]]:
-    * pairs are localCheckpoint'ed (the CC iteration re-reads them each
-    * round) and the final anti-join broadcasts the loser set, so the
-    * corpus never shuffles. */
+    * the cell ASSIGNMENT is persisted for the duration of the eager
+    * pair computation (census + keying + exact verify all read it, so
+    * the nearest-cell kernel runs once per row instead of twice — the
+    * same trade dedupCorpus resolves by persisting its banding), pairs
+    * are localCheckpoint'ed (the CC iteration re-reads them each round)
+    * and the final anti-join broadcasts the loser set, so the corpus
+    * never shuffles. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     dim: Int, centroids: Seq[Seq[Double]],
                     threshold: Double,
                     maxCell: Int = Dedup.DefaultMaxBucket,
                     subPlanes: Int = 8, seed: Long = 42L,
                     maxIter: Int = 25): DataFrame = {
-    val pairs = semanticDuplicatePairs(df, idCol, vecCol, dim, centroids,
-      threshold, maxCell, subPlanes, seed)
+    val assigned = assignCells(df, idCol, vecCol, dim, centroids).persist()
+    val pairs = pairsFromAssignment(assigned, dim, threshold,
+        maxCell, subPlanes, seed)
       .select("id_a", "id_b").localCheckpoint(true)
+    assigned.unpersist(false)
     val losers = Dedup.duplicateGroups(pairs, maxIter)
       .where(col("id") =!= col("group_id"))
     df.join(losers.select(col("id").as(idCol)), Seq(idCol), "left_anti")

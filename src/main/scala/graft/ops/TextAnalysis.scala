@@ -229,7 +229,10 @@ object TextAnalysis {
   def lexicalSignals(df: org.apache.spark.sql.DataFrame,
                      textCol: String): org.apache.spark.sql.DataFrame =
     df.withColumn("_u", ngramStats(words(col(textCol)), 1))
-      .withColumn("char_entropy", charEntropy(col(textCol)))
+      // coalesce: CharEntropy is nullSafeEval (NULL text -> NULL) but
+      // ttr coalesces to 0.0 — keep the two signals' NULL conventions
+      // (and the q_lexical oracle's coalesce) in agreement
+      .withColumn("char_entropy", coalesce(charEntropy(col(textCol)), lit(0.0)))
       .withColumn("ttr", when(col("_u.total_ngrams") > 0,
         Rounding.roundAt(col("_u.distinct_ngrams").cast("double") /
           col("_u.total_ngrams"), 6)).otherwise(lit(0.0)))
@@ -300,7 +303,7 @@ object TextAnalysis {
     *  - ≥ 2 stopwords ("stopwords")
     *  - ≤ 90% of lines start with a bullet ("bullets")
     *  - ≤ 30% of lines end with an ellipsis ("ellipsis")
-    *  - symbol (#/…) to word ratio ≤ 0.1 ("symbol_ratio")
+    *  - symbol (# / "..." / …) to word ratio ≤ 0.1 ("symbol_ratio")
     *  - most frequent bigram ≤ 20% of bigram occurrences ("top_bigram")
     *
     * Every threshold compares INTEGERS (e.g. mean-word-length ∈ [3,10]
@@ -327,7 +330,11 @@ object TextAnalysis {
       l => trim(l).rlike("^[-*•]")))
     val ellipsisL = size(filter(col("_lines"),
       l => trim(l).rlike("(\\.\\.\\.|…)$")))
-    val symbols = length(regexp_replace(t, "[^#…]", ""))
+    // published rule counts '#' and the ELLIPSIS — both the one-char
+    // U+2026 form and the ASCII "..." form (which dominates web text);
+    // non-overlapping left-to-right "..." matching in both engines
+    val symbols = (length(t) - length(replace(t, lit("#"), lit("")))) +
+      regexp_count(t, lit("\\.\\.\\.|…"))
     val rules: Seq[(String, Column)] = Seq(
       "too_few_words" -> (n < minWords),
       "too_many_words" -> (n > maxWords),
@@ -347,6 +354,68 @@ object TextAnalysis {
       .withColumn("reasons", reasons)
       .withColumn("keep", size(col("reasons")) === 0)
       .drop("_w", "_bg", "_lines")
+  }
+
+  /** C4 line-level cleanup (the published C4 cleaning heuristics —
+    * Raffel et al. 2020 §2.2 — the line-rule complement to the
+    * page-level [[c4Filter]]): keep only lines that, after trimming,
+    *  - end in a terminal punctuation mark (`.` `!` `?` `"`),
+    *  - contain at least `minLineWords` (published: 5) words, and
+    *  - do not contain the word "javascript" (case-insensitive).
+    * Returns the kept lines re-joined. Pure narrow Column — zero
+    * shuffle, scan speed at any corpus size. NULL text stays NULL. */
+  def c4CleanLines(text: Column, minLineWords: Int = 5,
+                   sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(words(l)) >= minLineWords &&
+        !lower(l).rlike("\\bjavascript\\b")), sep)
+  }
+
+  /** C4 page-level filter (Raffel et al. 2020 §2.2), as per-rule
+    * verdicts in the [[gopherFilter]] shape: adds `clean_text` (the
+    * [[c4CleanLines]] rewrite), `n_sentences`, `reasons` (failed-rule
+    * tags, fixed order) and `keep`. Rules:
+    *  - "lorem_ipsum": page contains "lorem ipsum" (case-insensitive)
+    *  - "curly_brace": page contains `{` (code, not prose)
+    *  - "bad_words": any word is in `badWords` (published: the public
+    *    "List of Dirty, Naughty, Obscene..." blocklist; supply your
+    *    own — the empty default disables the rule)
+    *  - "too_few_sentences": the CLEANED page has fewer than
+    *    `minSentences` (published: 3) sentences, counted as
+    *    terminal-punctuation runs (`[.!?]+` — a "..." is one boundary)
+    * Every rule is a deterministic string predicate, so a SQL oracle
+    * restates the verdicts exactly. The word list is bound in its own
+    * projection (lambda-CSE discipline); everything is narrow, no
+    * shuffle, scan speed. */
+  def c4Filter(df: org.apache.spark.sql.DataFrame, textCol: String,
+               minSentences: Int = 3, minLineWords: Int = 5,
+               badWords: Seq[String] = Nil,
+               sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("clean_text", c4CleanLines(t, minLineWords, sep))
+      .withColumn("_w", words(t))
+    val badRule =
+      if (badWords.isEmpty) lit(false)
+      else size(filter(col("_w"),
+        w => w.isin(badWords.map(_.toLowerCase): _*))) > 0
+    val rules: Seq[(String, Column)] = Seq(
+      "lorem_ipsum" -> contains(lower(t), lit("lorem ipsum")),
+      "curly_brace" -> contains(t, lit("{")),
+      "bad_words" -> badRule,
+      "too_few_sentences" -> (col("n_sentences") < minSentences))
+    val reasons = concat(rules.map { case (tag, cond) =>
+      when(cond, array(lit(tag))).otherwise(array().cast("array<string>"))
+    }: _*)
+    staged
+      .withColumn("n_sentences",
+        coalesce(regexp_count(col("clean_text"), lit("[.!?]+")), lit(0))
+          .cast("long"))
+      .withColumn("reasons", reasons)
+      .withColumn("keep", size(col("reasons")) === 0)
+      .drop("_w")
   }
 
   /** Per-document out-of-vocabulary signals against a Bloom-encoded

@@ -1087,6 +1087,162 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
   }
 
+  test("sampleToBudget: NULL key lands in cell -1 and joins the sample first") {
+    import graft.ops.Sampling
+    // xxhash64(NULL) returns the SEED (not NULL) — the guard must not
+    // rely on hash NULL-propagation or the NULL key scatters into
+    // cell pmod(seed, 1e6) among ordinary keys
+    val df = ((1 to 50).map(i => (i.toLong, Option(s"doc$i"), 10L)) :+
+      (99L, Option.empty[String], 10L)).toDF("id", "k", "w")
+    // budget of one weight unit: only cell -1's straddling cut survives
+    val tiny = Sampling.sampleToBudget(df, col("k"), col("w"), 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == Set(99L), tiny.toString)
+    // full budget keeps everything, NULL included
+    val all = Sampling.sampleToBudget(df, col("k"), col("w"), 100000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(all.size == 51 && all.contains(99L))
+  }
+
+  test("c4CleanLines + c4Filter: each published rule fires on its planted case") {
+    val okLine = "This line has plenty of words and ends correctly."
+    val df = Seq(
+      ("good", s"$okLine\nAnother proper sentence sits right here today.\nAnd a third full sentence closes the page out."),
+      ("nopunct", s"$okLine\nthis line just trails off with no punctuation"),
+      ("short", s"$okLine\nToo short."),
+      ("js", s"$okLine\nPlease enable javascript to continue reading this."),
+      ("lorem", s"$okLine\nMore Lorem Ipsum filler text appears over here.\nAnd a third full sentence closes the page out."),
+      ("curly", s"$okLine\nA config block { nested } sits in this sentence.\nAnd a third full sentence closes the page out."),
+      ("bad", s"$okLine\nThe word zqnaughty appears right here in this one.\nAnd a third full sentence closes the page out."),
+      ("fewsent", okLine))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(df, "text", badWords = Seq("zqnaughty"))
+      .select("doc_id", "clean_text", "n_sentences", "reasons", "keep")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getSeq[String](3), r.getBoolean(4))))
+      .toMap
+    assert(out("good")._4, out("good").toString)
+    assert(out("good")._2 == 3L)
+    // line rules rewrite clean_text (page still keeps if >= 3 sentences remain)
+    assert(!out("nopunct")._1.contains("trails off"))
+    assert(!out("short")._1.contains("Too short."))
+    assert(!out("js")._1.toLowerCase.contains("javascript"))
+    // page rules
+    assert(out("lorem")._3 == Seq("lorem_ipsum"))
+    assert(out("curly")._3 == Seq("curly_brace"))
+    assert(out("bad")._3 == Seq("bad_words"))
+    assert(out("fewsent")._3 == Seq("too_few_sentences") && !out("fewsent")._4)
+    // zero-shuffle contract: pure narrow projection
+    val plan = TextAnalysis.c4Filter(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
+    val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
+    val junk = "this line just trails off with no punctuation at all"
+    val corpus = Seq(
+      (1L, s"First proper sentence stands alone right here today.\n$junk\n$body"),
+      (2L, s"Second proper sentence stands alone right here today.\nSome Lorem Ipsum filler text appears over here.\n$body"),
+      (3L, s"Third proper sentence stands alone right here today.\nAnother good middle sentence sits in this document.\n$body"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(corpus, "doc_id", "text",
+      Curation.CurationConfig(c4Rules = true, c4MinSentences = 2,
+        minQuality = 0.0, redactPii = false, lineDedupMinDocs = 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 2 dropped (lorem ipsum page rule); docs 1 and 3 survive with
+    // the junk line rewritten away
+    assert(out.keySet == Set(1L, 3L), out.keySet.toString)
+    assert(!out(1L).contains(junk), out(1L))
+    assert(out(3L).contains("Another good middle sentence"), out(3L))
+  }
+
+  test("temperatureMix: tau=1 reproduces the natural mix, tau=0.5 lifts the tail") {
+    import graft.ops.Sampling
+    val df = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (901 to 1000).map(i => (i.toLong, "tail"))).toDF("id", "src")
+    val (_, f1) = Sampling.temperatureMix(df, col("id").cast("string"), "src", tau = 1.0)
+    // natural mix: every source fully kept
+    assert(f1.values.forall(_ == 1.0), f1.toString)
+    val (sampled, f5) = Sampling.temperatureMix(df, col("id").cast("string"), "src", tau = 0.5)
+    // sqrt weighting: tail (binding) fully kept, head downsampled to
+    // n_tail * sqrt(900/100) = 300 expected
+    assert(f5("tail") == 1.0, f5.toString)
+    assert(math.abs(f5("head") - 300.0 / 900.0) < 1e-9, f5.toString)
+    val bySrc = sampled.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("tail") == 100L)
+    // hash-mod noise: binomial around 300
+    assert(bySrc("head") > 200L && bySrc("head") < 400L, bySrc.toString)
+    // dyadic guard: non-dyadic tau rejected
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, col("id").cast("string"), "src", tau = 0.3)
+    }
+    // sqrt-chain: exact IEEE identities
+    assert(Sampling.dyadicPow(16.0, 0.5) == 4.0)
+    assert(Sampling.dyadicPow(16.0, 0.25) == 2.0)
+    assert(Sampling.dyadicPow(16.0, 0.75) == 8.0)
+  }
+
+  test("sampleExactK: exact count, nested across k, TakeOrdered plan") {
+    import graft.ops.Sampling
+    val df = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("id", "k")
+    val s50 = Sampling.sampleExactK(df, col("k"), 50).collect().map(_.getLong(0)).toSet
+    val s200 = Sampling.sampleExactK(df, col("k"), 200).collect().map(_.getLong(0)).toSet
+    assert(s50.size == 50 && s200.size == 200)
+    assert(s50.subsetOf(s200))
+    // brute-force parity
+    val expect = df.withColumn("_h", pmod(xxhash64(col("k")), lit(1000000L)))
+      .collect().map(r => (r.getLong(2), r.getString(1), r.getLong(0)))
+      .sortBy(t => (t._1, t._2)).take(50).map(_._3).toSet
+    assert(s50 == expect)
+    val plan = Sampling.sampleExactK(df, col("k"), 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("refineCentroids: one Lloyd step lands on exact cluster means; empty cell kept") {
+    import graft.ops.Similarity
+    // two tight clusters in 4-d around (0,...) and (10,...), plus one
+    // far-off centroid that captures nothing
+    val vecs = (Seq.tabulate(6)(i => (i.toLong, Array(0.0f + i * 0.1f, 0f, 0f, 0f))) ++
+      Seq.tabulate(4)(i => (100L + i, Array(10.0f + i * 0.1f, 10f, 10f, 10f))))
+      .map { case (id, a) => (id, a.toSeq) }
+    val df = vecs.toDF("id", "v")
+    val seeds = Seq(Seq(0.2, 0.0, 0.0, 0.0), Seq(10.2, 10.0, 10.0, 10.0),
+      Seq(-99.0, -99.0, -99.0, -99.0))
+    val refined = Similarity.refineCentroids(df, "v", 4, seeds)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // cluster 0 mean of first component: (0.0+0.1+...+0.5)/6 with
+    // float->double round-6 contributions
+    val exp0 = r6((0 until 6).map(i => r6((i * 0.1f).toDouble)).sum / 6)
+    val exp1 = r6((0 until 4).map(i => r6((10.0f + i * 0.1f).toDouble)).sum / 4)
+    assert(math.abs(refined(0)(0) - exp0) < 1e-9, refined(0).toString)
+    assert(refined(0)(1) == 0.0)
+    assert(math.abs(refined(1)(0) - exp1) < 1e-9, refined(1).toString)
+    assert(refined(1)(1) == 10.0)
+    // the empty cell keeps its seed
+    assert(refined(2) == seeds(2))
+    // refinement table: one bounded exchange shape, decimal-sum aggregate
+    val planned = Similarity.refineCentroidsDf(df, "v", 4, seeds)
+    assert(planned.columns.toSeq == Seq("cell", "j", "c", "n"))
+  }
+
+  test("gopherFilter: ASCII three-dot ellipses count as symbols") {
+    // 60 words + 12 "..." runs -> 10*12 > 60 fires; the U+2026 form and
+    // '#' still count; six dots = two non-overlapping matches
+    val df = Seq(
+      ("ascii", (1 to 60).map(i => s"w$i").mkString(" ") + " ..." * 12),
+      ("clean", (1 to 60).map(i => s"w$i the and".trim).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "text", minWords = 10)
+      .select("doc_id", "reasons")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("ascii").contains("symbol_ratio"), out("ascii").toString)
+    assert(!out("clean").contains("symbol_ratio"), out("clean").toString)
+  }
+
   test("gopherFilter: each rule fires on its planted violator") {
     val good = ("good", (("the quick brown fox jumps over the lazy dog and " * 8) +
       "some more plain sensible readable text here with the usual words ").trim)
@@ -1608,6 +1764,63 @@ class OpsSpec extends SparkSpec {
     val plan = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dedupLines skew guard: degenerate id dropped/raised, cool docs unchanged") {
+    import graft.ops.HotKeys.SkewGuard
+    // one pathological 50k-line document among three normal ones
+    val giant = spark.range(50000L)
+      .agg(concat_ws("\n", collect_list(concat(lit("spam line "), col("id"))))
+        .as("text"))
+      .select(lit(999L).as("doc_id"), col("text"))
+    val cool = Seq(
+      (1L, "unique one\nBOILER\nkeep"),
+      (2L, "BOILER\nown line"),
+      (3L, "third doc\nBOILER")).toDF("doc_id", "text")
+    val corpus = cool.unionByName(giant)
+    val unguarded = Dedup.dedupLines(cool, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dropped = Dedup.dedupLines(corpus, "doc_id", "text", minDocs = 3,
+      guard = SkewGuard.Drop(10000L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the degenerate id vanishes from the OUTPUT; cool results identical
+    assert(dropped.keySet == Set(1L, 2L, 3L), dropped.keySet.toString)
+    assert(dropped == unguarded, dropped.toString)
+    val ex = intercept[IllegalStateException] {
+      Dedup.dedupLines(corpus, "doc_id", "text", minDocs = 3,
+        guard = SkewGuard.Raise(10000L))
+    }
+    assert(ex.getMessage.contains("dedupLines"), ex.getMessage)
+    // the dropped id is recoverable via the public routing surface
+    val hot = HotKeys.hotKeys(
+      corpus.select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line")),
+      Seq("doc_id"), 10000L).collect()
+    assert(hot.map(_.getLong(0)).toSeq == Seq(999L))
+  }
+
+  test("curate: skewGuard routes a degenerate source id out of the line rebuild") {
+    import graft.ops.HotKeys.SkewGuard
+    val body = (1 to 60).map(i => s"word$i").mkString(" ")
+    val giant = spark.range(50000L)
+      .agg(concat_ws("\n", collect_list(concat(lit("crawler loop line "), col("id"))))
+        .as("text"))
+      .select(lit(999L).as("doc_id"), col("text"))
+    val corpus = Seq(
+      (1L, s"$body\nCOOKIE BANNER"),
+      (2L, s"$body other tail\nCOOKIE BANNER"),
+      (3L, s"$body third tail\nCOOKIE BANNER"))
+      .toDF("doc_id", "text").unionByName(giant)
+    val out = Curation.curate(corpus, "doc_id", "text",
+      Curation.CurationConfig(lineDedupMinDocs = 3,
+        skewGuard = SkewGuard.Drop(10000L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L), out.toString)
+    intercept[IllegalStateException] {
+      Curation.curate(corpus, "doc_id", "text",
+        Curation.CurationConfig(lineDedupMinDocs = 3,
+          skewGuard = SkewGuard.Raise(10000L)))
+    }
   }
 
   test("tfidf: hand-computed scores, rare terms outweigh common ones") {
