@@ -2718,5 +2718,22 @@ object OpsQueries {
               SELECT cell, j, round((sum(xr)::DOUBLE) / count(*), 6) AS c,
                      count(*)::BIGINT AS n
               FROM x GROUP BY cell, j""")),
+
+    // cross-batch exact dedup via a Bloom index of the ingested corpus
+    // (the Dolma-style zero-join shape): docs 0..249 are "yesterday's"
+    // corpus; the probe drops any doc whose text is indexed. fpp 1e-8
+    // makes the oracle's exact NOT EXISTS restatement hold (the
+    // q_oov_rate precedent); no false negatives by construction
+    Q("q_dedup_bloom_cross",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val index = Dedup.buildExactIndex(
+          docs.where(col("doc_id") < 250), col("text"), 10000L, 1e-8)
+        Dedup.dropSeenExact(docs, col("text"), index).select("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents d
+              WHERE NOT EXISTS (
+                SELECT 1 FROM documents r
+                WHERE r.doc_id < 250 AND r.text = d.text)""")),
   )
 }

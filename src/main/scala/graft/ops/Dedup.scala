@@ -53,6 +53,37 @@ object Dedup {
       .agg(count(lit(1)).as("occurrences"))
       .where(col("occurrences") > 1)
 
+  /** Build a Bloom EXACT-dedup index over a corpus's `key` values — the
+    * published at-scale incremental exact-dedup shape (Dolma-style Bloom
+    * dedup): an already-ingested corpus reduces to a fixed bit array
+    * (GBs for billions of keys) that every future batch probes with
+    * ZERO joins and zero shuffles of either side. Size `expectedItems`
+    * to the corpus cardinality; persist/version the blob beside the
+    * corpus (e.g. via [[graft.pipeline.IndexStore]] blob round-trip)
+    * and OR-merge shards for corpora past one filter's capacity.
+    *
+    * Contract: NO false negatives — a true duplicate of an indexed key
+    * is always caught; a false positive erroneously drops a NEW doc at
+    * ≈ `fpp` (1e-8 ⇒ a handful per billion — curation noise, and the
+    * gate oracle's exact-membership restatement holds at that rate). */
+  def buildExactIndex(df: DataFrame, key: Column,
+                      expectedItems: Long, fpp: Double = 1e-8): Array[Byte] =
+    df.agg(graft.sketch.BloomFunctions.bloom_agg(key, expectedItems, fpp).as("b"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Drop rows whose `key` is (possibly) in a [[buildExactIndex]] blob:
+    * the probe side of cross-batch exact dedup. Pure narrow filter —
+    * the index rides the plan as a blob literal (deserialized once per
+    * executor), so this runs at scan speed on a 100-TB batch and is
+    * directly usable under Structured Streaming. */
+  def dropSeenExact(df: DataFrame, key: Column, index: Array[Byte]): DataFrame = {
+    graft.sketch.BloomSketch.deserialize(index) // validate geometry early
+    // NULL keys never index and never drop (a NULL probe would NULL the
+    // predicate and silently discard the row)
+    df.where(key.isNull ||
+      !graft.sketch.BloomFunctions.bloom_contains(lit(index), key))
+  }
+
   /** Canonical-row selection: one surviving row per duplicate group, the
     * minimum of `order` (make it total — e.g. include the id — or the
     * survivor is tie-arbitrary). Implemented as a `min_by` hash aggregate,

@@ -1139,6 +1139,26 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bloom exact-dedup index: no false negatives, NULL keys kept, zero-join plan") {
+    val seen = (1 to 300).map(i => (i.toLong, s"doc text number $i")).toDF("id", "text")
+    val index = Dedup.buildExactIndex(seen, col("text"), 10000L, 1e-8)
+    val batch = ((200 to 400).map(i => (i.toLong, Option(s"doc text number $i"))) :+
+      (999L, Option.empty[String])).toDF("id", "text")
+    val kept = Dedup.dropSeenExact(batch, col("text"), index)
+      .collect().map(_.getLong(0)).toSet
+    // every indexed text dropped (no false negatives); fresh texts and
+    // the NULL-text row survive
+    assert(kept == ((301 to 400).map(_.toLong).toSet + 999L), kept.toString)
+    // the probe is a pure filter: no join, no shuffle
+    val plan = Dedup.dropSeenExact(batch, col("text"), index)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    // a corrupt blob fails fast
+    intercept[IllegalArgumentException] {
+      Dedup.dropSeenExact(batch, col("text"), Array[Byte](1, 2, 3))
+    }
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
