@@ -40,28 +40,35 @@ object ErrPathDiag {
     df.select(compiled.valid.as("v")).where(!col("v")).count()
     df.select(size(errCol).as("n")).agg(sum("n")).head()
 
-    def draws(tag: String)(f: => Unit): Unit = {
-      val ts = (0 until iters).map(_ => BenchCore.time(f)._2)
-      println(f"[errdiag] $tag%-12s best=${ts.min}%.3f s median=${ts.sorted.apply(ts.size / 2)}%.3f s all=${ts.map(t => f"$t%.3f").mkString(",")}")
-    }
+    // INTERLEAVED draws (the ScalingBench alternating discipline): on a
+    // steal-prone host only the within-round ratio is trustworthy —
+    // consecutive jobs share the same weather. Report per-round ratios
+    // and the ratio at the fastest round.
     println(BenchCore.probeJson("probe_start", cpus))
-    draws("fastpath") {
-      df.select(compiled.valid.as("v")).where(!col("v")).count()
+    val rounds = (0 until iters).map { i =>
+      val (_, tf) = BenchCore.time(
+        df.select(compiled.valid.as("v")).where(!col("v")).count())
+      val (_, te) = BenchCore.time(
+        df.select(size(errCol).as("n")).agg(sum("n")).head())
+      val (_, tg) = BenchCore.time(
+        df.select(size(gateOnly).as("n")).agg(sum("n")).head())
+      println(f"[errdiag] round=$i fastpath=$tf%.3f errors=$te%.3f gate_only=$tg%.3f err/fast=${te / tf}%.2f gate/fast=${tg / tf}%.2f")
+      (tf, te, tg)
     }
-    draws("errors") {
-      df.select(size(errCol).as("n")).agg(sum("n")).head()
-    }
-    draws("gate_only") {
-      df.select(size(gateOnly).as("n")).agg(sum("n")).head()
-    }
-    draws("where_valid") {
-      df.select(compiled.valid.as("v")).where(col("v")).count()
-    }
+    val bestRound = rounds.minBy(r => r._1 + r._2)
+    println(f"[errdiag] BEST round: fastpath=${bestRound._1}%.3f errors=${bestRound._2}%.3f ratio=${bestRound._2 / bestRound._1}%.2f")
+    println(f"[errdiag] min fastpath=${rounds.map(_._1).min}%.3f min errors=${rounds.map(_._2).min}%.3f best-of ratio=${rounds.map(_._2).min / rounds.map(_._1).min}%.2f")
     println(BenchCore.probeJson("probe_end", cpus))
 
-    println("=== errors projection, executed plan ===")
-    println(df.select(size(errCol).as("n")).agg(sum("n"))
-      .queryExecution.executedPlan.toString.take(8000))
+    def spans(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+      val p = d.queryExecution.executedPlan.toString
+      println(s"=== $tag: operator/codegen spans ===")
+      p.linesIterator.map(_.take(110)).take(25).foreach(println)
+    }
+    spans("fastpath", df.select(compiled.valid.as("v")).where(!col("v"))
+      .groupBy().count())
+    spans("errors", df.select(size(errCol).as("n")).agg(sum("n")))
+    spans("gate_only", df.select(size(gateOnly).as("n")).agg(sum("n")))
     spark.stop()
   }
 }

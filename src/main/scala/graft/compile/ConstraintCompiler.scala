@@ -136,11 +136,55 @@ object ConstraintCompiler {
   final case class Compiled(valid: Column, errors: Column, greedyErrors: Column)
 
   /** Compile a constraint spec against a row schema. The resulting columns
-    * reference the input columns by name. */
+    * reference the input columns by name.
+    *
+    * Column pruning: the fused error kernel takes the row as ONE struct,
+    * which would otherwise force the scan to read every column whether
+    * or not the spec constrains it (the v1 Column tree prunes naturally —
+    * Catalyst simplifies struct(...).field back to the column). When the
+    * top-level spec uses only per-property keywords (type / properties /
+    * required and message/doc keys — no patternProperties, no
+    * additionalProperties, no property counting, no enum-of-the-row, no
+    * combinators), verdicts depend only on the referenced fields, so the
+    * kernel's input struct is narrowed to them and `ReadSchema` stays as
+    * small as the fast path's. Anything fancier keeps the full row. */
   def compile(spec: JValue, rowSchema: StructType,
               opts: ValidatorOptions = ValidatorOptions()): Compiled = {
-    val rowCol = struct(rowSchema.fieldNames.map(n => col(quoted(n)).as(n)).toSeq: _*)
-    compileForValue(spec, rowCol, rowSchema, opts)
+    val schema = prunableFields(spec) match {
+      case Some(names) if names.nonEmpty && rowSchema.fields.exists(
+          f => !names.contains(f.name)) =>
+        StructType(rowSchema.fields.filter(f => names.contains(f.name)))
+      case _ => rowSchema
+    }
+    val rowCol = struct(schema.fieldNames.map(n => col(quoted(n)).as(n)).toSeq: _*)
+    compileForValue(spec, rowCol, schema, opts)
+  }
+
+  /** The set of top-level fields a spec's verdict can depend on, when
+    * that set is statically knowable — None when any keyword may touch
+    * unreferenced fields (patternProperties, additionalProperties,
+    * min/maxProperties, enum, dependencies, combinators, $ref, ...). */
+  private def prunableFields(spec: JValue): Option[Set[String]] = spec match {
+    case o: JObj =>
+      val inert = Set("type", "properties", "required",
+        "title", "description", "invalidMessage", "requiredMessage", "messages")
+      if (!o.keys.forall(inert.contains)) None
+      else {
+        val types = o.get("type") match {
+          case Some(JStr(t))  => Seq(t)
+          case Some(JArr(ts)) => ts.collect { case JStr(t) => t }
+          case _              => Seq("object")
+        }
+        // a non-object type admission makes the row-level type check the
+        // only possible failure — still per-property-free, prune to the
+        // referenced names (possibly all of properties/required)
+        if (!types.contains("object") && types.nonEmpty) None
+        else Some(
+          o.obj("properties").map(_.keys.toSet).getOrElse(Set.empty) ++
+          o.arr("required").map(_.collect { case JStr(n) => n }.toSet)
+            .getOrElse(Set.empty))
+      }
+    case _ => None
   }
 
   /** Compile against an arbitrary value column of a known type. */

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cross-batch exact dedup: Bloom probe drops seen keys statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    // "yesterday's corpus": doc ids d0..d49 already ingested
+    val seen = spark.range(50).select(concat(lit("d"), col("id")).as("k"))
+    val index = graft.ops.Dedup.buildExactIndex(seen, col("k"), 1000L, 1e-9)
+    val source = MemoryStream[Ev]
+    val q = graft.ops.Dedup.dropSeenExact(source.toDF(), col("doc_id"), index)
+      .writeStream.format("memory").queryName("sv_dedup").outputMode("append").start()
+    try {
+      source.addData((0 until 80).map(i =>
+        Ev(s"d$i", i, Timestamp.valueOf("2026-01-01 00:00:10"))): _*)
+      q.processAllAvailable()
+      val kept = spark.table("sv_dedup").select("doc_id")
+        .collect().map(_.getString(0)).toSet
+      assert(kept == (50 until 80).map(i => s"d$i").toSet, kept.toString)
+    } finally q.stop()
+  }
+
   test("streaming violations: stateless validate over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
