@@ -2724,6 +2724,72 @@ object OpsQueries {
     // corpus; the probe drops any doc whose text is indexed. fpp 1e-8
     // makes the oracle's exact NOT EXISTS restatement hold (the
     // q_oov_rate precedent); no false negatives by construction
+    // winnowing fingerprints (MOSS): k=3-gram hashes, w=4 windows,
+    // rightmost-tie minima — the gram hash, window fold (list_reduce
+    // seeds with the first element ≡ folding from +inf), distinct
+    // selection and explode restated verbatim
+    Q("q_winnow",
+      (s, d) => Dedup.winnowFingerprints(
+        T(s, d, "documents"), "doc_id", "text", k = 3, w = 4),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+               g AS (SELECT doc_id,
+                       list_transform(range(0, greatest(len(w) - 2, 0)),
+                         i -> ${duckFp("array_to_string(w[i+1:i+3], ' ')")}) AS g
+                     FROM w),
+               s AS (SELECT doc_id, g, len(g) AS n FROM g WHERE len(g) >= 1),
+               sel AS (SELECT doc_id,
+                         -- (h, p) packed into one BIGINT (h < 2^31, so
+                         -- h*2^32 + p is exact): DuckDB's list_distinct
+                         -- cannot hash STRUCT elements
+                         list_distinct(list_transform(
+                           range(0, greatest(n - 4, 0) + 1),
+                           j -> list_reduce(
+                             list_transform(range(j, least(j + 4, n)),
+                               i -> g[i+1] * 4294967296 + i),
+                             (a, b) -> CASE WHEN b // 4294967296 <= a // 4294967296
+                                            THEN b ELSE a END))) AS sels
+                       FROM s),
+               u AS (SELECT doc_id, unnest(sels) AS sl FROM sel)
+               SELECT doc_id, (sl % 4294967296)::INT AS pos,
+                      sl // 4294967296 AS fp FROM u""")),
+
+    // typed PII span extraction over the q_pii planted corpus: per-kind
+    // regexp_extract_all with 0-based occurrence index, stacked
+    Q("q_pii_spans",
+      (s, d) => {
+        val id = col("doc_id")
+        val suffix = when(pmod(id, lit(3)) === 0,
+            concat(lit(" reach u"), id, lit("@ex"), pmod(id, lit(7)),
+              lit(".com from 10."), pmod(id, lit(256)), lit(".0."), pmod(id, lit(100))))
+          .when(pmod(id, lit(3)) === 1,
+            concat(lit(" call 555-01"), pmod(id, lit(10)), lit("-"),
+              lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))
+        TextAnalysis.piiSpans(
+          T(s, d, "documents").select(id, concat(col("text"), suffix).as("text")),
+          "doc_id", "text")
+      },
+      Some {
+        val kinds = TextAnalysis.piiPatterns.map { case (name, pat) =>
+          s"""SELECT doc_id, '$name' AS kind,
+                regexp_extract_all(text, '$pat') AS ms FROM t"""
+        }.mkString("\n              UNION ALL\n              ")
+        s"""WITH t AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0
+                       THEN ' reach u' || doc_id || '@ex' || (doc_id % 7) ||
+                            '.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                     WHEN doc_id % 3 = 1
+                       THEN ' call 555-01' || (doc_id % 10) || '-' ||
+                            lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END AS text
+              FROM documents),
+            k AS ($kinds)
+            SELECT doc_id, kind, (i - 1)::INT AS match_idx, ms[i] AS span
+            FROM k, unnest(range(1, len(ms) + 1)) AS r(i)
+            WHERE len(ms) > 0"""
+      }),
+
     Q("q_dedup_bloom_cross",
       (s, d) => {
         val docs = T(s, d, "documents")

@@ -53,6 +53,57 @@ object Dedup {
       .agg(count(lit(1)).as("occurrences"))
       .where(col("occurrences") > 1)
 
+  /** Winnowing document fingerprints (the published MOSS local
+    * fingerprinting algorithm — Schleimer, Wilkerson & Aiken 2003):
+    * hash every word k-gram with the portable polynomial fingerprint,
+    * slide a window of `w` consecutive hashes, select each window's
+    * MINIMUM (ties to the RIGHTMOST position — the paper's rule, which
+    * makes selections agree across documents), and keep the distinct
+    * selections. Output: one (idCol, pos, fp) row per selected
+    * fingerprint, pos = 0-based k-gram position.
+    *
+    * Guarantee (the algorithm's theorem): two documents sharing any run
+    * of at least w+k-1 words share at least one SELECTED fingerprint —
+    * so one fingerprint-keyed equi-join finds every sufficiently long
+    * overlap, at expected density 2/(w+1) of the full positional w-gram
+    * frame ([[duplicateSpans]] is the exhaustive variant; winnowing is
+    * the bandwidth-bounded one for corpus-scale plagiarism/overlap
+    * scans). Documents with fewer than w windows winnow a single window
+    * over all their grams; docs with no k-gram produce no rows.
+    *
+    * Scale shape: selection is one narrow pass (tokenize → hash grams →
+    * window minima, all HOFs over a bound array — no shuffle); only the
+    * selected (id, pos, fp) rows — ~2/(w+1) of the grams — ever leave
+    * the row. Downstream joins carry (fp, id) only. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(w >= 1, s"w ($w) must be >= 1")
+    val staged = df
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("_ws"))
+      .withColumn("_n", greatest(size(col("_ws")) - (k - 1), lit(0)))
+      // gram hashes, bound once (lambda-CSE discipline)
+      .withColumn("_g", when(col("_n") >= 1,
+        transform(sequence(lit(0), col("_n") - 1),
+          i => TextAnalysis.fingerprint(
+            concat_ws(" ", slice(col("_ws"), i + 1, lit(k)))))))
+    // window j covers gram indices [j, min(j+w, n)); rightmost-tie argmin
+    val win = transform(
+      sequence(lit(0), greatest(col("_n") - w, lit(0))),
+      j => aggregate(
+        sequence(j, least(j + w, col("_n")) - 1),
+        struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
+        (acc, i) => {
+          val h = element_at(col("_g"), i + 1)
+          when(h <= acc.getField("h"),
+            struct(h.as("h"), i.as("p"))).otherwise(acc)
+        }))
+    staged
+      .where(col("_n") >= 1)
+      .select(col(idCol), explode(array_distinct(win)).as("_s"))
+      .select(col(idCol), col("_s.p").as("pos"), col("_s.h").as("fp"))
+  }
+
   /** Build a Bloom EXACT-dedup index over a corpus's `key` values — the
     * published at-scale incremental exact-dedup shape (Dolma-style Bloom
     * dedup): an already-ingested corpus reduces to a fixed bit array

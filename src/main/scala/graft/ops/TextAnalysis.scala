@@ -137,6 +137,26 @@ object TextAnalysis {
       regexp_count(text, lit(pat)).as(name)
     }: _*)
 
+  /** Typed PII span extraction — the audit companion to [[piiRedact]]:
+    * one (idCol, kind, match_idx, span) row per PII match, `kind` from
+    * [[piiPatterns]], `match_idx` the 0-based occurrence index within
+    * (doc, kind) in left-to-right scan order, `span` the matched text.
+    * Redaction pipelines log these rows (or their counts) as the
+    * removal manifest; reviews sample them. Pure narrow explode — per
+    * kind one regexp_extract_all pass, union stacked column-wise (no
+    * shuffle); docs with no matches produce no rows. */
+  def piiSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String): org.apache.spark.sql.DataFrame = {
+    val perKind = piiPatterns.map { case (name, pat) =>
+      df.select(col(idCol),
+          regexp_extract_all(col(textCol), lit(pat), lit(0)).as("_m"))
+        .where(size(col("_m")) > 0)
+        .select(col(idCol), lit(name).as("kind"),
+          posexplode(col("_m")).as(Seq("match_idx", "span")))
+    }
+    perKind.reduce(_.unionByName(_))
+  }
+
   /** Redact PII in place: each match replaced by an upper-case type tag
     * (`[EMAIL]`…). Tags contain no digits or dots, so later patterns
     * cannot re-match inside an earlier redaction. */

@@ -1139,6 +1139,58 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnowFingerprints: hand-checked selection, overlap guarantee, density, edges") {
+    // hand-checkable doc: words a b c d e f g h -> 6 3-grams, w=4 windows
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // brute-force replica of the algorithm on the same hash
+    def fp(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L)
+    val words = "a b c d e f g h".split(" ")
+    val grams = (0 to 5).map(i => fp(words.slice(i, i + 3).mkString(" ")))
+    val sel = (0 to 2).map { j =>
+      (j until j + 4).foldLeft((Long.MaxValue, -1)) { case ((h, p), i) =>
+        if (grams(i) <= h) (grams(i), i) else (h, p) }
+    }.map { case (h, p) => (p, h) }.distinct.sortBy(_._1)
+    assert(got.toSeq == sel, s"got=${got.toSeq} want=$sel")
+    // guarantee: docs sharing a run of >= w+k-1 = 6 words share a fingerprint
+    val pair = Seq(
+      (1L, "x y z shared run of six words exactly here p q"),
+      (2L, "m n shared run of six words exactly here r s t")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(pair, "doc_id", "text", k = 3, w = 4)
+    val shared = fps.where(col("doc_id") === 1).select("fp").intersect(
+      fps.where(col("doc_id") === 2).select("fp")).count()
+    assert(shared >= 1)
+    // density: selections are a strict subset of gram positions on prose
+    val long = Seq((1L, (1 to 200).map(i => s"w${i % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nSel = Dedup.winnowFingerprints(long, "doc_id", "text", k = 3, w = 4).count()
+    assert(nSel < 198 && nSel >= 198 / 4, nSel.toString) // ~2/(w+1) of 198 grams
+    // edges: short doc (fewer grams than w) winnows one window; empty/null none
+    val shortDoc = Seq((1L, "a b c d"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val se = Dedup.winnowFingerprints(shortDoc, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0))
+    assert(se.toSeq == Seq(1L), se.toSeq.toString)
+    // narrow plan: no shuffle before the output
+    val plan = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("piiSpans: typed spans with in-doc occurrence order") {
+    val df = Seq(
+      (1L, "mail a@b.co then c@d.org call 555-123-4567 from 10.0.0.1"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiSpans(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "email", 0, "a@b.co"), (1L, "email", 1, "c@d.org"),
+      (1L, "phone", 0, "555-123-4567"), (1L, "ipv4", 0, "10.0.0.1")), got.toString)
+  }
+
   test("bloom exact-dedup index: no false negatives, NULL keys kept, zero-join plan") {
     val seen = (1 to 300).map(i => (i.toLong, s"doc text number $i")).toDF("id", "text")
     val index = Dedup.buildExactIndex(seen, col("text"), 10000L, 1e-8)
