@@ -175,9 +175,9 @@ object ConstraintCompiler {
           case Some(JArr(ts)) => ts.collect { case JStr(t) => t }
           case _              => Seq("object")
         }
-        // a non-object type admission makes the row-level type check the
-        // only possible failure — still per-property-free, prune to the
-        // referenced names (possibly all of properties/required)
+        // a non-object type admission means the row-level type check can
+        // fail on its own — conservatively keep the full row (no pruning)
+        // rather than reason about which fields the verdict touches
         if (!types.contains("object") && types.nonEmpty) None
         else Some(
           o.obj("properties").map(_.keys.toSet).getOrElse(Set.empty) ++

@@ -1702,7 +1702,10 @@ object OpsQueries {
     //    worst case is raw + 5 B/64 KiB block + 11 B header),
     //  - doubling_compresses: ratio(text||text) < ratio(text) — the
     //    second copy sits inside the 32 KiB LZ77 window, so long-range
-    //    repetition MUST compress (the signal's entire point),
+    //    repetition MUST compress (the signal's entire point). The
+    //    invariant is window-bounded: past 32768 chars the second copy
+    //    cannot back-reference the first, so the gate (and oracle)
+    //    filter to docs that fit the window (r5 advice),
     //  - deterministic: two separate kernel invocations agree (the
     //    concat(text,'') spelling defeats subexpression elimination)
     Q("q_compression",
@@ -1712,7 +1715,7 @@ object OpsQueries {
         val rTwice = TextAnalysis.compressionRatio(concat(t, t))
         val rAgain = TextAnalysis.compressionRatio(concat(t, lit("")))
         T(s, d, "documents")
-          .where(length(t) >= 64)
+          .where(length(t) >= 64 && length(t) <= 32768)
           .select(col("doc_id"),
             (r > 0.0 && r <= 1.5).as("in_range"),
             (rTwice < r).as("doubling_compresses"),
@@ -1720,7 +1723,8 @@ object OpsQueries {
       },
       Some("""SELECT doc_id, true AS in_range, true AS doubling_compresses,
                      true AS deterministic
-              FROM documents WHERE length(coalesce(text, '')) >= 64""")),
+              FROM documents
+              WHERE length(coalesce(text, '')) BETWEEN 64 AND 32768""")),
 
     // Gopher quality-filter rule set: every threshold is an INTEGER
     // comparison (mean-word-length ∈ [3,10] is 3n ≤ Σlen ≤ 10n, etc.),
@@ -2752,6 +2756,57 @@ object OpsQueries {
                u AS (SELECT doc_id, unnest(sels) AS sl FROM sel)
                SELECT doc_id, (sl % 4294967296)::INT AS pos,
                       sl // 4294967296 AS fp FROM u""")),
+
+    // winnowing overlap pairs (the MOSS consumer of q_winnow's
+    // selections): corpus ∪ prefixed copies (ids +1e6) plants pairs
+    // whose shared run is everything past the perturbed prefix; the
+    // oracle restates selection (q_winnow's packed-struct argmin) +
+    // distinct-fp sets + the fingerprint-keyed pair join + coverage.
+    // Coverage divisions are exact-int / exact-int in IEEE double —
+    // bit-identical across engines
+    Q("q_winnow_pairs",
+      (s, d) => {
+        val base = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val copies = base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("zz"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(" "), coalesce(col("text"), lit(""))).as("text"))
+        Dedup.winnowOverlaps(base.unionByName(copies), "doc_id", "text",
+          k = 3, w = 4, minShared = 2)
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id,
+                        'zz' || (doc_id % 5) || ' ' || coalesce(text, '') AS text
+                 FROM documents),
+               w AS (SELECT doc_id, ${duckWordsOf("text")} AS w FROM t),
+               g AS (SELECT doc_id,
+                       list_transform(range(0, greatest(len(w) - 2, 0)),
+                         i -> ${duckFp("array_to_string(w[i+1:i+3], ' ')")}) AS g
+                     FROM w),
+               s AS (SELECT doc_id, g, len(g) AS n FROM g WHERE len(g) >= 1),
+               sel AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           range(0, greatest(n - 4, 0) + 1),
+                           j -> list_reduce(
+                             list_transform(range(j, least(j + 4, n)),
+                               i -> g[i+1] * 4294967296 + i),
+                             (a, b) -> CASE WHEN b // 4294967296 <= a // 4294967296
+                                            THEN b ELSE a END))) AS sels
+                       FROM s),
+               f AS (SELECT DISTINCT doc_id, sl // 4294967296 AS fp
+                     FROM (SELECT doc_id, unnest(sels) AS sl FROM sel)),
+               n AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+               p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            count(*) AS shared_fps
+                     FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2 HAVING count(*) >= 2)
+               SELECT p.id_a, p.id_b, p.shared_fps,
+                      p.shared_fps::DOUBLE / na.n AS coverage_a,
+                      p.shared_fps::DOUBLE / nb.n AS coverage_b
+               FROM p JOIN n na ON p.id_a = na.doc_id
+                      JOIN n nb ON p.id_b = nb.doc_id""")),
 
     // typed PII span extraction over the q_pii planted corpus: per-kind
     // regexp_extract_all with 0-based occurrence index, stacked

@@ -118,6 +118,14 @@ object Curation {
     crossShingleId: Column => Column = Dedup.xxhashShingleId,
     decontaminateAgainst: Option[(DataFrame, String)] = None,
     decontaminateMinMatches: Int = 8,
+    /** Broadcast the cross-dedup / decontamination drop-id sets into
+      * their anti-joins (the [[Dedup.dedupLines]] `broadcastHot`
+      * discipline). True is right when the overlap is a sliver of the
+      * corpus; set FALSE when a batch can overlap the reference corpus
+      * heavily (a re-crawl: 30–50% overlap → billions of drop ids), so
+      * the anti-join plans as a shuffle join (AQE picks the strategy)
+      * instead of force-broadcasting an unbounded set. */
+    broadcastDrops: Boolean = true,
     nfcNormalize: Boolean = true,
     splits: Seq[(String, Double)] = Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
     splitHash: Column => Column = xxhash64(_))
@@ -193,18 +201,20 @@ object Curation {
         val hits = Dedup.crossCorpusDuplicates(cached, ref, idCol, textCol,
           cfg.nearDedupThreshold, cfg.crossShingleN, cfg.crossBands,
           cfg.crossRowsPerBand, shingleId = cfg.crossShingleId)
-        val dropIds = hits.select(col("new_id").as(idCol)).distinct()
+        val dropIds0 = hits.select(col("new_id").as(idCol)).distinct()
           .localCheckpoint(true)
         cached.unpersist(false)
-        nearDeduped.join(broadcast(dropIds), Seq(idCol), "left_anti")
+        val dropIds = if (cfg.broadcastDrops) broadcast(dropIds0) else dropIds0
+        nearDeduped.join(dropIds, Seq(idCol), "left_anti")
       case None => nearDeduped
     }
     val decontaminated = cfg.decontaminateAgainst match {
       case Some((bench, benchCol)) =>
-        val hits = Dedup.decontaminate(crossDeduped, idCol, textCol,
+        val hits0 = Dedup.decontaminate(crossDeduped, idCol, textCol,
           bench, benchCol, minMatches = cfg.decontaminateMinMatches)
-        crossDeduped.join(broadcast(hits.select(col("id").as(idCol))),
-          Seq(idCol), "left_anti")
+          .select(col("id").as(idCol))
+        val hitIds = if (cfg.broadcastDrops) broadcast(hits0) else hits0
+        crossDeduped.join(hitIds, Seq(idCol), "left_anti")
       case None => crossDeduped
     }
     Sampling.assignSplits(decontaminated, col(idCol).cast("string"),

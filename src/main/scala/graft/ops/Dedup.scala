@@ -104,6 +104,51 @@ object Dedup {
       .select(col(idCol), col("_s.p").as("pos"), col("_s.h").as("fp"))
   }
 
+  /** Consume [[winnowFingerprints]] selections into overlap PAIRS — the
+    * MOSS reporting step: a fingerprint-keyed equi-join finds every pair
+    * of documents sharing a selected fingerprint (by the winnowing
+    * theorem, every pair sharing a run of ≥ w+k-1 words), then per-pair
+    * match count and coverage fractions rank the matches. Output:
+    * (id_a, id_b, shared_fps, coverage_a, coverage_b) with
+    * shared_fps ≥ `minShared` and coverage_x = shared distinct
+    * fingerprints / doc x's distinct selected fingerprints.
+    *
+    * This is the bandwidth-bounded alternative to [[duplicateSpans]] at
+    * corpus scale: the join carries only the winnowed ~2/(w+1) density
+    * (id, fp) frame, never gram positions or text. The fingerprint
+    * self-join gets the LSH hot-bucket guard ([[DefaultMaxBucket]]): a
+    * fingerprint selected by ≥ maxBucket documents (a boilerplate k-gram
+    * run) would blow up one task quadratically; such groups are dropped
+    * from the PAIR join (members still pair through their other
+    * fingerprints) and logged — route them via [[exactDuplicates]] on
+    * the gram text if wanted. */
+  def winnowOverlaps(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, w: Int = 4, minShared: Int = 2,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(minShared >= 1, s"minShared ($minShared) must be >= 1")
+    // distinct (id, fp): coverage is over the fingerprint SET (a gram
+    // repeated within one doc counts once — MOSS's match-count metric)
+    val sel = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct().persist()
+    val sizes = sel.groupBy("id").agg(count(lit(1)).as("_n"))
+    val capped = capBuckets(sel, Seq("fp"), maxBucket)
+    val pairs0 = capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    val out = pairs0
+      .join(sizes.select(col("id").as("id_a"), col("_n").as("_na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("_n").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        (col("shared_fps").cast("double") / col("_na")).as("coverage_a"),
+        (col("shared_fps").cast("double") / col("_nb")).as("coverage_b"))
+      .localCheckpoint(true) // eager: bounds the selection cache
+    logDroppedBuckets("winnowOverlaps", sel, Seq("fp"), maxBucket)
+    sel.unpersist(false)
+    out
+  }
+
   /** Build a Bloom EXACT-dedup index over a corpus's `key` values — the
     * published at-scale incremental exact-dedup shape (Dolma-style Bloom
     * dedup): an already-ingested corpus reduces to a fixed bit array
@@ -663,8 +708,12 @@ object Dedup {
     * buffer. `guard` applies to the EXPLODED (id, line) frame keyed by
     * id, so the cap is total lines per id and covers both degeneracies;
     * [[HotKeys.SkewGuard.Drop]] removes guarded ids from the OUTPUT
-    * entirely (recover them via [[HotKeys.hotKeys]] on the same exploded
-    * shape and route to a degenerate path). */
+    * entirely — and, because the guard applies before the census, also
+    * from the repeated-line CENSUS: a boilerplate line shared by the
+    * dropped id plus only `minDocs - 1` survivors no longer reaches the
+    * hot threshold, so surviving docs' dedup can differ from an
+    * unguarded run (recover dropped ids via [[HotKeys.hotKeys]] on the
+    * same exploded shape and route to a degenerate path). */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  minDocs: Int = 3, sep: String = "\n",
                  broadcastHot: Boolean = true,

@@ -149,9 +149,13 @@ object Sampling {
     * smallest `(pmod(hash(key), 1e6), key-as-string)` rank — "give me
     * exactly k documents, the same k on every run, engine, and
     * partitioning" ([[hashSample]] gives a fraction with binomial
-    * count noise; this gives a count). Keys should be unique (the
-    * string tie-break keeps the selection total either way; NULL keys
-    * sort first, drop them upstream if unwanted).
+    * count noise; this gives a count). Keys should be unique INCLUDING
+    * at most one NULL (the string tie-break keeps the selection total
+    * for distinct keys; duplicate NULL keys tie on both rank columns).
+    * NULL keys get cell -1 via an explicit guard — the
+    * [[sampleToBudget]] discipline, since xxhash64(NULL) returns the
+    * seed, not NULL — so they genuinely sort first; drop them upstream
+    * if unwanted.
     *
     * Scale shape: TakeOrderedAndProject — per-task k-heaps, no global
     * sort; only k rows ever reach one task. k must fit driver/task
@@ -161,7 +165,8 @@ object Sampling {
                    hash: Column => Column = xxhash64(_)): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val cols = df.columns
-    df.withColumn("_h", pmod(hash(key), lit(Denom)))
+    df.withColumn("_h", when(key.isNull, lit(-1L))
+        .otherwise(pmod(hash(key), lit(Denom))))
       .withColumn("_k", key.cast("string"))
       .orderBy(col("_h").asc, col("_k").asc)
       .limit(k)

@@ -1179,6 +1179,33 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnowOverlaps: brute-force parity, coverage arithmetic, hot-fp cap") {
+    // docs fixture: 20 planted near-dup pairs (i, i+100) share every run
+    // except around the one perturbed word; bases are cross-disjoint
+    val got = Dedup.winnowOverlaps(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // oracle: recompute pairs from the selection operator's own output
+    val byDoc = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      a <- byDoc.keys; b <- byDoc.keys if a < b
+      shared = (byDoc(a) & byDoc(b)).size if shared >= 2
+    } yield (a, b) -> ((shared.toLong,
+      shared.toDouble / byDoc(a).size, shared.toDouble / byDoc(b).size))).toMap
+    assert(got == expect, s"missing=${expect.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- expect.keySet}")
+    assert(expect.keySet.map { case (a, b) => (a % 100, b % 100) }
+      .forall { case (a, b) => a == b }, "only planted clone pairs overlap")
+    assert(got.nonEmpty && got.size == 20, got.size.toString)
+    // hot-fp cap: capping every shared fingerprint bucket kills all pairs
+    val capped = Dedup.winnowOverlaps(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxBucket = 1)
+    assert(capped.count() == 0)
+  }
+
   test("piiSpans: typed spans with in-doc occurrence order") {
     val df = Seq(
       (1L, "mail a@b.co then c@d.org call 555-123-4567 from 10.0.0.1"),
@@ -1272,6 +1299,12 @@ class OpsSpec extends SparkSpec {
     val plan = Sampling.sampleExactK(df, col("k"), 50)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // NULL key genuinely sorts first (explicit cell -1 guard — the
+    // default xxhash64(NULL) returns the seed, NOT NULL, which would
+    // otherwise scatter it mid-range; r5 advice)
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String])).toDF("id", "k"))
+    val s1 = Sampling.sampleExactK(withNull, col("k"), 1).collect()
+    assert(s1.length == 1 && s1(0).getLong(0) == 9999L, s1.mkString(","))
   }
 
   test("refineCentroids: one Lloyd step lands on exact cluster means; empty cell kept") {
@@ -1745,6 +1778,41 @@ class OpsSpec extends SparkSpec {
         dedupAgainst = Some(ref)))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == (20L until 30L).toSet, out.toString)
+  }
+
+  test("curate: broadcastDrops=false plans plain anti-joins, same result") {
+    val ref = docs.where(col("doc_id") < 20)
+    val bench = docs.where(col("doc_id") === 25L).select(col("text"))
+    val input = ref.withColumn("doc_id", col("doc_id") + 100)
+      .union(docs.where(col("doc_id").between(20, 29)))
+    def run(bcast: Boolean) = Curation.curate(input, "doc_id", "text",
+      Curation.CurationConfig(minQuality = 0.0, redactPii = false,
+        dedupAgainst = Some(ref),
+        decontaminateAgainst = Some((bench, "text")),
+        broadcastDrops = bcast))
+    val forced = run(true)
+    val hatched = run(false)
+    // the hatch removes the FORCED broadcast hints on the drop-id
+    // anti-joins: at 100-TB scale a re-crawl's drop set is unbounded, so
+    // the join strategy must be AQE's call, not a hardcoded broadcast()
+    // that OOMs the driver. Count structurally (plan strings truncate):
+    // the drop joins are the only LeftAnti joins in the composition, so
+    // hinted-anti-join count is the direct signal; other stages'
+    // broadcasts (dedupLines' hot set, a LEFT join) don't register.
+    def hintedAnti(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
+               (j.hint.leftHint.exists(_.strategy.isDefined) ||
+                j.hint.rightHint.exists(_.strategy.isDefined)) => j
+      }.size
+    assert(hintedAnti(forced) >= 2, s"forced=${hintedAnti(forced)}")
+    assert(hintedAnti(hatched) === 0,
+      s"broadcastDrops=false must leave the anti-join strategy to the " +
+      s"planner (got ${hintedAnti(hatched)} hinted anti-joins)")
+    val a = forced.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = hatched.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a === ((20L until 30L).toSet - 25L), s"a=$a b=$b")
   }
 
   test("LmScore: hand-computed smoothing arithmetic, OOV, and fluency filter") {
