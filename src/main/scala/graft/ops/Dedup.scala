@@ -180,6 +180,21 @@ object Dedup {
       !graft.sketch.BloomFunctions.bloom_contains(lit(index), key))
   }
 
+  /** OR-merge [[buildExactIndex]] shard blobs into one index — the
+    * documented path for corpora past one filter's capacity: build each
+    * shard over a key range (or one per ingestion batch) with the SAME
+    * (expectedItems, fpp) geometry, then fold them into a single blob
+    * whose probe semantics are exactly "seen by ANY shard". Bitwise OR
+    * preserves the no-false-negative contract (a set bit never clears);
+    * the effective fpp degrades with total fill, so size
+    * `expectedItems` to the UNION's cardinality, not one shard's.
+    * Mismatched geometries throw rather than silently corrupt. */
+  def mergeExactIndexes(shards: Seq[Array[Byte]]): Array[Byte] = {
+    require(shards.nonEmpty, "mergeExactIndexes needs at least one shard")
+    shards.map(graft.sketch.BloomSketch.deserialize)
+      .reduce(_ merge _).serialize()
+  }
+
   /** Canonical-row selection: one surviving row per duplicate group, the
     * minimum of `order` (make it total — e.g. include the id — or the
     * survivor is tie-arbitrary). Implemented as a `min_by` hash aggregate,

@@ -49,6 +49,60 @@ object StreamingValidation {
       lit(filterBlob), col(fkCol).cast("string")))
   }
 
+  /** Cross-batch exact dedup for streams with per-batch drop metrics:
+    * the stateless Bloom probe ([[graft.ops.Dedup.dropSeenExact]]
+    * semantics — NULL keys never drop) plus a named `observe`
+    * observation counting each micro-batch's input and dropped rows
+    * BEFORE the filter. The observation is Spark's native per-batch
+    * accumulator surface: it costs one map-side count, adds no state
+    * store and no second sink, and lands in every
+    * `StreamingQueryProgress.observedMetrics` — feed those through
+    * [[observationMetrics]] into [[graft.checks.MetricsAnomaly]] so a
+    * batch whose drop rate jumps (a re-crawl looping over yesterday's
+    * corpus, or an upstream id bug hashing everything identical) flags
+    * as dedup drift instead of silently shrinking the corpus. */
+  def streamingDedupExact(stream: DataFrame, keyCol: String,
+                          index: Array[Byte],
+                          observation: String = "graft_dedup"): DataFrame = {
+    graft.sketch.BloomSketch.deserialize(index) // validate geometry early
+    val key = col(keyCol)
+    // three-valued-safe: NULL key → isNotNull false → seen FALSE (never
+    // NULL), so the observe sum and the keep filter agree on every row
+    val seen = key.isNotNull &&
+      graft.sketch.BloomFunctions.bloom_contains(lit(index), key)
+    stream
+      .observe(observation,
+        count(lit(1)).as("rows_in"),
+        sum(when(seen, 1L).otherwise(0L)).as("rows_dropped"))
+      .where(!seen)
+  }
+
+  /** Flatten a query's progress observations into the (run, metric,
+    * value) metrics-history shape [[graft.checks.MetricsAnomaly]]
+    * consumes: one row per (batchId, observed column), e.g.
+    * (7, "rows_dropped", 123.0). Pass `query.recentProgress` (or the
+    * accumulation from a `StreamingQueryListener`); batches that carried
+    * no data emit no observation and are skipped. Driver-side by
+    * construction — progress objects are already driver-local and one
+    * per micro-batch, so this never touches executor data. */
+  def observationMetrics(spark: org.apache.spark.sql.SparkSession,
+                         progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+                         observation: String): DataFrame = {
+    val rows = for {
+      p <- progresses
+      row <- Option(p.observedMetrics.get(observation)).toSeq
+      f <- row.schema.fields
+    } yield (p.batchId, f.name,
+      row.getAs[Any](f.name) match {
+        case null      => Option.empty[Double]
+        case n: Number => Some(n.doubleValue())
+        case other     => throw new IllegalArgumentException(
+          s"observed metric ${f.name} is non-numeric: $other")
+      })
+    import spark.implicits._
+    rows.toDF("batch_id", "metric", "value")
+  }
+
   /** A duplicate-key sighting emitted by [[streamingDuplicates]]. */
   final case class DupEvent(key: String, occurrence: Long)
 

@@ -44,6 +44,39 @@ class IndexStoreSpec extends SparkSpec {
       s"direct-only=${direct -- probed} probe-only=${probed -- direct}")
   }
 
+  test("bloom exact-dedup shards: OR-merge probes both sides, no false negatives") {
+    // two ingestion-batch shards over disjoint key ranges, SAME geometry
+    val shardA = Dedup.buildExactIndex(
+      spark.range(0, 500).select(concat(lit("k"), col("id")).as("k")),
+      col("k"), expectedItems = 2000L, fpp = 1e-8)
+    val shardB = Dedup.buildExactIndex(
+      spark.range(500, 1000).select(concat(lit("k"), col("id")).as("k")),
+      col("k"), expectedItems = 2000L, fpp = 1e-8)
+    // persist/restore each shard through the profile store (the
+    // documented versioning path), then merge the RESTORED blobs
+    val (dirA, dirB) = (tmp(), tmp())
+    IndexStore.saveProfile(shardA, "bloom", "k", dirA)
+    IndexStore.saveProfile(shardB, "bloom", "k", dirB)
+    val merged = Dedup.mergeExactIndexes(Seq(
+      IndexStore.loadProfile(dirA)._1, IndexStore.loadProfile(dirB)._1))
+    // probe batch straddles the shard boundary plus 200 novel keys
+    val batch = spark.range(400, 1200).select(col("id"),
+      concat(lit("k"), col("id")).as("k"))
+    val kept = Dedup.dropSeenExact(batch, col("k"), merged)
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives ACROSS the boundary: every indexed key (either
+    // shard) drops; at fpp=1e-8 all 200 novel keys survive
+    assert(kept == (1000L until 1200L).toSet,
+      s"missed-drops=${kept.filter(_ < 1000)} false-drops=${(1000L until 1200L).toSet -- kept}")
+    // mismatched geometry is refused, not silently corrupted
+    val other = Dedup.buildExactIndex(
+      spark.range(5).select(concat(lit("k"), col("id")).as("k")),
+      col("k"), expectedItems = 50L, fpp = 1e-4)
+    val e = intercept[IllegalArgumentException](
+      Dedup.mergeExactIndexes(Seq(shardA, other)))
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+
   test("manifest guards: kind, version, and hash-kind are all enforced") {
     val dir = tmp()
     IndexStore.saveCentroids(spark, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), dir)

@@ -53,6 +53,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup metrics: per-batch drop counts flag dedup drift") {
+    implicit val sqlCtx = spark.sqlContext
+    // "yesterday's corpus": d0..d99 indexed
+    val seen = spark.range(100).select(concat(lit("d"), col("id")).as("k"))
+    val index = graft.ops.Dedup.buildExactIndex(seen, col("k"), 1000L, 1e-9)
+    val source = MemoryStream[Ev]
+    val q = StreamingValidation.streamingDedupExact(
+        source.toDF(), "doc_id", index)
+      .writeStream.format("memory").queryName("sv_dedup_obs")
+      .outputMode("append").start()
+    try {
+      // three healthy batches (10% drop rate), then a re-crawl batch
+      // that is 100% yesterday's corpus
+      for (b <- 0 until 3) {
+        source.addData((0 until 20).map { i =>
+          val id = if (i < 2) i else 1000 + b * 100 + i // 2 seen, 18 new
+          Ev(s"d$id", i, Timestamp.valueOf("2026-01-01 00:00:10"))
+        }: _*)
+        q.processAllAvailable()
+      }
+      source.addData((0 until 20).map(i =>
+        Ev(s"d$i", i, Timestamp.valueOf("2026-01-01 00:00:11"))): _*)
+      q.processAllAvailable()
+      // the filter itself behaved: 3×18 new + 0 from the re-crawl
+      assert(spark.table("sv_dedup_obs").count() == 54)
+      // observations → metrics-history frame → MetricsAnomaly
+      val metrics = StreamingValidation.observationMetrics(
+        spark, q.recentProgress.toSeq, "graft_dedup")
+      val got = metrics.collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert((0 until 3).forall(b =>
+        got((b.toLong, "rows_in")) == 20.0 &&
+        got((b.toLong, "rows_dropped")) == 2.0), got.toString)
+      assert(got((3L, "rows_dropped")) == 20.0, got.toString)
+      val flagged = graft.checks.MetricsAnomaly.flagRun(
+          metrics.where(col("metric") === "rows_dropped"),
+          "batch_id", 3L, Seq("metric"), "value")
+        .select("anomalous").collect().map(_.getBoolean(0))
+      assert(flagged.toSeq == Seq(true), flagged.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming violations: stateless validate over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
