@@ -52,6 +52,13 @@ final class SchemaResolver private (
         val child = new SchemaResolver(schema, None, missingRef, id)
         cacheId(id, child.rootSchema, child)
         child.idCache.foreach { case (k, v) => idCache(k) = v }
+        // the child's node-keyed normalized refs must be visible to THIS
+        // resolver too: the compiler walks external nodes through the
+        // root resolver, and a bare `$ref: "#"` inside an external schema
+        // must normalize in the EXTERNAL's id scope (resolver.js child
+        // dereferencing scope, :124-146) — without the merge it would
+        // fall back to the raw "#" and resolve to the registering root
+        refCache.putAll(child.refCache)
         key -> child
       }.toMap
     }

@@ -10,82 +10,20 @@ import org.apache.spark.sql.types._
   * group is `{description, schema, tests: [{description, data, valid
   * [, violations]}]}` (FIXTURES.md §4), with `data` re-expressed as a
   * one-row DataFrame whose Spark type is inferred from the JSON value.
-  *
-  * Two documented representation limits (SURVEY.md §7.4.1):
-  *  - closed StructType objects conflate a missing property with a NULL
-  *    one, so suite cases that distinguish `{}` from `{"a": null}` are
-  *    encoded with the ENGINE's contract (and marked with a `note`);
-  *  - Spark arrays are homogeneous, so heterogeneous-array cases
-  *    (`[1, "foo"]`) are out of scope here (the per-keyword specs cover
-  *    the per-type dispatch they exercise).
+  * Inference/conversion machinery shared with [[Draft4OfficialSpec]] via
+  * [[Draft4Harness]] (representation limits documented there).
   */
-class Draft4CorpusSpec extends SparkSpec {
+class Draft4CorpusSpec extends SparkSpec with Draft4Harness {
 
   private val categories = Seq(
     "type", "enum", "numeric", "string", "array",
     "object", "combinators", "ref", "format", "modes")
 
-  /** Spark type inference for a JSON instance (nulls are typed by their
-    * surroundings; a bare null gets StringType, which every type predicate
-    * treats correctly since NULL fails all non-null type tests). */
-  private def inferType(v: JValue): DataType = v match {
-    case JNull    => StringType
-    case JBool(_) => BooleanType
-    case JNum(n)  => if (n.isWhole) LongType else DoubleType
-    case JStr(_)  => StringType
-    case JArr(items) =>
-      val ts = items.filterNot(_ == JNull).map(inferType)
-      val et = ts.distinct match {
-        case Seq()  => StringType
-        case Seq(t) => t
-        case many if many.toSet == Set(LongType, DoubleType) => DoubleType
-        case many if many.forall(_.isInstanceOf[StructType]) =>
-          many.map(_.asInstanceOf[StructType]).reduce(mergeStructs)
-        case other =>
-          throw new IllegalArgumentException(s"heterogeneous array: $other")
-      }
-      ArrayType(et, containsNull = items.contains(JNull))
-    case o: JObj =>
-      StructType(o.fields.map { case (k, fv) =>
-        StructField(k, inferType(fv), nullable = true)
-      })
-  }
-
-  private def mergeStructs(a: StructType, b: StructType): StructType = {
-    val bOnly = b.fields.filterNot(f => a.fieldNames.contains(f.name))
-    StructType(a.fields.map { f =>
-      b.fields.find(_.name == f.name) match {
-        case Some(bf) if bf.dataType != f.dataType =>
-          throw new IllegalArgumentException(s"field ${f.name} type conflict")
-        case _ => f
-      }
-    } ++ bOnly)
-  }
-
-  private def toValue(v: JValue, dt: DataType): Any = (v, dt) match {
-    case (JNull, _)                    => null
-    case (JBool(b), _)                 => b
-    case (JNum(n), LongType)           => n.toLong
-    case (JNum(n), DoubleType)         => n.toDouble
-    case (JStr(s), _)                  => s
-    case (JArr(items), ArrayType(et, _)) => items.map(toValue(_, et))
-    case (o: JObj, st: StructType) =>
-      Row(st.fields.toSeq.map(f => o.get(f.name).map(toValue(_, f.dataType)).orNull): _*)
-    case other => throw new IllegalArgumentException(s"unrepresentable: $other")
-  }
-
-  private def loadFixture(name: String): Vector[JObj] = {
-    val url = getClass.getResource(s"/draft4/$name.json")
-    assert(url != null, s"missing fixture resource draft4/$name.json")
-    Json.parse(scala.io.Source.fromURL(url, "UTF-8").mkString) match {
-      case JArr(groups) => groups.collect { case o: JObj => o }
-      case _ => fail(s"fixture $name must be a JSON array of groups")
-    }
-  }
+  private def loadCorpus(name: String): Vector[JObj] = loadFixture("draft4", name)
 
   categories.foreach { cat =>
     test(s"draft-4 corpus: $cat") {
-      val groups = loadFixture(cat)
+      val groups = loadCorpus(cat)
       assert(groups.nonEmpty)
       var ran = 0
       groups.foreach { g =>
