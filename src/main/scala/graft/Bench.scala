@@ -103,47 +103,62 @@ object BenchCore {
     f""""$tag":{"mops_single":${single.round},"mops_total":${total.round},"effective_cores":${total / single}%.1f}"""
   }
 
-  /** The headline jobs over the parquet token table. Returns
-    * (name -> all timed draws) plus (rows, tokens) totals — callers
-    * report best AND median so a steal-window artifact shows itself. */
-  def validationJobs(spark: SparkSession): (Map[String, Vector[Double]], Long, Long) = {
+  /** One headline measurement block: one draw of every headline job,
+    * bracketed by its own CPU probes. `quality` is the pessimistic
+    * effective-core reading for the window — the artifact's selection
+    * key. */
+  final case class HeadlineSample(times: Map[String, Double],
+                                  effStart: Double, effEnd: Double) {
+    def quality: Double = math.min(effStart, effEnd)
+  }
+
+  /** The headline jobs over the parquet token table, measured as
+    * probe-bracketed SAMPLES so the artifact can SELECT its best-window
+    * sample as the headline instead of recording whatever the last (or
+    * an averaged) steal window produced (VERDICT r5 "what's wrong" #2:
+    * a self-adjudicating artifact should also self-select). Returns
+    * (samples, rows, tokens). */
+  def headlineSamples(spark: SparkSession,
+                      threads: Int): (Vector[HeadlineSample], Long, Long) = {
     val df = spark.read.parquet(benchDataDir)
     val compiled = graft.compile.ConstraintCompiler
       .compile(validator.spec, df.schema, validator.options)
 
     // warm-up: JIT + codegen + file footers (not measured)
     df.select(compiled.valid.as("v")).where(!col("v")).count()
-
-    // 5 draws: this VM shows up to 10x one-shot variance under
-    // hypervisor steal (BENCH.md) — more draws, better odds of a clean
-    // window, a few seconds of extra wall-clock
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    def draws(f: => Unit): Vector[Double] =
-      (0 until iters).map(_ => time(f)._2).toVector
-
-    var invalidCount = 0L
-    val tValid = draws {
-      invalidCount = df.select(compiled.valid.as("v")).where(!col("v")).count()
-    }
     val agg = df.agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
-    val tTokens = draws {
-      df.agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
-    }
     val rows = agg.getLong(0)
     val tokens = agg.getLong(1)
-    val tErrors = draws {
-      df.select(size(compiled.errors).as("n")).agg(sum("n")).head()
-    }
-    val tVerdicts = draws {
-      df.groupBy("part")
-        .agg(sum(compiled.valid.cast("long")), count(lit(1))).collect()
-    }
+
+    // 5 samples: this VM shows up to 10x one-shot variance under
+    // hypervisor steal (BENCH.md) — more samples, better odds that one
+    // lands in a clean window the probes can certify
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    var invalidCount = 0L
+    val samples = (0 until iters).map { _ =>
+      val (s0, m0) = cpuProbe(threads)
+      val (_, tValid) = time {
+        invalidCount = df.select(compiled.valid.as("v")).where(!col("v")).count()
+      }
+      val (_, tTokens) = time {
+        df.agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
+      }
+      val (_, tErrors) = time {
+        df.select(size(compiled.errors).as("n")).agg(sum("n")).head()
+      }
+      val (_, tVerdicts) = time {
+        df.groupBy("part")
+          .agg(sum(compiled.valid.cast("long")), count(lit(1))).collect()
+      }
+      val (s1, m1) = cpuProbe(threads)
+      HeadlineSample(Map(
+        "validate_fastpath" -> tValid,
+        "scan_count" -> tTokens,
+        "validate_greedy_errors" -> tErrors,
+        "verdicts_groupby" -> tVerdicts), m0 / s0, m1 / s1)
+    }.toVector
     require(invalidCount > 0, "bench table must contain injected violations")
-    (Map(
-      "validate_fastpath" -> tValid,
-      "scan_count" -> tTokens,
-      "validate_greedy_errors" -> tErrors,
-      "verdicts_groupby" -> tVerdicts), rows, tokens)
+    (samples, rows, tokens)
   }
 }
 
@@ -159,10 +174,17 @@ object Bench {
     // r2/r3); with the probe embedded the artifact adjudicates itself
     val probeStart = BenchCore.probeJson("cpu_probe_start", cpus)
 
-    val (jobs, rows, tokens) = BenchCore.validationJobs(spark)
-    val tValidate = jobs("validate_fastpath").min
-    val seqPerSec = rows / tValidate
-    val tokPerSec = tokens / tValidate
+    // headline: probe-bracketed samples, SELECT the best-certified
+    // window (VERDICT r5 #2 — headline fields must come from the run's
+    // best embedded-probe sample, with every sample kept in the record)
+    val (samples, rows, tokens) = BenchCore.headlineSamples(spark, cpus)
+    val bestIdx = samples.zipWithIndex.maxBy(_._1.quality)._2
+    val sel = samples(bestIdx)
+    val seqPerSec = rows / sel.times("validate_fastpath")
+    val tokPerSec = tokens / sel.times("validate_fastpath")
+    val jobs: Map[String, Vector[Double]] =
+      samples.flatMap(_.times.toSeq).groupMap(_._1)(_._2).map {
+        case (k, v) => k -> v.toVector }
 
     // full query-suite timings on the sf tables: one unmeasured warm-up
     // (codegen + parquet footers) then N draws per query — this host
@@ -202,9 +224,18 @@ object Bench {
     val best = jmap(_.min)
     val med = jmap(BenchCore.median)
     val total = allDraws.map(_._2.min).sum
+    val samplesJson = samples.map { s =>
+      (s.times.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.3f""" } ++
+        Seq(f""""effective_cores_start":${s.effStart}%.1f""",
+            f""""effective_cores_end":${s.effEnd}%.1f""")).mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val windowQuality =
+      f""""window_quality":{"selected_sample":$bestIdx,"effective_cores":${sel.quality}%.1f,""" +
+      """"policy":"headline fields come from the sample maximizing min(start,end) probe effective cores"}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$best,"sf":"$sfDir",""" +
       s""""queries_median":$med,$probeStart,$probeEnd,""" +
+      s""""headline_samples":$samplesJson,$windowQuality,""" +
       s""""bench_rows":$rows,"bench_tokens":$tokens,""" +
       s""""sequences_per_sec":${seqPerSec.round},"tokens_per_sec":${tokPerSec.round}}""")
     spark.stop()
