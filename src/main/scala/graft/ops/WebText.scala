@@ -131,9 +131,26 @@ object WebText {
   /** Strip HTML markup from a text column: script/style blocks (with
     * their contents), comments, then all remaining tags are replaced by a
     * space; the six universal entities are decoded; whitespace collapses
-    * to single spaces and the result is trimmed. Narrow regex chain —
-    * whole-stage codegen end to end, no shuffle. NULL → "". */
+    * to single spaces and the result is trimmed. One narrow byte-level
+    * kernel pass ([[graft.compile.StripMarkup]]) — no shuffle; replaces
+    * the former eleven-`regexp_replace` chain (kept below as
+    * [[stripMarkupChain]], the parity oracle StripMarkupSpec sweeps
+    * against; the q_html_strip / q_curate_web DuckDB oracles restate the
+    * chain in SQL, so the gate re-proves equivalence every round).
+    * NULL → "". */
   def stripMarkup(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.StripMarkup(
+      ColumnBridge.expression(coalesce(text, lit("")))))
+  }
+
+  /** The original sequential regex chain — the executable specification
+    * [[stripMarkup]]'s kernel is proven against (StripMarkupSpec:
+    * ScalaCheck sweep + pathological corpus). Semantics are pass-exact:
+    * script, then style, then comments, then tags (order matters on
+    * interleaved blocks), entities with `&amp;` last, `\s+` collapse,
+    * trim. */
+  private[graft] def stripMarkupChain(text: Column): Column = {
     val t0 = coalesce(text, lit(""))
     val noScript = regexp_replace(t0, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
