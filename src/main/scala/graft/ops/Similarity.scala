@@ -577,6 +577,129 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // product quantization — the byte-code ADC scale path for ANN
+  // ------------------------------------------------------------------
+
+  /** Squared L2 between a (possibly float) subvector column and a
+    * literal centroid, summed in component order (the IEEE-deterministic
+    * fold a `list_reduce` oracle restates exactly). Used only on the
+    * broadcast QUERY side — per-query×code, never per-pair. */
+  private def dsqColumns(sub: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(sub, typedlit(centroid),
+      (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def pqValidate(dim: Int, codebooks: Seq[Seq[Seq[Double]]]): Int = {
+    require(codebooks.nonEmpty, "pq: need at least one subspace codebook")
+    val m = codebooks.length
+    require(dim % m == 0, s"pq: dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == subDim)),
+      s"pq: every codebook entry must have $subDim components")
+    m
+  }
+
+  /** PQ code array of a vector: element s is the index of subspace s's
+    * nearest codebook entry (L2, ties to the lower code — the
+    * [[nearestCells]] kernel over a narrow `slice`, so encoding is one
+    * codegen'd projection with the codebooks as plan literals; nothing
+    * joins, nothing shuffles). Degenerate vectors yield NULL codes. */
+  def pqEncodeCol(vec: Column, dim: Int,
+                  codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = pqValidate(dim, codebooks)
+    val subDim = dim / m
+    array((0 until m).map { s =>
+      element_at(nearestCells(
+        slice(vec, s * subDim + 1, subDim), codebooks(s), 1), 1)
+    }: _*)
+  }
+
+  /** Encode an embedding table to its persisted PQ form: (id, pcode
+    * array<bigint> of length m) — m bytes of information per vector
+    * (codebooks ≤ 256 codes) vs 4·dim bytes of float, the
+    * representation that keeps a 100 TB corpus's ANN index in cluster
+    * memory. Narrow projection, no shuffle. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol), pqEncodeCol(col(vecCol), dim, codebooks).as("pcode"))
+
+  /** Train per-subspace PQ codebooks: `iters` distributed Lloyd steps
+    * ([[refineCentroids]]) over each subspace's `slice` of the corpus,
+    * starting from the given seeds (driver-sampled rows' subvectors, the
+    * [[trainCentroids]] discipline). m × iters jobs; each collects only
+    * the bounded codes×subDim refinement table — nothing corpus-sized
+    * reaches the driver. */
+  def trainPqCodebooks(df: DataFrame, vecCol: String, dim: Int,
+                       seeds: Seq[Seq[Seq[Double]]],
+                       iters: Int = 1): Seq[Seq[Seq[Double]]] = {
+    val m = pqValidate(dim, seeds)
+    val subDim = dim / m
+    (0 until m).map { s =>
+      refineCentroids(
+        df.select(slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
+        "_sub", subDim, seeds(s), iters)
+    }
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC) with exact
+    * float re-rank: the corpus is scanned as PQ codes; each query
+    * precomputes its per-subspace distance lookup table against every
+    * codebook entry, so a candidate's approximate distance is m table
+    * lookups and m-1 adds — no per-pair vector math at all. The
+    * `rerank` closest candidates per query (ADC distance asc, id asc)
+    * are re-ranked with the exact float cosine to emit k.
+    *
+    * Scale shape: the LUT rides the BROADCAST query side (queries ×
+    * m × codes doubles — KBs); the corpus side carries (id, pcode)
+    * only — at dim 64 / m 4 that is 1/64th the float corpus's bytes,
+    * and the scan is pure codegen arithmetic. Only the rerank-bounded
+    * candidate ids travel to the float re-join (AQE broadcasts them),
+    * so the full-precision corpus never shuffles — the
+    * [[quantizedTopK]] discipline at PQ compression. Output:
+    * (query_id, neighbor_id, adc_dist, sim, rank). */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, dim: Int, codebooks: Seq[Seq[Seq[Double]]],
+             rerank: Int = 0): DataFrame = {
+    val m = pqValidate(dim, codebooks)
+    val subDim = dim / m
+    val r = if (rerank > 0) rerank else 4 * k
+    val codes = corpus.select(col(corpusId).as("neighbor_id"),
+      pqEncodeCol(col(corpusVec), dim, codebooks).as("pcode"))
+    val lut = array((0 until m).map { s =>
+      array(codebooks(s).map(cb =>
+        dsqColumns(slice(col(queryVec), s * subDim + 1, subDim), cb)): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv"), lut.as("lut")))
+    // subspace distances summed in subspace order (left-assoc), so an
+    // oracle's pivoted d0+d1+…+dm-1 restates the float sum exactly
+    val dist = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        (element_at(col("pcode"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val adc = codes.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", Rounding.roundAt(dist, 6))
+      .where(col("adc_dist").isNotNull)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val cand = adc.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= r)
+      .select("query_id", "neighbor_id", "adc_dist")
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    val qv = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv")))
+    val exact = cand.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("sim", Rounding.roundAt(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "sim", "rank")
+  }
+
+  // ------------------------------------------------------------------
   // dimensionality reduction + prototypicality sampling
   // ------------------------------------------------------------------
 
