@@ -355,6 +355,74 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- product quantization ----
+
+  lazy val pqCodebooks: Seq[Seq[Seq[Double]]] = {
+    // 8 pivot rows' subvectors per 4-dim subspace (the gate's trick)
+    val piv = vecs.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    (0 until 4).map(s => piv.map(v => v.slice(s * 4, s * 4 + 4).toSeq).toSeq)
+  }
+
+  test("pqEncode matches the plain-Scala per-subspace argmin") {
+    val got = Similarity.pqEncode(vecs, "vec_id", "embedding", 16, pqCodebooks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    raw.foreach { case (id, v) =>
+      val want = (0 until 4).map { s =>
+        val sub = v.slice(s * 4, s * 4 + 4).map(_.toDouble)
+        pqCodebooks(s).zipWithIndex.map { case (c, j) =>
+          (sub.zip(c).foldLeft(0.0) { case (a, (x, w)) => a + (x - w) * (x - w) }, j)
+        }.minBy { case (d, j) => (d, j) }._2.toLong
+      }
+      assert(got(id) == want, s"pq code mismatch for vec $id")
+    }
+    // pivots encode to themselves (distance 0 to their own subvector)
+    (0 until 8).foreach(i => assert(got(i.toLong) == Seq.fill(4)(i.toLong)))
+  }
+
+  test("trainPqCodebooks: one Lloyd step lands on per-subspace cluster means") {
+    // subspace 0 clusters at 0 and 10; subspace 1 clusters at -5 and 5
+    val df = (Seq.tabulate(4)(i =>
+        (i.toLong, Array(0.1f * i, 0f, -5f, 0f))) ++
+      Seq.tabulate(4)(i =>
+        (10L + i, Array(10f + 0.1f * i, 0f, 5f, 0f))))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq(
+      Seq(Seq(1.0, 0.0), Seq(9.0, 0.0)),
+      Seq(Seq(-1.0, 0.0), Seq(1.0, 0.0)))
+    val trained = Similarity.trainPqCodebooks(df, "embedding", 4, seeds, iters = 1)
+    assert(trained(0)(0) == Seq(0.15, 0.0) && trained(0)(1) == Seq(10.15, 0.0))
+    assert(trained(1)(0) == Seq(-5.0, 0.0) && trained(1)(1) == Seq(5.0, 0.0))
+  }
+
+  test("pqTopK: full rerank equals brute force; bounded rerank is sound") {
+    val queries = vecs.where(col("vec_id") < 5)
+    // rerank >= corpus-1: every pair reaches the exact re-rank, so the
+    // output must equal bruteForceTopK regardless of ADC ordering
+    val full = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, dim = 16,
+      codebooks = pqCodebooks, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == bf)
+    // bounded rerank: right shape, exact sims monotone in rank
+    val rows = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, dim = 16,
+      codebooks = pqCodebooks, rerank = 12).collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(4))
+      assert(sorted.map(_.getDouble(3)).toSeq ==
+        sorted.map(_.getDouble(3)).sortBy(-_).toSeq)
+      // adc_dist present and finite for every emitted candidate
+      assert(g.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+    }
+  }
+
   // ---- text analysis ----
 
   test("langId picks the language with most stopword hits") {
