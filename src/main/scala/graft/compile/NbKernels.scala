@@ -63,6 +63,10 @@ object NbKernels {
   val scoreType: StructType = StructType(Seq(
     StructField("n_features", LongType, nullable = false),
     StructField("llrsum", DoubleType, nullable = false)))
+
+  val scoreMicroType: StructType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("zmicro", LongType, nullable = false)))
 }
 
 /** Per-document hashed-feature histogram as map<int,int> (bucket →
@@ -180,5 +184,68 @@ final case class NbScore(
   }
 
   override protected def withNewChildInternal(newChild: Expression): NbScore =
+    copy(child = newChild)
+}
+
+/** Per-document LINEAR score over the DISTINCT hashed-feature set in
+  * exact micro-units — the scoring pass of the hashed
+  * logistic-regression classifier ([[graft.ops.LrClassifier]]).
+  * Binary-presence features (each distinct bucket counted once, the
+  * fastText/CCNet filtering shape), dense weights in integer 1e-6
+  * units so the score is an ORDER-FREE integer sum — bit-identical
+  * in any engine via a plain SUM, with no ordered-fold contract at
+  * all (stronger than the [[NbScore]]/[[CharLmScore]] list-ORDER-BY
+  * discipline). Returns (n_features = distinct buckets, zmicro =
+  * biasMicro + Σ weightsMicro(b)); empty words → (0, biasMicro).
+  *
+  * The weights ride as plan literals: during training each gradient
+  * step recompiles the projection with the updated weights (the
+  * refineCentroids pattern); at scoring time the final model is one
+  * narrow pass — zero joins, zero shuffle. */
+final case class LinearScoreMicro(
+    child: Expression,
+    buckets: Int,
+    mult: Long,
+    weightsMicro: Seq[Long],
+    biasMicro: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  require(buckets >= 2, "lr: buckets must be >= 2")
+  require(weightsMicro.length == buckets,
+    s"lr: need one weight per bucket (${weightsMicro.length} != $buckets)")
+
+  override def dataType: DataType = NbKernels.scoreMicroType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_linear_score_micro"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_linear_score_micro requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val w: Array[Long] = weightsMicro.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    import NbKernels._
+    val ws = toWords(input.asInstanceOf[ArrayData])
+    val seen = new java.util.HashSet[Integer]()
+    var z = biasMicro
+    var i = 0
+    while (i < ws.length) {
+      val b = unigramBucket(ws, i, buckets, mult)
+      if (seen.add(b)) z += w(b)
+      i += 1
+    }
+    i = 0
+    while (i < ws.length - 1) {
+      val b = bigramBucket(ws, i, buckets, mult)
+      if (seen.add(b)) z += w(b)
+      i += 1
+    }
+    InternalRow(seen.size().toLong, z)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearScoreMicro =
     copy(child = newChild)
 }

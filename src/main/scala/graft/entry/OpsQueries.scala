@@ -1538,6 +1538,75 @@ object OpsQueries {
                 coalesce(round(sc.s / sc.n, 6), 0.0) AS nb_score
               FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
 
+    // hashed logistic-regression quality classifier with the TRAINING
+    // restated in the oracle (not just scoring): micro-integer weights
+    // make every per-doc score an order-free integer SUM, sigmoids are
+    // rounded to exact decimals, residuals aggregate as decimal(38,6),
+    // and updates are floor-half-up — so both unrolled gradient steps
+    // replay bit-identically in DuckDB
+    Q("q_lr_quality",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = LrClassifier.train(docs, "text", col("lang") === "en",
+          buckets = 512, mult = 31L, iters = 2, lr = 4.0)
+        LrClassifier.score(docs, "text", model)
+          .select("doc_id", "n_features", "lr_zmicro", "lr_prob")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+              feats AS (
+                SELECT doc_id, w[i] AS f
+                FROM w, unnest(generate_series(1, len(w))) AS t(i)
+                UNION ALL
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+                FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+              fbd AS (SELECT DISTINCT doc_id, ${duckFp("f")} % 512 AS b
+                      FROM feats),
+              docs0 AS (SELECT doc_id,
+                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                        FROM documents),
+              nn AS (SELECT count(*)::DOUBLE AS n FROM docs0),
+              r1 AS (SELECT doc_id, CAST(0.5 - y AS DECIMAL(38,6)) AS r
+                     FROM docs0),
+              g1 AS (SELECT b, sum(r) AS g
+                     FROM fbd JOIN r1 USING (doc_id) GROUP BY b),
+              w1 AS (SELECT b,
+                       -floor((4.0 * (g::DOUBLE / nn.n)) * 1000000.0
+                              + 0.5)::BIGINT AS wm
+                     FROM g1, nn),
+              b1 AS (SELECT -floor((4.0 * (sum(r)::DOUBLE / (SELECT n FROM nn)))
+                              * 1000000.0 + 0.5)::BIGINT AS bm
+                     FROM r1),
+              z2 AS (SELECT d0.doc_id, d0.y,
+                       (SELECT bm FROM b1) + coalesce(sum(w1.wm), 0) AS zm
+                     FROM docs0 d0
+                     LEFT JOIN fbd ON fbd.doc_id = d0.doc_id
+                     LEFT JOIN w1 ON w1.b = fbd.b
+                     GROUP BY d0.doc_id, d0.y),
+              r2 AS (SELECT doc_id,
+                       CAST(round(1/(1+exp(-(zm/1000000.0))), 6) - y
+                            AS DECIMAL(38,6)) AS r
+                     FROM z2),
+              g2 AS (SELECT b, sum(r) AS g
+                     FROM fbd JOIN r2 USING (doc_id) GROUP BY b),
+              w2 AS (SELECT w1.b,
+                       w1.wm - floor((4.0 * (g2.g::DOUBLE / (SELECT n FROM nn)))
+                                 * 1000000.0 + 0.5)::BIGINT AS wm
+                     FROM w1 JOIN g2 ON g2.b = w1.b),
+              b2 AS (SELECT (SELECT bm FROM b1)
+                       - floor((4.0 * (sum(r)::DOUBLE / (SELECT n FROM nn)))
+                           * 1000000.0 + 0.5)::BIGINT AS bm
+                     FROM r2),
+              zf AS (SELECT d0.doc_id,
+                       count(fbd.b)::BIGINT AS n_features,
+                       (SELECT bm FROM b2) + coalesce(sum(w2.wm), 0) AS zm
+                     FROM docs0 d0
+                     LEFT JOIN fbd ON fbd.doc_id = d0.doc_id
+                     LEFT JOIN w2 ON w2.b = fbd.b
+                     GROUP BY d0.doc_id)
+              SELECT doc_id, n_features, zm AS lr_zmicro,
+                round(1/(1+exp(-(zm/1000000.0))), 6) AS lr_prob
+              FROM zf""")),
+
     // URL canonicalization for URL-level dedup: messy URLs synthesized
     // with identical concat arithmetic on both sides exercise every
     // rule — case folding, www/default-port/fragment/tracking-param

@@ -994,7 +994,7 @@ class OpsSpec extends SparkSpec {
   test("nbClassifier: exact census, reference-scored parity, edges") {
     import graft.ops.QualityClassifier
     import graft.compile.NbKernels
-    val B = 64
+    val B = 101
     val corpus = Seq(
       (1L, "aa bb aa", java.lang.Boolean.TRUE),
       (2L, "cc dd", java.lang.Boolean.FALSE),
@@ -1063,6 +1063,61 @@ class OpsSpec extends SparkSpec {
     }
     // scoring is a pure narrow projection
     val plan = QualityClassifier.score(train, "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("lrClassifier: one-step closed form, separation, blob round-trip, narrow plan") {
+    import graft.ops.LrClassifier
+    import graft.compile.NbKernels
+    val B = 101
+    // fixture buckets must not collide for the closed form to hold
+    val bAA = (NbKernels.fp("aa", 31) % B).toInt
+    val bAAaa = (NbKernels.fp("aa aa", 31) % B).toInt
+    val bBB = (NbKernels.fp("bb", 31) % B).toInt
+    val bBBbb = (NbKernels.fp("bb bb", 31) % B).toInt
+    assert(Seq(bAA, bAAaa, bBB, bBBbb).distinct.length == 4)
+    val train = Seq(
+      (1L, "aa aa", true), (2L, "aa aa", true),
+      (3L, "bb bb", false), (4L, "bb bb", false)).toDF("id", "text", "y")
+    val m = LrClassifier.train(train, "text", col("y"),
+      buckets = B, iters = 1, lr = 4.0)
+    // z = 0 → p = 0.5 → r = ∓0.5; g(pos bucket) = -1.0, g(neg) = +1.0;
+    // step = floor(4·(±1/4)·1e6 + 0.5) = ±1e6 → weights ±1.0, bias 0
+    assert(m.biasMicro == 0L)
+    assert(m.weightsMicro(bAA) == 1000000L && m.weightsMicro(bAAaa) == 1000000L)
+    assert(m.weightsMicro(bBB) == -1000000L && m.weightsMicro(bBBbb) == -1000000L)
+    assert(m.weightsMicro.count(_ != 0L) == 4)
+    val out = LrClassifier.score(Seq(
+      (1L, "aa aa"), (2L, "bb bb"), (3L, null: String)).toDF("id", "text"),
+      "text", m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    // z = ±2.0 → σ = 0.880797 / 0.119203; null text → bias only
+    assert(out(1L) == (2000000L, 0.880797))
+    assert(out(2L) == (-2000000L, 0.119203))
+    assert(out(3L) == (0L, 0.5))
+    // two-iteration training separates a realistic mixed corpus
+    val prose = "the quick brown fox jumps over the lazy dog again "
+    val junk = "zq xjw qzv kqx wvz jqk xzq vqw "
+    val corpus = ((1L to 20L).map(i => (i, prose + i, true)) ++
+      (21L to 40L).map(i => (i, junk + i, false))).toDF("id", "text", "y")
+    val m2 = LrClassifier.train(corpus, "text", col("y"), buckets = 512)
+    val probs = LrClassifier.score(Seq(
+      (1L, "the brown dog jumps over the quick fox"),
+      (2L, "kqx zq vqw xjw")).toDF("id", "text"), "text", m2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(probs(1L) > 0.5 && probs(2L) < 0.5, probs.toString)
+    assert(LrClassifier.filterByProb(corpus, "text", m2, 0.5)
+      .agg(max(when(col("y"), 0L).otherwise(1L))).head.getLong(0) == 0L)
+    val rt = LrClassifier.Model.deserialize(m2.serialize)
+    assert(rt.buckets == m2.buckets && rt.mult == m2.mult &&
+      rt.biasMicro == m2.biasMicro &&
+      rt.weightsMicro.toSeq == m2.weightsMicro.toSeq)
+    intercept[IllegalArgumentException] {
+      LrClassifier.Model.deserialize(m2.serialize.take(9))
+    }
+    // scoring is a pure narrow projection
+    val plan = LrClassifier.score(corpus, "text", m2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
