@@ -151,6 +151,45 @@ object IndexStore {
     out.toSeq
   }
 
+  /** Persist per-subspace PQ codebooks ([[graft.ops.Similarity.pqTopK]])
+    * as one parquet of (subspace, code, vec) rows — train once on
+    * today's corpus ([[graft.ops.Similarity.trainPqCodebooks]]), encode
+    * and search tomorrow's ingest against the same code space. */
+  def savePqCodebooks(spark: SparkSession, codebooks: Seq[Seq[Seq[Double]]],
+                      dir: String): Unit = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+      codebooks.map(_.length).distinct.size == 1 &&
+      codebooks.flatMap(_.map(_.length)).distinct.size == 1,
+      "pq codebooks must be non-empty and rectangular (m x codes x subdim)")
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (v, c) => (s, c, v) }
+    }.toDF("subspace", "code", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeManifest(dir, "pq_codebooks",
+      "m" -> JNum(codebooks.length),
+      "codes" -> JNum(codebooks.head.length),
+      "subdim" -> JNum(codebooks.head.head.length))
+  }
+
+  def loadPqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val mf = readManifest(dir, "pq_codebooks")
+    val m = mf.int("m").get.toInt
+    val codes = mf.int("codes").get.toInt
+    val subdim = mf.int("subdim").get.toInt
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val out = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    require(out.length == m && out.forall(_.length == codes) &&
+      out.forall(_.forall(_.length == subdim)),
+      s"pq codebook parquet at $dir does not match its manifest " +
+        s"($m x $codes x $subdim)")
+    out
+  }
+
   // ---- drift profiles (serialized sketch blobs) ------------------------
 
   /** Persist a reference profile: the serialized sketch bytes

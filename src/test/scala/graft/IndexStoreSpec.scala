@@ -128,4 +128,30 @@ class IndexStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IndexStore.saveProfile(Array[Byte](1), "hll", "x", tmp()))
   }
+
+  test("PQ codebooks round-trip bit-exactly and feed pqTopK unchanged") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val seeds = (0 until 4).map(s =>
+      (0 until 4).map(c => Seq.fill(4)(rnd.nextGaussian())).toSeq)
+    val trained = Similarity.trainPqCodebooks(vecs, "embedding", 16, seeds, iters = 1)
+    val dir = tmp()
+    IndexStore.savePqCodebooks(spark, trained, dir)
+    val loaded = IndexStore.loadPqCodebooks(spark, dir)
+    assert(loaded == trained) // exact doubles, not approximate
+    val direct = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, dim = 16, codebooks = trained).collect().toSeq
+    val viaStore = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, dim = 16, codebooks = loaded).collect().toSeq
+    assert(direct.toSet == viaStore.toSet && direct.size == 9)
+    // ragged codebooks refuse to persist
+    intercept[IllegalArgumentException](IndexStore.savePqCodebooks(spark,
+      Seq(Seq(Seq(1.0, 2.0)), Seq(Seq(1.0))), tmp()))
+    // wrong-kind manifest refuses to load
+    intercept[IllegalArgumentException](IndexStore.loadCentroids(spark, dir))
+  }
 }
