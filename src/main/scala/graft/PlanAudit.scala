@@ -67,5 +67,16 @@ object PlanAudit {
     audit("sourceReport", Report.sourceReport(docs, "source", "text", "lang"))
     audit("dedupLinesWithinDoc", docs.select(
       Dedup.dedupLinesWithinDoc(col("text"))))
+    // r6 ops
+    val pqCb = (0 until 4).map(s => pivots.map(_.slice(s * 16, s * 16 + 16)))
+    audit("pqEncode", Similarity.pqEncode(emb, "vec_id", "embedding", 64, pqCb))
+    audit("pqTopK", Similarity.pqTopK(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, dim = 64, codebooks = pqCb, rerank = 20))
+    val lrm = LrClassifier.train(docs, "text", col("lang") === "en",
+      buckets = 512, iters = 1)
+    audit("lrScore", LrClassifier.score(docs, "text", lrm))
+    audit("stripMarkupKernel", docs.select(WebText.stripMarkup(
+      concat(lit("<div>"), col("text"), lit("</div><script>x</script>")))))
   }
 }
