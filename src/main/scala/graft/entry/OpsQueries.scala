@@ -3001,5 +3001,47 @@ object OpsQueries {
               WHERE NOT EXISTS (
                 SELECT 1 FROM documents r
                 WHERE r.doc_id < 250 AND r.text = d.text)""")),
+
+    // Dolma paragraph-mode cross-batch dedup: three-paragraph docs with
+    // a unique intro, a 40-residue shared banner, and a unique tail;
+    // yesterday = docs < 250 (all residues covered), so every probe
+    // doc's banner drops while intro/tail survive. fpp 1e-8 makes the
+    // oracle's exact NOT-IN restatement hold (the q_dedup_bloom_cross
+    // precedent); the oracle restates the OPERATOR (per-paragraph
+    // membership + ordered rejoin), not the planted outcome
+    Q("q_dedup_bloom_paras",
+      (s, d) => {
+        val body = translate(coalesce(col("text"), lit("")), "\n", " ")
+        val wrapped = T(s, d, "documents").withColumn("text",
+          concat(lit("intro "), col("doc_id").cast("string"),
+            lit("\n\nbanner "), pmod(col("doc_id"), lit(40)).cast("string"),
+            lit("\n\ntail "), body))
+        val index = Dedup.buildParagraphIndex(
+          wrapped.where(col("doc_id") < 250), "text", 10000L, 1e-8)
+        Dedup.dropSeenParagraphs(wrapped.where(col("doc_id") >= 250),
+          "text", index).select("doc_id", "text")
+      },
+      Some("""WITH wrapped AS (
+                SELECT doc_id,
+                  ['intro ' || doc_id::VARCHAR,
+                   'banner ' || (doc_id % 40)::VARCHAR,
+                   'tail ' || replace(coalesce(text, ''), chr(10), ' ')] AS ps
+                FROM documents),
+              paras AS (
+                SELECT doc_id, i, ps[i] AS p
+                FROM wrapped, unnest(generate_series(1, 3)) AS t(i)),
+              yday AS (
+                SELECT DISTINCT p FROM paras
+                WHERE doc_id < 250 AND trim(p) <> ''),
+              kept AS (
+                SELECT doc_id, i, p FROM paras
+                WHERE doc_id >= 250 AND
+                  (trim(p) = '' OR p NOT IN (SELECT p FROM yday)))
+              SELECT w.doc_id,
+                coalesce(string_agg(k.p, chr(10) || chr(10) ORDER BY k.i), '')
+                  AS text
+              FROM wrapped w LEFT JOIN kept k ON k.doc_id = w.doc_id
+              WHERE w.doc_id >= 250
+              GROUP BY w.doc_id""")),
   )
 }

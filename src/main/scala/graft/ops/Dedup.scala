@@ -195,6 +195,40 @@ object Dedup {
       .reduce(_ merge _).serialize()
   }
 
+  /** Bloom index over a corpus's PARAGRAPHS (split on `sep`,
+    * whitespace-only paragraphs excluded — they are structure, not
+    * content): the build side of Dolma-style paragraph-mode cross-batch
+    * dedup. Size `expectedItems` to the paragraph count, not the doc
+    * count. One partial-combined aggregation, no shuffle of text. */
+  def buildParagraphIndex(df: DataFrame, textCol: String,
+                          expectedItems: Long, fpp: Double = 1e-8,
+                          sep: String = "\n\n"): Array[Byte] =
+    buildExactIndex(
+      df.select(explode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as("_p"))
+        .where(trim(col("_p")) =!= ""),
+      col("_p"), expectedItems, fpp)
+
+  /** Dolma-style PARAGRAPH-mode cross-batch dedup: remove each paragraph
+    * whose exact text is in a [[buildParagraphIndex]] blob, KEEPING the
+    * document (the cross-batch sibling of [[dedupLines]]' within-batch
+    * boilerplate census — the published two-level shape: dedupe whole
+    * documents first, then repeated paragraphs). Paragraph order is
+    * preserved; whitespace-only paragraphs survive (structure); a doc
+    * whose every paragraph is indexed becomes the empty string (the
+    * caller's quality floor handles it); NULL text → "". Pure narrow
+    * filter — the blob rides the plan as a literal, no joins, no
+    * shuffle, scan speed on a 100-TB batch, streaming-safe. */
+  def dropSeenParagraphs(df: DataFrame, textCol: String, index: Array[Byte],
+                         sep: String = "\n\n"): DataFrame = {
+    graft.sketch.BloomSketch.deserialize(index) // validate geometry early
+    val paras = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = filter(paras, p => trim(p) === "" ||
+      !graft.sketch.BloomFunctions.bloom_contains(lit(index), p))
+    df.withColumn(textCol, array_join(kept, sep))
+  }
+
   /** Canonical-row selection: one surviving row per duplicate group, the
     * minimum of `order` (make it total — e.g. include the id — or the
     * survivor is tie-arbitrary). Implemented as a `min_by` hash aggregate,

@@ -130,13 +130,18 @@ object LrClassifier {
       val feats = ColumnBridge.column(HashedFeatures(
         ColumnBridge.expression(TextAnalysis.words(col("_t"))),
         buckets, mult))
+      // bind residual and bucket list in their OWN projection: a
+      // generator in the same select re-evaluates sibling expressions
+      // per EMITTED row, turning the per-doc sigmoid+kernel into a
+      // per-bucket-element one (~200× at web doc sizes — r6 diag)
       val grads = labeled
         .select(
           (probOf(zc.getField("zmicro")) -
             when(col("_y"), lit(1.0)).otherwise(lit(0.0)))
             .cast("decimal(38,6)").as("_r"),
-          explode(concat(array(lit(-1)),
-            coalesce(map_keys(feats), array()))).as("_b"))
+          concat(array(lit(-1)),
+            coalesce(map_keys(feats), array())).as("_bs"))
+        .select(col("_r"), explode(col("_bs")).as("_b"))
         .groupBy("_b").agg(sum("_r").as("_g"))
         .collect() // bounded: ≤ buckets + 1 rows
       val next = w.clone()

@@ -1361,6 +1361,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("paragraph bloom dedup: seen paragraphs drop, order/blanks/doc survive") {
+    val yday = Seq(
+      (1L, "shared one\n\nkeep a"),
+      (2L, "shared two\n\n  \n\nkeep b")).toDF("id", "text")
+    val index = Dedup.buildParagraphIndex(yday, "text", 1000L, 1e-8)
+    val batch = Seq(
+      (10L, Option("fresh start\n\nshared one\n\nfresh end")),   // middle drops
+      (11L, Option("shared two\n\nshared one")),                 // all drop → ""
+      (12L, Option("shared one\n\n \n\nnovel")),                 // blank survives
+      (13L, Option.empty[String]),                               // NULL → ""
+      (14L, Option("untouched\n\ndoc"))).toDF("id", "text")
+    val got = Dedup.dropSeenParagraphs(batch, "text", index)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "fresh start\n\nfresh end")
+    assert(got(11L) == "")
+    assert(got(12L) == " \n\nnovel")
+    assert(got(13L) == "")
+    assert(got(14L) == "untouched\n\ndoc")
+    // whitespace-only paragraphs never index (indexing them would blank
+    // every doc's structure on probe)
+    val kept12 = got(12L).split("\n\n")
+    assert(kept12.head == " ")
+    // pure narrow filter: no join, no shuffle
+    val plan = Dedup.dropSeenParagraphs(batch, "text", index)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      Dedup.dropSeenParagraphs(batch, "text", Array[Byte](1, 2, 3))
+    }
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
