@@ -924,6 +924,115 @@ object OpsQueries {
               SELECT query_id, neighbor_id, adc_dist, sim, rank::INT AS rank
               FROM ranked WHERE rank <= 5""")),
 
+    // PQ with TRAINED codebooks, EXACT oracle end-to-end through the
+    // training: one distributed Lloyd step per subspace (the
+    // q_refine_centroids restatement on each 16-dim slice, empty cells
+    // keeping their seed), then the q_ann_pq encode/ADC/re-rank tail
+    // against the refined codebooks — proving trainPqCodebooks itself,
+    // not just search over fixed codebooks (the q_lr_quality discipline)
+    Q("q_ann_pq_trained",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val pivots = Seq(7L, 68L, 129L, 190L, 251L, 312L, 373L, 434L)
+        val pivVecs = e.where(col("vec_id").isin(pivots: _*))
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        val seeds = (0 until 4).map(sub =>
+          pivVecs.map(v => v.slice(sub * 16, sub * 16 + 16)))
+        val trained = Similarity.trainPqCodebooks(e, "embedding", 64,
+          seeds, iters = 1)
+        Similarity.pqTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, dim = 64, codebooks = trained, rerank = 20)
+      },
+      Some("""WITH ev AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS cidx, v AS c
+                FROM ev WHERE vec_id IN (7,68,129,190,251,312,373,434)),
+              sub AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(s)),
+              sdist AS (
+                SELECT ev.vec_id, sub.s, piv.cidx,
+                  list_reduce(list_transform(range(1, 17),
+                    i -> (ev.v[sub.s*16+i]-piv.c[sub.s*16+i])
+                       * (ev.v[sub.s*16+i]-piv.c[sub.s*16+i])),
+                    (a,b) -> a+b) AS dsq
+                FROM ev, sub, piv),
+              scell AS (
+                SELECT vec_id, s, cidx FROM (
+                  SELECT vec_id, s, cidx,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY dsq, cidx) AS rn
+                  FROM sdist) WHERE rn = 1),
+              refined AS (
+                SELECT sc.s, sc.cidx, u.i AS j,
+                  round((sum(round(ev.v[sc.s*16+u.i], 6)::DECIMAL(38,6))::DOUBLE)
+                        / count(*), 6) AS c
+                FROM scell sc JOIN ev USING (vec_id),
+                     unnest(range(1, 17)) AS u(i)
+                GROUP BY sc.s, sc.cidx, u.i),
+              grid AS (
+                SELECT sub.s, piv.cidx, u.i AS j,
+                  piv.c[sub.s*16+u.i] AS seed
+                FROM piv, sub, unnest(range(1, 17)) AS u(i)),
+              tc0 AS (
+                SELECT g.s, g.cidx, g.j, coalesce(r.c, g.seed) AS cc
+                FROM grid g
+                LEFT JOIN refined r
+                  ON r.s = g.s AND r.cidx = g.cidx AND r.j = g.j),
+              tc AS (
+                SELECT s, cidx, list(cc ORDER BY j) AS c
+                FROM tc0 GROUP BY s, cidx),
+              cdist AS (
+                SELECT ev.vec_id, tc.s, tc.cidx,
+                  list_reduce(list_transform(range(1, 17),
+                    i -> (ev.v[tc.s*16+i]-tc.c[i])
+                       * (ev.v[tc.s*16+i]-tc.c[i])),
+                    (a,b) -> a+b) AS dsq
+                FROM ev, tc),
+              codes AS (
+                SELECT vec_id, s, cidx,
+                  row_number() OVER (PARTITION BY vec_id, s
+                    ORDER BY dsq, cidx) AS rn
+                FROM cdist),
+              qlut AS (
+                SELECT q.vec_id AS query_id, tc.s, tc.cidx,
+                  list_reduce(list_transform(range(1, 17),
+                    i -> (q.v[tc.s*16+i]-tc.c[i])
+                       * (q.v[tc.s*16+i]-tc.c[i])),
+                    (a,b) -> a+b) AS d
+                FROM ev q, tc WHERE q.vec_id < 8),
+              adcp AS (
+                SELECT l.query_id, c.vec_id AS neighbor_id, c.s, l.d
+                FROM codes c
+                JOIN qlut l ON l.s = c.s AND l.cidx = c.cidx
+                WHERE c.rn = 1 AND c.vec_id <> l.query_id),
+              adc AS (
+                SELECT query_id, neighbor_id,
+                  round(max(CASE WHEN s=0 THEN d END)
+                      + max(CASE WHEN s=1 THEN d END)
+                      + max(CASE WHEN s=2 THEN d END)
+                      + max(CASE WHEN s=3 THEN d END), 6) AS adc_dist
+                FROM adcp GROUP BY query_id, neighbor_id),
+              cand AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist ASC, neighbor_id ASC) AS arank
+                FROM adc),
+              scored AS (
+                SELECT c.query_id, c.neighbor_id, c.adc_dist,
+                  round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+                FROM cand c
+                JOIN ev qe ON qe.vec_id = c.query_id
+                JOIN ev ce ON ce.vec_id = c.neighbor_id
+                WHERE c.arank <= 20),
+              ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+              SELECT query_id, neighbor_id, adc_dist, sim, rank::INT AS rank
+              FROM ranked WHERE rank <= 5""")),
+
     // SemDeDup-style semantic dedup, EXACT oracle: pivot centroids (the
     // q_ann_ivf trick) make the cell assignment restatable, the
     // within-cell exact-cosine pairs reuse the q_embed_cosine_pairs

@@ -276,4 +276,38 @@ class StreamingSpec extends SparkSpec {
         s"sketch PSI $samePsi != batch PSI $batch")
     } finally q.stop()
   }
+
+  test("streaming paragraph dedup + LR scoring: stateless narrow twins") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: String, text: String)
+    // paragraph-mode probe against yesterday's paragraph index
+    val yday = Seq("shared para one", "shared para two")
+      .toDF("text")
+    val pidx = graft.ops.Dedup.buildParagraphIndex(yday, "text", 1000L, 1e-9)
+    // LR model trained on a tiny labeled batch corpus
+    val corpus = Seq(
+      ("good words here", true), ("good tokens here", true),
+      ("zq xw junk", false), ("zq vv junk", false)).toDF("text", "y")
+    val lrm = graft.ops.LrClassifier.train(corpus, "text", col("y"),
+      buckets = 256, iters = 2)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val stream = source.toDF().toDF("doc_id", "text")
+    val q = graft.ops.LrClassifier.score(
+      graft.ops.Dedup.dropSeenParagraphs(stream, "text", pidx),
+      "text", lrm)
+      .writeStream.format("memory").queryName("sv_para_lr")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        ("a", "fresh start\n\nshared para one\n\nfresh end"),
+        ("b", "good words here"),
+        ("c", "zq xw junk"))
+      q.processAllAvailable()
+      val rows = spark.table("sv_para_lr")
+        .select("doc_id", "text", "lr_prob").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(rows("a")._1 == "fresh start\n\nfresh end")
+      assert(rows("b")._2 > 0.5 && rows("c")._2 < 0.5, rows.toString)
+    } finally q.stop()
+  }
 }
