@@ -1375,6 +1375,62 @@ object OpsQueries {
     // the Layer-III header, with an ID3v2 prefix on every 5th doc to
     // exercise the syncsafe skip); the oracle restates the expected
     // fields arithmetically — any mis-read bit diverges
+    // REAL PCM decode: 16-bit mono WAVs with formula-generated frames —
+    // the kernel decodes the actual bytes; the oracle recomputes the
+    // integer stats from the SAME sample formula (never touching bytes),
+    // so a decode bug cannot cancel out. doc_id%7==0 declares a data
+    // size 10 bytes past the payload (kernel decodes what's present —
+    // stats unchanged); doc_id%5==4 is a non-WAV payload (all NULLs)
+    Q("q_audio_pcm",
+      (s, d) => {
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          lpad(hex(pmod(v, lit(256))), 2, "0"),
+          lpad(hex(pmod(floor(v / 256).cast("int"), lit(256))), 2, "0")) }
+        def le32h(v0: Column) = { val v = v0.cast("int"); concat(
+          le16h(pmod(v, lit(65536))), le16h(floor(v / 65536).cast("int"))) }
+        val id = col("doc_id")
+        val n = (pmod(id, lit(50)) + 1).cast("int")
+        val dataB = (n * 2).cast("int")
+        val declared = when(pmod(id, lit(7)) === 0, dataB + 10).otherwise(dataB)
+        val frames = concat_ws("", transform(sequence(lit(0), n - 1),
+          i => le16h(pmod(id * 7 + i * 13, lit(65536)))))
+        val wav = unhex(concat(
+          lit("52494646"), le32h(lit(36) + declared), lit("57415645"),
+          lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+          le32h(lit(8000)), le32h(lit(16000)), lit("0200"), lit("1000"),
+          lit("64617461"), le32h(declared), frames))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(wav)
+        val st = Multimodal.pcmStats(payload)
+        T(s, d, "documents").select(id, st.as("st"))
+          .select(id,
+            col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+            col("st.sum_abs").as("sum_abs"), col("st.sum_sq").as("sum_sq"),
+            Multimodal.pcmRms(col("st")).as("rms"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id, (doc_id % 50) + 1 AS n,
+                  list_transform(range(0, (doc_id % 50) + 1),
+                    i -> (((doc_id*7 + i*13) % 65536) + 32768) % 65536
+                         - 32768) AS ss
+                FROM documents)
+              SELECT doc_id,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL ELSE n END)::BIGINT
+                  AS n_samples,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE list_max(list_transform(ss, s -> abs(s))) END)::INT
+                  AS peak,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE list_reduce(list_transform(ss, s -> abs(s)),
+                        (a,b) -> a+b) END)::BIGINT AS sum_abs,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE list_reduce(list_transform(ss, s -> s*s),
+                        (a,b) -> a+b) END)::BIGINT AS sum_sq,
+                CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE round(sqrt(list_reduce(list_transform(ss, s -> s*s),
+                       (a,b) -> a+b)::DOUBLE / n), 6) END AS rms
+              FROM p""")),
+
     Q("q_audio_containers",
       (s, d) => {
         val id = col("doc_id")

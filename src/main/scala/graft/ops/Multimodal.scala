@@ -60,6 +60,26 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
+  /** REAL PCM audio DECODE: integer sample stats (n_samples, peak |s|,
+    * Σ|s|, Σs²) over a WAV payload's data frames via
+    * [[graft.compile.PcmStats]] — the silence/clipping/energy screens of
+    * a multimodal curation pass. PCM needs no codec, so unlike the
+    * fakeDecode* stubs this decodes the REAL frames (8-bit unsigned /
+    * 16-bit signed LE, channels pooled). NULL for non-WAV / non-PCM /
+    * other depths. Narrow — scan speed on a 100-TB media table. */
+  def pcmStats(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.PcmStats(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** RMS amplitude from a [[pcmStats]] struct, rounded to 6 (one sqrt +
+    * one divide over the exact integer sums — engine-reproducible). */
+  def pcmRms(stats: Column): Column =
+    when(stats.getField("n_samples") > 0,
+      Rounding.roundAt(sqrt(stats.getField("sum_sq").cast("double") /
+        stats.getField("n_samples")), 6))
+
   /** REAL FLAC STREAMINFO metadata — (channels, sample_rate, bits,
     * total_samples); same no-codec contract as [[wavMeta]]. */
   def flacMeta(payload: Column): Column = {

@@ -1392,6 +1392,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pcmStats: real 8/16-bit decode, truncation, non-PCM nulls") {
+    import graft.ops.Multimodal
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    def wav(fmt: Int, bits: Int, data: Array[Byte], declared: Int) =
+      "RIFF".getBytes ++ le32(36 + declared) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(fmt) ++ le16(1) ++ le32(8000) ++
+        le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits) ++
+        "data".getBytes ++ le32(declared) ++ data
+    // 16-bit: samples 100, -200, 32767, -32768
+    val d16 = le16(100) ++ le16(65536 - 200) ++ le16(32767) ++ le16(32768)
+    // 8-bit unsigned centered at 128: 128, 0, 255 → 0, -128, 127
+    val d8 = Array(128.toByte, 0.toByte, 255.toByte)
+    val rows = Seq(
+      (1L, wav(1, 16, d16, 8)),                 // exact
+      (2L, wav(1, 16, d16, 18)),                // declared past payload
+      (3L, wav(1, 8, d8, 3)),                   // 8-bit path
+      (4L, wav(3, 16, d16, 8)),                 // float format → NULL
+      (5L, wav(1, 24, d16, 8)),                 // unsupported depth → NULL
+      (6L, "not audio at all".getBytes)         // non-WAV → NULL
+    ).toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.pcmStats(col("payload")).as("st"))
+      .select(col("id"), col("st.n_samples"), col("st.peak"),
+        col("st.sum_abs"), col("st.sum_sq"),
+        Multimodal.pcmRms(col("st")).as("rms"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val exp16 = (4L, 32768, 100L + 200 + 32767 + 32768,
+      100L * 100 + 200 * 200 + 32767L * 32767 + 32768L * 32768)
+    Seq(1L, 2L).foreach { id =>
+      val r = got(id)
+      assert((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)) == exp16, s"id=$id")
+      assert(r.getDouble(5) ==
+        BigDecimal(math.sqrt(exp16._4.toDouble / 4))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val r8 = got(3L)
+    assert((r8.getLong(1), r8.getInt(2), r8.getLong(3), r8.getLong(4)) ==
+      (3L, 128, 0L + 128 + 127, 128L * 128 + 127L * 127))
+    Seq(4L, 5L, 6L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
