@@ -107,3 +107,81 @@ object ImageDims {
     null
   }
 }
+
+/** REAL image pixel decode: integer channel statistics over an
+  * uncompressed 24-bit BI_RGB BMP — (width, height, n_px, Σr, Σg, Σb) —
+  * the brightness/solid-color/banner screens of a multimodal curation
+  * pass. The image twin of [[PcmStats]]: BMP BI_RGB needs no codec, so
+  * this decodes the ACTUAL pixel rows (4-byte row padding skipped,
+  * bottom-up or top-down — channel sums are order-free), shrinking the
+  * honest decode stub to compressed formats only. Non-BMP / compressed
+  * / other depths → NULL; a pixel array truncated against the header's
+  * promise decodes the whole pixels actually present. */
+final case class RgbStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = RgbStats.outType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rgb_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rgb_stats requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RgbStats.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): RgbStats =
+    copy(child = newChild)
+}
+
+object RgbStats {
+  val outType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private[graft] def parse(b: Array[Byte]): InternalRow = {
+    // BMP file header (14) + BITMAPINFOHEADER (>= 40)
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null
+    val width = le32(b, 18).toInt  // int32 LE (negative = invalid width)
+    val rawH = le32(b, 22).toInt   // negative = top-down (stats agnostic)
+    val bits = le16(b, 28)
+    val compression = le32(b, 30)
+    val height = math.abs(rawH)
+    if (width <= 0 || height == 0 || bits != 24 || compression != 0L ||
+        dataOff < 54 || dataOff > b.length) return null
+    val rowBytes = width * 3L
+    val stride = (rowBytes + 3) & ~3L // rows pad to 4-byte boundaries
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var n = 0L
+    var y = 0
+    while (y < height) {
+      val rowStart = dataOff + y * stride
+      var x = 0
+      while (x < width && rowStart + x * 3 + 3 <= b.length) {
+        val off = (rowStart + x * 3).toInt
+        sumB += u8(b, off)      // BGR on disk
+        sumG += u8(b, off + 1)
+        sumR += u8(b, off + 2)
+        n += 1
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(width, height, n, sumR, sumG, sumB)
+  }
+}

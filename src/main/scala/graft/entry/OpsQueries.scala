@@ -1375,6 +1375,78 @@ object OpsQueries {
     // the Layer-III header, with an ID3v2 prefix on every 5th doc to
     // exercise the syncsafe skip); the oracle restates the expected
     // fields arithmetically — any mis-read bit diverges
+    // REAL BMP pixel decode: uncompressed 24-bit BI_RGB bitmaps with
+    // formula-generated BGR pixels and proper 4-byte row padding — the
+    // kernel decodes the actual bytes; the oracle recomputes the channel
+    // sums from the SAME (x, row) formula without touching bytes.
+    // doc_id%5==4 is a non-BMP payload (all NULLs). Orientation is
+    // irrelevant to channel sums, so the formula indexes FILE rows
+    Q("q_image_rgb",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          hex2(v), hex2(floor(v / 256).cast("int"))) }
+        def le32h(v0: Column) = { val v = v0.cast("int"); concat(
+          le16h(pmod(v, lit(65536))), le16h(floor(v / 65536).cast("int"))) }
+        val id = col("doc_id")
+        val w = (pmod(id, lit(4)) + 1).cast("int")
+        val h = (pmod(id, lit(3)) + 1).cast("int")
+        val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4)).cast("int")
+        val stride = (w * 3 + pad).cast("int")
+        val rows = concat_ws("", transform(sequence(lit(0), h - 1), j =>
+          concat(
+            concat_ws("", transform(sequence(lit(0), w - 1), x => concat(
+              hex2(id + x * 3 + j * 7),          // B on disk
+              hex2(id * 2 + x * 5 + j),          // G
+              hex2(id * 3 + x + j * 11)))),      // R
+            rpad(lit(""), (pad * 2).cast("int"), lit("0")))))
+        val bmp = unhex(concat(
+          lit("424D"), le32h(lit(54) + stride * h), le32h(lit(0)),
+          le32h(lit(54)), le32h(lit(40)), le32h(w), le32h(h),
+          lit("0100"), lit("1800"), le32h(lit(0)), le32h(stride * h),
+          le32h(lit(2835)), le32h(lit(2835)), le32h(lit(0)), le32h(lit(0)),
+          rows))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(bmp)
+        val st = Multimodal.rgbStats(payload)
+        T(s, d, "documents").select(id, st.as("st"))
+          .select(id,
+            col("st.width").as("width"), col("st.height").as("height"),
+            col("st.n_px").as("n_px"), col("st.sum_r").as("sum_r"),
+            col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"),
+            Multimodal.rgbMeanBrightness(col("st")).as("brightness"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h
+                FROM documents),
+              pix AS (
+                SELECT doc_id, x, j FROM g,
+                  unnest(range(0, h)) AS tj(j),
+                  unnest(range(0, w)) AS tx(x)),
+              st AS (
+                SELECT doc_id,
+                  count(*) AS n,
+                  sum((doc_id*3 + x + j*11) % 256) AS sr,
+                  sum((doc_id*2 + x*5 + j) % 256) AS sg,
+                  sum((doc_id + x*3 + j*7) % 256) AS sb
+                FROM pix GROUP BY doc_id)
+              SELECT g.doc_id,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE w END)::INT
+                  AS width,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE h END)::INT
+                  AS height,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE n END)::BIGINT
+                  AS n_px,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sr END)::BIGINT
+                  AS sum_r,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sg END)::BIGINT
+                  AS sum_g,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sb END)::BIGINT
+                  AS sum_b,
+                CASE WHEN g.doc_id % 5 = 4 THEN NULL
+                ELSE round((sr+sg+sb)::DOUBLE / (3*n), 6) END AS brightness
+              FROM g JOIN st USING (doc_id)""")),
+
     // REAL PCM decode: 16-bit mono WAVs with formula-generated frames —
     // the kernel decodes the actual bytes; the oracle recomputes the
     // integer stats from the SAME sample formula (never touching bytes),

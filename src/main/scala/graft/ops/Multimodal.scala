@@ -51,6 +51,26 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
+  /** REAL image pixel decode: integer channel stats (width, height,
+    * n_px, Σr, Σg, Σb) over an uncompressed 24-bit BMP via
+    * [[graft.compile.RgbStats]] — brightness/solid-color screens with
+    * no codec, the image twin of [[pcmStats]]. NULL for non-BMP /
+    * compressed / other depths. Narrow, scan speed. */
+  def rgbStats(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.RgbStats(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** Mean channel brightness from a [[rgbStats]] struct, rounded to 6
+    * ((Σr+Σg+Σb)/(3·n) — exact integer sums, one divide). */
+  def rgbMeanBrightness(stats: Column): Column =
+    when(stats.getField("n_px") > 0,
+      Rounding.roundAt(
+        (stats.getField("sum_r") + stats.getField("sum_g") +
+          stats.getField("sum_b")).cast("double") /
+          (stats.getField("n_px") * 3).cast("double"), 6))
+
   /** REAL audio metadata: RIFF/WAVE channels, sample rate, bit depth, and
     * data-chunk byte count via [[graft.compile.WavMeta]] — same
     * no-codec byte parsing as [[imageDims]]; NULL for non-WAV payloads. */

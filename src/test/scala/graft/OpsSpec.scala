@@ -1433,6 +1433,52 @@ class OpsSpec extends SparkSpec {
     Seq(4L, 5L, 6L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
   }
 
+  test("rgbStats: real BMP decode, padding, truncation, top-down, rejects") {
+    import graft.ops.Multimodal
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    def bmp(w: Int, h: Int, bits: Int, comp: Int, px: Array[Byte]) =
+      "BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bits) ++
+        le32(comp) ++ le32(px.length) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0) ++ px
+    // 2x2, stride 8 (2 pad bytes/row): pixels BGR
+    val px = Array[Byte](
+      10, 20, 30, 40, 50, 60, 99, 99,   // row 0: (b,g,r)=(10,20,30),(40,50,60); pad 99s ignored
+      1, 2, 3, 4, 5, 6, 99, 99)         // row 1
+    val rows = Seq(
+      (1L, bmp(2, 2, 24, 0, px)),                    // exact
+      (2L, bmp(2, -2 & 0x7FFFFFFF, 24, 0, px)),      // placeholder, replaced below
+      (3L, bmp(2, 2, 24, 0, px.dropRight(10))),      // truncated: row 1 loses pixel 2
+      (4L, bmp(2, 2, 8, 0, px)),                     // unsupported depth
+      (5L, bmp(2, 2, 24, 1, px)),                    // compressed (BI_RLE8)
+      (6L, "PNG-ish junk payload".getBytes))
+      .toDF("id", "payload")
+    val topDown = ("BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(px.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ px)
+    val rows2 = rows.union(Seq((7L, topDown)).toDF("id", "payload"))
+    val got = rows2.select(col("id"), Multimodal.rgbStats(col("payload")).as("st"))
+      .select(col("id"), col("st.width"), col("st.height"), col("st.n_px"),
+        col("st.sum_r"), col("st.sum_g"), col("st.sum_b"),
+        Multimodal.rgbMeanBrightness(col("st")).as("br"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val full = got(1L)
+    assert((full.getInt(1), full.getInt(2), full.getLong(3)) == (2, 2, 4L))
+    assert((full.getLong(4), full.getLong(5), full.getLong(6)) ==
+      (30L + 60 + 3 + 6, 20L + 50 + 2 + 5, 10L + 40 + 1 + 4))
+    // top-down (negative height): same sums, |height|
+    val td = got(7L)
+    assert((td.getInt(1), td.getInt(2), td.getLong(3),
+      td.getLong(4)) == (2, 2, 4L, 30L + 60 + 3 + 6))
+    // truncated (10 of 16 pixel-array bytes dropped): only row 0's two
+    // pixels remain whole — row 1's start lies past the payload
+    val tr = got(3L)
+    assert(tr.getLong(3) == 2L && tr.getLong(4) == 30L + 60)
+    Seq(4L, 5L, 6L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
