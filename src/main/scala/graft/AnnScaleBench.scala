@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-truth ANN exercise at scale — the similarity family's
+  * [[DedupScaleBench]]: SPARK_GRAFT_ANN_ROWS (default 1M) deterministic
+  * 64-dim vectors where every query has a KNOWN nearest neighbor by
+  * construction, so each tier's recall is measurable against ground
+  * truth rather than against another approximation:
+  *
+  *  - base vectors: components hash-uniform in [-1, 1] — random 64-dim
+  *    directions are near-orthogonal (pairwise |cos| ~ 0.125 σ), so
+  *    max stray cosine over 1M rows stays ≪ the planted pair's;
+  *  - each of the nQ=64 query ids q gets a PARTNER vector (id q + n/2)
+  *    = base(q) + 0.05·hash-noise → cos(q, partner) ≈ 0.995+, the
+  *    unambiguous top-1;
+  *  - tiers measured: brute force (exactness sanity), hyperplane LSH,
+  *    IVF (driver seeds + one distributed Lloyd step), int8-quantized,
+  *    PQ-trained ADC (8 subspaces × 32 codes, trained on the corpus) —
+  *    asserting recall@1 floors per tier plus wall times and the PQ
+  *    code-vs-float byte ratio. Recorded in BENCH.md §ann-at-scale.
+  */
+object AnnScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_ANN_ROWS", "1000000").toLong
+    require(n % 2 == 0 && n >= 10000, s"row count $n must be even and >= 10000")
+    val nQ = 64
+    val dim = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = BenchCore.session(cpus)
+
+    println(s"{${BenchCore.probeJson("cpu_probe_start", cpus)}}")
+
+    // deterministic corpus: ids [0, n/2) are bases; id i + n/2 is a
+    // 0.05-noise partner of base i (only the first nQ partners matter,
+    // but building all keeps the table shape uniform)
+    def comp(seedId: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(seedId, j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+    val base = spark.range(n / 2).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        comp(col("id"), j).cast("float")).as("embedding"))
+    val partner = spark.range(n / 2).select((col("id") + n / 2).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (comp(col("id"), j) + lit(0.05) * comp(col("id") + lit(7777777L), j))
+          .cast("float")).as("embedding"))
+    val dir = s"/tmp/graft_ann_scale/rows_$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      base.union(partner).repartition(64).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val queries = corpus.where(col("vec_id") < nQ)
+    val want = (0 until nQ).map(q => q.toLong -> (q + n / 2)).toMap
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](name: String)(f: => A): A = {
+      val (a, t) = BenchCore.time(f)
+      times(name) = t
+      System.err.println(f"[ann-scale] $name%-16s $t%8.2f s")
+      a
+    }
+    def recallAt1(rows: Array[org.apache.spark.sql.Row], rankIdx: Int): Double = {
+      val top1 = rows.filter(_.getInt(rankIdx) == 1)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until nQ).count(q => top1.get(q.toLong).contains(want(q.toLong))).toDouble / nQ
+    }
+
+    val bf = timed("brute_force") {
+      graft.ops.Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1).collect()
+    }
+    val rBf = recallAt1(bf, 3)
+    require(rBf >= 0.99, s"planted truth broken: brute-force recall $rBf")
+
+    val lsh = timed("lsh") {
+      graft.ops.Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, dim = dim,
+        planes = 8, tables = 8).collect()
+    }
+    val rLsh = recallAt1(lsh, 3)
+
+    // IVF: 64 driver-sampled seeds refined by one distributed Lloyd step
+    val seeds = timed("ivf_train") {
+      val seed0 = corpus.where(pmod(col("vec_id"), lit(n / 128)) === 3)
+        .orderBy("vec_id").limit(64).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      graft.ops.Similarity.refineCentroids(corpus, "embedding", dim, seed0, iters = 1)
+    }
+    val ivf = timed("ivf") {
+      graft.ops.Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, dim = dim,
+        centroids = seeds, nprobe = 4).collect()
+    }
+    val rIvf = recallAt1(ivf, 3)
+
+    val qz = timed("int8") {
+      graft.ops.Similarity.quantizedTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, rerank = 8).collect()
+    }
+    val rQz = recallAt1(qz, 4)
+
+    // PQ: 8 subspaces x 32 codes, seeds from corpus rows, one Lloyd step
+    val pqCb = timed("pq_train") {
+      val pivRows = corpus.where(pmod(col("vec_id"), lit(n / 64)) === 5)
+        .orderBy("vec_id").limit(32).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val pqSeeds = (0 until 8).map(s => pivRows.map(_.slice(s * 8, s * 8 + 8)))
+      graft.ops.Similarity.trainPqCodebooks(corpus, "embedding", dim, pqSeeds, iters = 1)
+    }
+    val pq = timed("pq_adc") {
+      graft.ops.Similarity.pqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, dim = dim,
+        codebooks = pqCb, rerank = 64).collect()
+    }
+    val rPq = recallAt1(pq, 4)
+
+    // tier floors: exact re-rank means precision is 1 everywhere; recall
+    // is the probabilistic part. LSH 8x8 at cos~0.995 is ~certain; IVF
+    // nprobe=4/64 cells and PQ 8x32 with rerank-64 both comfortably
+    // clear 0.9 on planted pairs
+    require(rLsh >= 0.95, s"lsh recall $rLsh below floor")
+    require(rIvf >= 0.90, s"ivf recall $rIvf below floor")
+    require(rQz >= 0.95, s"int8 recall $rQz below floor")
+    require(rPq >= 0.90, s"pq recall $rPq below floor")
+
+    val timesJson = times.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    println(s"""{"bench":"ann_scale","rows":$n,"recall_at_1":{""" +
+      f""""brute":$rBf%.4f,"lsh":$rLsh%.4f,"ivf":$rIvf%.4f,""" +
+      f""""int8":$rQz%.4f,"pq":$rPq%.4f},""" +
+      s""""pq_bytes_per_vec":${8 * 8},"float_bytes_per_vec":${dim * 4},""" +
+      s""""times":{$timesJson},${BenchCore.probeJson("cpu_probe_end", cpus)}}""")
+    spark.stop()
+  }
+}
