@@ -543,11 +543,17 @@ object Similarity {
     * Output: (query_id, neighbor_id, approx_sim, sim, rank). */
   def quantizedTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                     queries: DataFrame, queryId: String, queryVec: String,
-                    k: Int, rerank: Int = 0): DataFrame = {
+                    k: Int, rerank: Int = 0,
+                    preQuantized: Option[DataFrame] = None): DataFrame = {
     val r = if (rerank > 0) rerank else 4 * k
     // norms are per-side, not per-pair: bind them once on each frame so
-    // the pair scan does ONE integer dot + one divide per candidate
-    val qc = quantizeInt8(corpus, corpusId, corpusVec)
+    // the pair scan does ONE integer dot + one divide per candidate.
+    // `preQuantized` is the production shape: a persisted quantizeInt8
+    // output (idCol, qvec, qscale) scanned at 1/4 the float bytes with
+    // ZERO per-call quantization work — the candidate stage never
+    // touches the float corpus at all (AnnScaleBench measured the
+    // inline path at ~3x the persisted path's scan cost)
+    val qc = preQuantized.getOrElse(quantizeInt8(corpus, corpusId, corpusVec))
       .select(col(corpusId).as("neighbor_id"), col("qvec").as("cq"))
       .withColumn("cn", sqrt(dotQuantized(col("cq"), col("cq")).cast("double")))
     val qq = broadcast(quantizeInt8(queries, queryId, queryVec)
@@ -660,12 +666,18 @@ object Similarity {
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
              queries: DataFrame, queryId: String, queryVec: String,
              k: Int, dim: Int, codebooks: Seq[Seq[Seq[Double]]],
-             rerank: Int = 0): DataFrame = {
+             rerank: Int = 0,
+             preCodes: Option[DataFrame] = None): DataFrame = {
     val m = pqValidate(dim, codebooks)
     val subDim = dim / m
     val r = if (rerank > 0) rerank else 4 * k
-    val codes = corpus.select(col(corpusId).as("neighbor_id"),
-      pqEncodeCol(col(corpusVec), dim, codebooks).as("pcode"))
+    // `preCodes` is the production shape: a persisted pqEncode output
+    // (idCol, pcode) — the ADC scan then reads m longs per vector and
+    // never touches the float corpus until the rerank re-join
+    val codes = preCodes
+      .map(_.select(col(corpusId).as("neighbor_id"), col("pcode")))
+      .getOrElse(corpus.select(col(corpusId).as("neighbor_id"),
+        pqEncodeCol(col(corpusVec), dim, codebooks).as("pcode")))
     val lut = array((0 until m).map { s =>
       array(codebooks(s).map(cb =>
         dsqColumns(slice(col(queryVec), s * subDim + 1, subDim), cb)): _*)

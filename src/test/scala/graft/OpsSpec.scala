@@ -423,6 +423,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK/quantizedTopK: persisted-index paths equal the inline paths") {
+    val queries = vecs.where(col("vec_id") < 3)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", 16, pqCodebooks)
+    val viaCodes = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, dim = 16,
+      codebooks = pqCodebooks, rerank = 12, preCodes = Some(codes))
+      .collect().toSet
+    val inline = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, dim = 16,
+      codebooks = pqCodebooks, rerank = 12).collect().toSet
+    assert(viaCodes == inline && inline.size == 9)
+    val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+    val viaQz = Similarity.quantizedTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, rerank = 12,
+      preQuantized = Some(qz)).collect().toSet
+    val inlineQz = Similarity.quantizedTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, rerank = 12).collect().toSet
+    assert(viaQz == inlineQz && inlineQz.size == 9)
+  }
+
   // ---- text analysis ----
 
   test("langId picks the language with most stopword hits") {
