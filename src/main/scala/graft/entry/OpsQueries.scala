@@ -3239,6 +3239,33 @@ object OpsQueries {
                 SELECT 1 FROM documents r
                 WHERE r.doc_id < 250 AND r.text = d.text)""")),
 
+    // trainable BPE tokenizer — the q_compression-style INVARIANT
+    // oracle: the merge table depends on training, so token VALUES are
+    // not SQL-restatable, but the tokenizer's defining properties are,
+    // and each would flip under a broken trainer/encoder: round_trip
+    // (token concatenation IS the document — the whitespace-preserving
+    // segmentation contract), token_count_bounded (every token ≥ 1
+    // char, empty ⇔ empty), deterministic (two separate kernel
+    // invocations agree; concat(text,'') defeats subexpression
+    // elimination), ids_align (one id per token)
+    Q("q_bpe_tokenize",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = Bpe.train(docs, "text", numMerges = 200, sampleRows = 2000)
+        val t = coalesce(col("text"), lit(""))
+        val toks = Bpe.encode(col("text"), model)
+        val toksAgain = Bpe.encode(concat(t, lit("")), model)
+        docs.select(col("doc_id"),
+          (concat_ws("", toks) === t).as("round_trip"),
+          (size(toks) <= length(t) &&
+            ((length(t) === 0) === (size(toks) === 0))).as("token_count_bounded"),
+          (toks === toksAgain).as("deterministic"),
+          (size(Bpe.tokenIds(toks, model)) === size(toks)).as("ids_align"))
+      },
+      Some("""SELECT doc_id, true AS round_trip, true AS token_count_bounded,
+                     true AS deterministic, true AS ids_align
+              FROM documents""")),
+
     // Dolma paragraph-mode cross-batch dedup: three-paragraph docs with
     // a unique intro, a 40-residue shared banner, and a unique tail;
     // yesterday = docs < 250 (all residues covered), so every probe

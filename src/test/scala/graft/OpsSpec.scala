@@ -443,6 +443,54 @@ class OpsSpec extends SparkSpec {
     assert(viaQz == inlineQz && inlineQz.size == 9)
   }
 
+  test("bpe: closed-form merges, training-word reproduction, round-trip, OOV") {
+    import graft.ops.Bpe
+    // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3 — the
+    // Sennrich paper's shape. Pair census round 1: (e,s) 9, (s,t) 9,
+    // (w,e) 8... ties (e,s)/(s,t) break lexicographically -> (e,s)
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 4, sampleRows = 100)
+    assert(m.merges == Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      m.merges.toString)
+    assert(m.vocab.head == "<unk>" && m.vocab.contains("est") &&
+      m.vocab.contains("low"))
+    // training words reproduce their final training segmentation
+    val seg = Seq((1L, "newest"), (2L, "lower"), (3L, "low"))
+      .toDF("id", "text")
+    val toks = Bpe.tokenize(seg, "text", m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(toks(1L) == Seq("n", "e", "w", "est"), toks(1L).toString)
+    assert(toks(2L) == Seq("low", "e", "r"))
+    assert(toks(3L) == Seq("low"))
+    // round-trip exactness on messy text incl. whitespace runs, unicode,
+    // OOV chars; whitespace chars are single tokens; ids map OOV -> unk
+    val messy = Seq(
+      (1L, "lowest newest\t\tlow  "), (2L, "héllo wörld"), (3L, null: String),
+      (4L, "a\nb"), (5L, ""))
+      .toDF("id", "text")
+    val rt = Bpe.tokenize(messy, "text", m)
+      .select(col("id"),
+        (concat_ws("", col("tokens")) === coalesce(col("text"), lit("")))
+          .as("ok"),
+        col("token_ids"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 5L).foreach(id => assert(rt(id).getBoolean(1), s"round-trip $id"))
+    // OOV é/ö chars map to UnkId; known chars map above it
+    val ids2 = rt(2L).getSeq[Int](2)
+    assert(ids2.contains(Bpe.UnkId))
+    // blob round-trip
+    val back = Bpe.Model.deserialize(m.serialize)
+    assert(back.merges == m.merges && back.vocab == m.vocab)
+    intercept[IllegalArgumentException](Bpe.Model.deserialize(m.serialize.take(7)))
+    // encoding is a pure narrow projection
+    val plan = Bpe.tokenize(messy, "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   // ---- text analysis ----
 
   test("langId picks the language with most stopword hits") {
