@@ -448,5 +448,36 @@ object CheckQueries {
                      THEN abs((c.value - _med) / (_mad * 1.4826)) > 3.5
                      ELSE c.value <> _med END AS anomalous
               FROM c JOIN med USING (lang) JOIN mad ON mad.lang = c.lang""")),
+
+    // schema-drift check: a mutated batch schema (lang dropped, n_chars
+    // narrowed to int, crawl_id added) against the documents contract;
+    // the oracle restates the full-outer set diff + status CASE over the
+    // same two column lists (the batch list = the mutation applied to
+    // the KNOWN fixed testdata schema)
+    Q("q_schema_drift",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val batch = docs.drop("lang")
+          .withColumn("n_chars", col("n_chars").cast("int"))
+          .withColumn("crawl_id", lit("c1"))
+        graft.checks.SchemaDrift.diffDf(s, batch.schema, docs.schema)
+      },
+      Some("""WITH batch(name, typ) AS (VALUES
+                ('doc_id','bigint'), ('text','string'), ('source','string'),
+                ('n_chars','int'), ('crawl_id','string')),
+              ref(name, typ) AS (VALUES
+                ('doc_id','bigint'), ('text','string'), ('lang','string'),
+                ('source','string'), ('n_chars','bigint')),
+              j AS (
+                SELECT coalesce(b.name, r.name) AS col_name,
+                       b.typ AS bt, r.typ AS rt
+                FROM batch b FULL OUTER JOIN ref r ON b.name = r.name)
+              SELECT col_name AS "column",
+                CASE WHEN rt IS NULL THEN 'added'
+                     WHEN bt IS NULL THEN 'missing'
+                     WHEN bt <> rt THEN 'type_changed'
+                     ELSE 'ok' END AS status,
+                bt AS batch_type, rt AS reference_type
+              FROM j""")),
   )
 }

@@ -326,4 +326,46 @@ class PipelineSpec extends SparkSpec {
     assert(scalarPlan.contains("WholeStageCodegen") || scalarPlan.contains("*(")
       , s"scalar validation fell out of codegen:\n$scalarPlan")
   }
+
+  test("schemaDrift: statuses, ordering, nullability direction, fail-fast") {
+    import graft.checks.SchemaDrift
+    import org.apache.spark.sql.types._
+    val ref = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tok", IntegerType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("tokens", ArrayType(IntegerType), nullable = true)))
+    val batch = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),   // loosened
+      StructField("n_tok", LongType, nullable = true),    // retyped
+      StructField("tokens", ArrayType(IntegerType), nullable = true), // ok
+      StructField("crawl", StringType, nullable = true))) // added
+    val d = SchemaDrift.diff(batch, ref)
+    assert(d.map(_.column) == d.map(_.column).sorted) // deterministic order
+    val byCol = d.map(x => x.column -> x.status).toMap
+    assert(byCol == Map(
+      "doc_id" -> "nullability_loosened", "n_tok" -> "type_changed",
+      "source" -> "missing", "tokens" -> "ok", "crawl" -> "added"))
+    // nullability TIGHTENING is not drift (batch stricter than contract)
+    val tightened = StructType(Seq(StructField("doc_id", LongType, false)))
+    val looseRef = StructType(Seq(StructField("doc_id", LongType, true)))
+    assert(SchemaDrift.diff(tightened, looseRef).head.status == "ok")
+    // nested struct change reads as a top-level retype
+    val nestedA = StructType(Seq(StructField("m", StructType(Seq(
+      StructField("w", IntegerType))), nullable = true)))
+    val nestedB = StructType(Seq(StructField("m", StructType(Seq(
+      StructField("w", LongType))), nullable = true)))
+    assert(SchemaDrift.diff(nestedA, nestedB).head.status == "type_changed")
+    // fail-fast mode throws with the offending columns named
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("doc_id", "n_tok")
+    val e = intercept[IllegalStateException] {
+      SchemaDrift.check(df, ref, failOnDrift = true)
+    }
+    assert(e.getMessage.contains("n_tok=type_changed") &&
+      e.getMessage.contains("source=missing"))
+    // non-fail mode returns the verdict frame (zero jobs — no scan):
+    // doc_id ok, n_tok retyped, source+tokens missing
+    assert(SchemaDrift.check(df, ref).collect().length == 4)
+  }
 }
