@@ -23,7 +23,14 @@ final case class PipelineConfig(
     checkpointDir: String,
     outputDir: String,
     partCol: String = Check.PartCol,
-    lineage: String = "")
+    lineage: String = "",
+    /** Schema contract pre-flight: when set, [[ValidationPipeline.run]]
+      * diffs the input's ACTUAL schema against this reference
+      * ([[graft.checks.SchemaDrift]]) BEFORE planning any job and throws
+      * on drift — zero scans, so a silently-retyped or dropped column
+      * aborts the run before a 100-TB pass is paid for (the value-level
+      * checks can stay green while every downstream consumer breaks). */
+    referenceSchema: Option[org.apache.spark.sql.types.StructType] = None)
 
 final case class PipelineResult(
     violations: DataFrame,
@@ -36,6 +43,9 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
   import org.apache.spark.sql.types.DoubleType
 
   def run(input0: DataFrame): PipelineResult = {
+    // schema-contract pre-flight: driver-side metadata only, fail fast
+    cfg.referenceSchema.foreach(ref =>
+      graft.checks.SchemaDrift.check(input0, ref, failOnDrift = true))
     val spark = input0.sparkSession
     val checkpoint = new Checkpoint(cfg.checkpointDir)
     val committed = checkpoint.committedParts()

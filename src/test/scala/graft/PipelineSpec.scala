@@ -368,4 +368,27 @@ class PipelineSpec extends SparkSpec {
     // doc_id ok, n_tok retyped, source+tokens missing
     assert(SchemaDrift.check(df, ref).collect().length == 4)
   }
+
+  test("pipeline schema pre-flight: drift aborts before any job; matching schema runs") {
+    import graft.checks.Check
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val table = Seq(("d1", Seq(1, 2), 2, "web", 0)).toDF(
+      "doc_id", "tokens", "n_tok", "source", "part")
+    val checks: Seq[Check] = Seq(UniquenessCheck("doc_id"))
+    def cfgFor(ref: StructType) = PipelineConfig(
+      checkpointDir = java.nio.file.Files.createTempDirectory("g-ck").toString,
+      outputDir = java.nio.file.Files.createTempDirectory("g-out").toString,
+      referenceSchema = Some(ref))
+    // contract with a retyped column -> throws driver-side, zero jobs
+    val badRef = StructType(table.schema.fields.map(f =>
+      if (f.name == "n_tok") f.copy(dataType = LongType) else f))
+    val e = intercept[IllegalStateException] {
+      new ValidationPipeline(checks, cfgFor(badRef)).run(table)
+    }
+    assert(e.getMessage.contains("n_tok=type_changed"))
+    // matching contract -> run proceeds
+    val ok = new ValidationPipeline(checks, cfgFor(table.schema)).run(table)
+    assert(ok.rowsValidated == 1L)
+  }
 }
