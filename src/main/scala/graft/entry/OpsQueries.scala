@@ -3239,6 +3239,51 @@ object OpsQueries {
                 SELECT 1 FROM documents r
                 WHERE r.doc_id < 250 AND r.text = d.text)""")),
 
+    // CCNet-style rank buckets over the (already-oracled) quality score:
+    // the oracle restates the SAME labels via one plain global
+    // row_number — exactly what the cell-decomposed implementation must
+    // equal, since the coarse cell grid is monotone in the score.
+    // Weights 3:3:4 so the cumulative fractions (0.3, 0.6) are the
+    // correctly-rounded doubles the SQL literals denote; NULL quality
+    // (NULL text) ranks first in both engines via explicit NULLS FIRST
+    Q("q_rank_buckets",
+      (s, d) => Sampling.rankBuckets(
+        T(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")),
+        col("q"), Seq("head" -> 3.0, "middle" -> 3.0, "tail" -> 4.0),
+        col("doc_id"))
+        .select("doc_id", "bucket"),
+      Some(s"""WITH t AS (
+                 SELECT doc_id, text, length(text) AS n, $duckWords AS w,
+                   length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) AS alpha_ratio
+                 FROM documents),
+               m AS (
+                 SELECT doc_id, n, alpha_ratio,
+                   CASE WHEN len(w) > 0 THEN
+                     length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)
+                   ELSE 0.0 END AS mean_word_len
+                 FROM t),
+               q AS (
+                 SELECT doc_id, round(
+                   (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                         WHEN n >= 20 AND n < 100 THEN 0.5 ELSE 0.0 END) * 0.4
+                   + alpha_ratio * 0.3
+                   + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+                           THEN 1.0 ELSE 0.3 END) * 0.3, 4) AS quality
+                 FROM m),
+               r AS (
+                 SELECT doc_id,
+                   row_number() OVER (ORDER BY quality ASC NULLS FIRST,
+                                      doc_id ASC) AS rk,
+                   (SELECT count(*) FROM q) AS nn
+                 FROM q)
+               SELECT doc_id,
+                 CASE WHEN rk <= floor(nn * 0.3) THEN 'head'
+                      WHEN rk <= floor(nn * 0.6) THEN 'middle'
+                      ELSE 'tail' END AS bucket
+               FROM r""")),
+
     // trainable BPE tokenizer — the q_compression-style INVARIANT
     // oracle: the merge table depends on training, so token VALUES are
     // not SQL-restatable, but the tokenizer's defining properties are,

@@ -307,6 +307,73 @@ object Sampling {
     * key-as-string) so duplicate hash values still order totally; NULL
     * keys land in shard 0 at the front (drop them upstream if unwanted).
     */
+  /** CCNet-style RANK buckets: label each row 'head'/'middle'/'tail'
+    * (any bucket list) by its GLOBAL ascending rank on `score` — the
+    * published perplexity-bucket selector (score the corpus with
+    * [[CharLm.score]], keep/downsample per bucket) — WITHOUT a global
+    * sort. Row r's bucket is k iff rank(r) ≤ floor(N · cumFrac_k),
+    * rank = position under (score asc NULLS FIRST, tieBreak asc);
+    * `tieBreak` must be total (include the id) or assignment at bucket
+    * boundaries is tie-arbitrary.
+    *
+    * Scale shape (the [[sampleToBudget]] discipline): scores coarsen
+    * onto a BOUNDED monotone cell grid (`floor(score·cellsPerUnit)` —
+    * size cellsPerUnit to the score's range, e.g. 1000 cells/unit for
+    * bits-per-char in [0, 30]); the census + cumulative-start window
+    * runs over that bounded frame, starts broadcast back, and the only
+    * corpus-wide work is ONE per-cell ranking window (cells bound the
+    * sort; screen degenerate score spikes with [[HotKeys]] if needed).
+    * Global rank = cell start + within-cell rank — identical to the
+    * single global sort a SQL oracle restates, because the cell grid is
+    * monotone in the score.
+    *
+    * Determinism contract: thresholds are `floor(N · (Σw₁..k / Σw))` —
+    * one correctly-rounded divide and multiply, so an oracle restating
+    * the cumulative fractions as literals must pick weights whose
+    * ratios are exactly representable (3:3:4 → 0.3/0.6, the
+    * [[temperatureMix]] discipline). Adds `bucket`; NULL scores rank
+    * first (broken upstream scores contaminate head, never the tail a
+    * curation step would keep). */
+  def rankBuckets(df: DataFrame, score: Column,
+                  buckets: Seq[(String, Double)], tieBreak: Column,
+                  cellsPerUnit: Long = 1000L): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall(_._2 > 0),
+      "rankBuckets: bucket weights must be positive")
+    require(buckets.map(_._1).distinct.length == buckets.length,
+      "rankBuckets: bucket names must be unique")
+    val w = org.apache.spark.sql.expressions.Window
+    val wsum = buckets.map(_._2).sum
+    val cols = df.columns
+    val cell = when(score.isNull, lit(Long.MinValue))
+      .otherwise(floor(score * cellsPerUnit).cast("long"))
+    val withCell = df.withColumn("_sc", score).withColumn("_cell", cell)
+    val census = withCell.groupBy("_cell").agg(count(lit(1)).as("_n"))
+      .persist() // bounded frame: read for starts, total, then released
+    val starts = census
+      .withColumn("_start", sum("_n").over(
+        w.orderBy("_cell").rowsBetween(Long.MinValue, 0L))
+        - col("_n"))
+      .select("_cell", "_start")
+    val n = census.agg(sum("_n")).head().getLong(0)
+    census.unpersist(false)
+    val uppers = buckets.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(cw => math.floor(n * (cw / wsum)).toLong)
+      .dropRight(1) :+ n
+    require((0L +: uppers) == (0L +: uppers).distinct.sorted,
+      s"rankBuckets: thresholds $uppers not strictly increasing from 0 " +
+        s"for n=$n (a bucket's share truncated to zero rows)")
+    val rank = col("_start") + row_number().over(
+      w.partitionBy("_cell").orderBy(col("_sc").asc_nulls_first, tieBreak.asc))
+    val bucketExpr = buckets.map(_._1).zip(uppers).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, up)) =>
+        when(col("_rank") <= up, lit(name)).otherwise(acc)
+      }
+    withCell.join(broadcast(starts), Seq("_cell"))
+      .withColumn("_rank", rank)
+      .withColumn("bucket", bucketExpr)
+      .select((cols.map(col) :+ col("bucket")): _*)
+  }
+
   def assignShards(df: DataFrame, key: Column, numShards: Int,
                    seed: Long = 42L,
                    hash: Column => Column = xxhash64(_)): DataFrame = {

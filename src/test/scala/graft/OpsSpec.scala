@@ -491,6 +491,44 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("rankBuckets: global-sort parity, ties, nulls-first, threshold guard") {
+    import graft.ops.Sampling
+    // scores engineered for coarse-cell collisions (many share a cell)
+    // plus exact ties and NULLs — the cases where the cell decomposition
+    // could diverge from a plain global sort
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      val sc: java.lang.Double =
+        if (i % 37 == 0) null
+        else if (i % 5 == 0) 2.5                   // exact tie group
+        else math.floor(rnd.nextDouble() * 40) / 10 // collides per 0.1 cell
+      (i.toLong, sc)
+    }
+    val df = rows.toDF("id", "sc")
+    val out = Sampling.rankBuckets(df, col("sc"),
+      Seq("head" -> 3.0, "middle" -> 3.0, "tail" -> 4.0), col("id"),
+      cellsPerUnit = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // brute-force oracle: global sort (score asc nulls first, id asc)
+    val sorted = rows.sortBy { case (id, sc) =>
+      (if (sc == null) (0, 0.0) else (1, sc.doubleValue()), id)
+    }
+    val n = rows.length
+    val t1 = math.floor(n * 0.3).toLong
+    val t2 = math.floor(n * 0.6).toLong
+    sorted.zipWithIndex.foreach { case ((id, _), idx) =>
+      val want = if (idx + 1 <= t1) "head" else if (idx + 1 <= t2) "middle" else "tail"
+      assert(out(id) == want, s"id=$id rank=${idx + 1}")
+    }
+    // NULL scores land in head (rank first)
+    assert(rows.filter(_._2 == null).forall(r => out(r._1) == "head"))
+    // a bucket whose share truncates to zero rows fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.rankBuckets(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "sc"),
+        col("sc"), Seq("a" -> 1e-9, "b" -> 1.0), col("id"))
+    }
+  }
+
   // ---- text analysis ----
 
   test("langId picks the language with most stopword hits") {
