@@ -78,5 +78,9 @@ object PlanAudit {
     audit("lrScore", LrClassifier.score(docs, "text", lrm))
     audit("stripMarkupKernel", docs.select(WebText.stripMarkup(
       concat(lit("<div>"), col("text"), lit("</div><script>x</script>")))))
+    audit("rankBuckets", Sampling.rankBuckets(
+      docs.select(col("doc_id"), col("n_chars").cast("double").as("sc")),
+      col("sc"), Seq("head" -> 3.0, "middle" -> 3.0, "tail" -> 4.0),
+      col("doc_id"), cellsPerUnit = 1L))
   }
 }
