@@ -1840,7 +1840,7 @@ object OpsQueries {
                      LEFT JOIN fbd ON fbd.doc_id = d0.doc_id
                      LEFT JOIN w2 ON w2.b = fbd.b
                      GROUP BY d0.doc_id)
-              SELECT doc_id, n_features, zm AS lr_zmicro,
+              SELECT doc_id, n_features, zm::BIGINT AS lr_zmicro,
                 round(1/(1+exp(-(zm/1000000.0))), 6) AS lr_prob
               FROM zf""")),
 

@@ -46,6 +46,18 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
         return df
     s = tupleize(spark_df[sc].copy()).sort_values(sc).reset_index(drop=True)
     d = tupleize(duck_df[dc].copy()).sort_values(dc).reset_index(drop=True)
+    # dtype-class guard: the driver's hash is dtype-sensitive — an oracle
+    # that leaks HUGEINT (e.g. sum(BIGINT)) materializes as float64 in
+    # pandas while Spark writes int64; values compare equal but the hash
+    # diverges (q_lr_quality, r6). Flag int-vs-float divergence hard.
+    dt_bad = [c for c in sc
+              if s[c].dtype.kind in "iu" and d[c].dtype.kind == "f"
+              or s[c].dtype.kind == "f" and d[c].dtype.kind in "iu"]
+    if dt_bad:
+        fails.append((name, "dtype class mismatch (int vs float): " +
+                      ", ".join(f"{c} spark={s[c].dtype} duck={d[c].dtype}"
+                                for c in dt_bad)))
+        continue
     if len(s) != len(d):
         fails.append((name, f"row count: spark={len(s)} duck={len(d)}"))
         continue
