@@ -162,6 +162,7 @@ object RgbStats {
     val rawH = le32(b, 22).toInt   // negative = top-down (stats agnostic)
     val bits = le16(b, 28)
     val compression = le32(b, 30)
+    if (rawH == Int.MinValue) return null // abs() would stay negative
     val height = math.abs(rawH)
     if (width <= 0 || height == 0 || bits != 24 || compression != 0L ||
         dataOff < 54 || dataOff > b.length) return null
@@ -169,7 +170,10 @@ object RgbStats {
     val stride = (rowBytes + 3) & ~3L // rows pad to 4-byte boundaries
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var n = 0L
     var y = 0
-    while (y < height) {
+    // stride >= 4, so rowStart is monotone in y: stopping at the first
+    // row that starts past the payload bounds the loop by the real byte
+    // count (a forged header can't spin 2^31 empty rows or overflow Long).
+    while (y < height && dataOff + y * stride + 3 <= b.length) {
       val rowStart = dataOff + y * stride
       var x = 0
       while (x < width && rowStart + x * 3 + 3 <= b.length) {

@@ -64,7 +64,8 @@ object Bpe {
         val merges = Vector.fill(nm)((in.readUTF(), in.readUTF()))
         val nv = in.readInt()
         require(nv >= 1 && nv <= blob.length, "bpe blob: implausible vocab size")
-        Model(merges, Vector.fill(nv)(in.readUTF()))
+        // distinct: normalize blobs written before vocab dedup existed
+        Model(merges, Vector.fill(nv)(in.readUTF()).distinct)
       } catch {
         case e: java.io.EOFException =>
           throw new IllegalArgumentException("bpe blob: truncated", e)
@@ -146,7 +147,13 @@ object Bpe {
       }
     }
     val ms = merges.result()
-    val vocab = Vector("<unk>") ++ alphabet.toVector.sorted ++ ms.map(p => p._1 + p._2)
+    // distinct: two merge chains can assemble the same joined string
+    // (or literally "<unk>"); duplicate vocab symbols would make the
+    // tokenIds map() literal throw under mapKeyDedupPolicy=EXCEPTION
+    // and would disagree with Model.ids (toMap keeps last). First
+    // occurrence wins, matching merge-rank order.
+    val vocab = (Vector("<unk>") ++ alphabet.toVector.sorted ++
+      ms.map(p => p._1 + p._2)).distinct
     Model(ms, vocab)
   }
 

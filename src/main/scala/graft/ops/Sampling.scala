@@ -333,29 +333,69 @@ object Sampling {
     * ratios are exactly representable (3:3:4 → 0.3/0.6, the
     * [[temperatureMix]] discipline). Adds `bucket`; NULL scores rank
     * first (broken upstream scores contaminate head, never the tail a
-    * curation step would keep). */
+    * curation step would keep); NaN scores rank LAST, matching Spark's
+    * ordering (and a true global sort) where NaN is greater than every
+    * double.
+    *
+    * Skew guard (built in, always on): a degenerate score distribution
+    * — a broken upstream LM emitting one constant, or NULL-heavy scores
+    * — collapses the corpus into ONE cell, which would serialize into a
+    * single task's sort. Cells whose census count exceeds
+    * `hotCellRows` are therefore SUB-SPLIT before ranking: a bounded
+    * deterministic sample ([[sampleExactK]]) of the hot cell yields
+    * `subSplits` quantile boundaries on (score, tieBreak) as plan
+    * literals; each row's sub-index is the count of boundaries below
+    * its own (score, tieBreak), which is MONOTONE in the ranking key,
+    * so `global rank = (cell, sub) start + within-(cell, sub) rank`
+    * still equals the single global sort. Cold inputs pay nothing
+    * beyond the census they already run. Reserved scratch/output names
+    * `_sc _cell _sub _rank _start _n bucket` must not appear in the
+    * input (guarded — withColumn would silently clobber them). */
   def rankBuckets(df: DataFrame, score: Column,
                   buckets: Seq[(String, Double)], tieBreak: Column,
-                  cellsPerUnit: Long = 1000L): DataFrame = {
+                  cellsPerUnit: Long = 1000L,
+                  hotCellRows: Long = 4000000L,
+                  subSplits: Int = 64): DataFrame = {
     require(buckets.nonEmpty && buckets.forall(_._2 > 0),
       "rankBuckets: bucket weights must be positive")
     require(buckets.map(_._1).distinct.length == buckets.length,
       "rankBuckets: bucket names must be unique")
+    require(hotCellRows >= 1 && subSplits >= 2,
+      "rankBuckets: hotCellRows must be >= 1 and subSplits >= 2")
+    val reserved = Seq("_sc", "_cell", "_sub", "_rank", "_start", "_n", "bucket")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"rankBuckets: input column(s) ${clash.mkString(", ")} collide with " +
+        "reserved scratch/output names — rename them upstream")
     val w = org.apache.spark.sql.expressions.Window
     val wsum = buckets.map(_._2).sum
     val cols = df.columns
     val cell = when(score.isNull, lit(Long.MinValue))
+      .when(isnan(score.cast("double")), lit(Long.MaxValue))
       .otherwise(floor(score * cellsPerUnit).cast("long"))
     val withCell = df.withColumn("_sc", score).withColumn("_cell", cell)
-    val census = withCell.groupBy("_cell").agg(count(lit(1)).as("_n"))
-      .persist() // bounded frame: read for starts, total, then released
+    val census0 = withCell.groupBy("_cell").agg(count(lit(1)).as("_n"))
+      .persist() // bounded frame: read for n, hot set, starts; then released
+    val n = census0.agg(sum("_n")).head().getLong(0)
+    val hotCells = census0.where(col("_n") > hotCellRows)
+      .select("_cell").collect().map(_.getLong(0))
+    require(hotCells.length <= 64,
+      s"rankBuckets: ${hotCells.length} cells exceed $hotCellRows rows — " +
+        "the grid is too coarse for this score; raise cellsPerUnit")
+    // hot cells: sample-quantile boundaries on (score, tieBreak) become a
+    // monotone sub-index; cold cells ride sub 0
+    val subCol: Column =
+      if (hotCells.isEmpty) lit(0)
+      else hotSubColumn(withCell, tieBreak, hotCells, subSplits)
+    val withSub = withCell.withColumn("_sub", subCol)
+    val census =
+      if (hotCells.isEmpty) census0.withColumn("_sub", lit(0))
+      else withSub.groupBy("_cell", "_sub").agg(count(lit(1)).as("_n"))
     val starts = census
       .withColumn("_start", sum("_n").over(
-        w.orderBy("_cell").rowsBetween(Long.MinValue, 0L))
+        w.orderBy("_cell", "_sub").rowsBetween(Long.MinValue, 0L))
         - col("_n"))
-      .select("_cell", "_start")
-    val n = census.agg(sum("_n")).head().getLong(0)
-    census.unpersist(false)
+      .select("_cell", "_sub", "_start")
     val uppers = buckets.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(cw => math.floor(n * (cw / wsum)).toLong)
       .dropRight(1) :+ n
@@ -363,15 +403,59 @@ object Sampling {
       s"rankBuckets: thresholds $uppers not strictly increasing from 0 " +
         s"for n=$n (a bucket's share truncated to zero rows)")
     val rank = col("_start") + row_number().over(
-      w.partitionBy("_cell").orderBy(col("_sc").asc_nulls_first, tieBreak.asc))
+      w.partitionBy("_cell", "_sub")
+        .orderBy(col("_sc").asc_nulls_first, tieBreak.asc))
     val bucketExpr = buckets.map(_._1).zip(uppers).reverse
       .foldLeft(lit(null).cast("string")) { case (acc, (name, up)) =>
         when(col("_rank") <= up, lit(name)).otherwise(acc)
       }
-    withCell.join(broadcast(starts), Seq("_cell"))
+    val out = withSub.join(broadcast(starts), Seq("_cell", "_sub"))
       .withColumn("_rank", rank)
       .withColumn("bucket", bucketExpr)
       .select((cols.map(col) :+ col("bucket")): _*)
+    census0.unpersist(false)
+    out
+  }
+
+  /** [[rankBuckets]]'s hot-cell sub-splitter: for each hot cell, a
+    * bounded deterministic sample ([[sampleExactK]], TakeOrdered shape)
+    * yields `subSplits` quantile boundaries on (score, tieBreak) as
+    * plan literals; the returned column is the count of boundaries
+    * strictly below the row's own (score, tieBreak) — monotone in the
+    * ranking key, 0 for cold cells. Package-private so the spec can
+    * assert sub-cell balance directly. `withCell` must carry `_sc` and
+    * `_cell`. */
+  private[graft] def hotSubColumn(withCell: DataFrame, tieBreak: Column,
+                                hotCells: Array[Long],
+                                subSplits: Int): Column = {
+    val w = org.apache.spark.sql.expressions.Window
+    val key = struct(col("_sc").as("s"), tieBreak.as("t"))
+    hotCells.map { c =>
+      val samp = withCell.where(col("_cell") === lit(c))
+        .select(col("_sc").as("s"), tieBreak.as("t"))
+      val sample = sampleExactK(samp,
+        concat_ws(":", col("s").cast("string"), col("t").cast("string")),
+        4096)
+      val sTyp = sample.schema("s").dataType
+      val tTyp = sample.schema("t").dataType
+      // tiny frame: ntile window over <= 4096 rows is one small task
+      val bounds = sample
+        .withColumn("_q", ntile(subSplits).over(
+          w.orderBy(col("s").asc_nulls_first, col("t").asc)))
+        .groupBy("_q").agg(max(struct(col("s"), col("t"))).as("_b"))
+        .orderBy("_q").select("_b").collect()
+        .map(_.getStruct(0)).dropRight(1) // top ntile's max bounds nothing
+      val subExpr =
+        if (bounds.isEmpty) lit(0)
+        else bounds.map { b =>
+          val bl = struct(lit(b.get(0)).cast(sTyp).as("s"),
+            lit(b.get(1)).cast(tTyp).as("t"))
+          when(key > bl, 1).otherwise(0)
+        }.reduce(_ + _)
+      (c, subExpr)
+    }.foldLeft(lit(0)) { case (acc, (c, e)) =>
+      when(col("_cell") === lit(c), e).otherwise(acc)
+    }
   }
 
   def assignShards(df: DataFrame, key: Column, numShards: Int,

@@ -489,6 +489,23 @@ class OpsSpec extends SparkSpec {
     val plan = Bpe.tokenize(messy, "text", m)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
+    // duplicate vocab symbols (two merge chains assembling one string,
+    // or a literal "<unk>" in the corpus) must not reach the tokenIds
+    // map() literal (mapKeyDedupPolicy=EXCEPTION) nor diverge from
+    // Model.ids: training dedupes keep-first, and deserialize
+    // normalizes pre-dedup blobs the same way
+    val dup = Seq.fill(8)("ababab").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val md = Bpe.train(dup, "text", numMerges = 6, sampleRows = 100)
+    assert(md.vocab == md.vocab.distinct, md.vocab.toString)
+    assert(md.ids.size == md.vocab.length)
+    val blob = Bpe.Model(md.merges,
+      md.vocab ++ Vector(md.vocab.last)).serialize
+    assert(Bpe.Model.deserialize(blob).vocab == Bpe.Model.deserialize(blob).vocab.distinct)
+    // and tokenize still round-trips under the deduped vocab
+    val dd = Bpe.tokenize(Seq((1L, "abab<unk>ab")).toDF("id", "text"), "text", md)
+      .select(concat_ws("", col("tokens")) === col("text")).head().getBoolean(0)
+    assert(dd)
   }
 
   test("rankBuckets: global-sort parity, ties, nulls-first, threshold guard") {
@@ -527,6 +544,54 @@ class OpsSpec extends SparkSpec {
       Sampling.rankBuckets(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "sc"),
         col("sc"), Seq("a" -> 1e-9, "b" -> 1.0), col("id"))
     }
+    // NaN scores rank LAST (a true global sort orders NaN above every
+    // double), not into cell 0 with the low scores
+    val nanOut = Sampling.rankBuckets(
+      Seq((1L, Double.NaN), (2L, 1.0), (3L, 2.0), (4L, 3.0)).toDF("id", "sc"),
+      col("sc"), Seq("head" -> 1.0, "tail" -> 1.0), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(nanOut(1L) == "tail" && nanOut(2L) == "head")
+    // reserved scratch/output names are guarded, not silently clobbered
+    intercept[IllegalArgumentException] {
+      Sampling.rankBuckets(Seq((1L, 1.0, "x"), (2L, 2.0, "y"))
+        .toDF("id", "sc", "bucket"),
+        col("sc"), Seq("a" -> 1.0, "b" -> 1.0), col("id"))
+    }
+  }
+
+  test("rankBuckets: hot-cell sub-split ranks degenerate constant scores " +
+    "without a single-task sort") {
+    import graft.ops.Sampling
+    val n = 100000
+    // the exact failure input the guard exists for: a broken upstream
+    // scorer emitting one constant -> the whole corpus lands in ONE cell
+    val df = spark.range(n.toLong).select(col("id"), lit(0.0).as("sc"))
+    val out = Sampling.rankBuckets(df, col("sc"),
+      Seq("head" -> 3.0, "middle" -> 3.0, "tail" -> 4.0), col("id"),
+      hotCellRows = 10000L, subSplits = 16)
+    // plan: the ranking window partitions by (_cell, _sub), never _cell alone
+    val winSpecs = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(winSpecs.contains("_sub"),
+      s"rank window not partitioned by _sub:\n$winSpecs")
+    // balance: the sub assignment actually splits the hot cell — no
+    // sub-cell holds more than 4x the ideal share (sample-quantile bound)
+    val withCell = df.withColumn("_sc", col("sc"))
+      .withColumn("_cell", lit(0L))
+    val sub = Sampling.hotSubColumn(withCell, col("id"), Array(0L), 16)
+    val subCounts = withCell.withColumn("_sub", sub)
+      .groupBy("_sub").count().collect().map(_.getLong(1))
+    assert(subCounts.length >= 8 && subCounts.max <= (n / 16) * 4,
+      s"sub-split unbalanced: ${subCounts.mkString(",")}")
+    // exactness: bucket boundaries fall at the global-sort ranks
+    val byId = out.select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(0L) == "head" && byId(29999L) == "head")
+    assert(byId(30000L) == "middle" && byId(59999L) == "middle")
+    assert(byId(60000L) == "tail" && byId(n - 1L) == "tail")
+    val counts = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("head" -> 30000L, "middle" -> 30000L, "tail" -> 40000L))
   }
 
   // ---- text analysis ----
@@ -1558,7 +1623,9 @@ class OpsSpec extends SparkSpec {
       (3L, bmp(2, 2, 24, 0, px.dropRight(10))),      // truncated: row 1 loses pixel 2
       (4L, bmp(2, 2, 8, 0, px)),                     // unsupported depth
       (5L, bmp(2, 2, 24, 1, px)),                    // compressed (BI_RLE8)
-      (6L, "PNG-ish junk payload".getBytes))
+      (6L, "PNG-ish junk payload".getBytes),
+      (8L, bmp(2, Int.MinValue, 24, 0, px)),         // abs() would stay negative
+      (9L, bmp(Int.MaxValue, Int.MaxValue, 24, 0, px))) // forged dims: y*stride would overflow Long
       .toDF("id", "payload")
     val topDown = ("BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++
       le32(54) ++ le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++
@@ -1582,7 +1649,106 @@ class OpsSpec extends SparkSpec {
     // pixels remain whole — row 1's start lies past the payload
     val tr = got(3L)
     assert(tr.getLong(3) == 2L && tr.getLong(4) == 30L + 60)
-    Seq(4L, 5L, 6L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
+    Seq(4L, 5L, 6L, 8L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
+    // forged huge height: loop is bounded by the payload, not the header
+    // (2^31 declared rows must not spin; only the 2 real rows decode)
+    val hh = got(2L)
+    assert(hh.getInt(2) == (-2 & 0x7FFFFFFF) && hh.getLong(3) == 4L)
+    // forged huge width AND height: y*stride would overflow Long without
+    // the payload bound — must decode the in-payload prefix, not throw
+    val ow = got(9L)
+    assert(ow.getLong(3) == 5L, s"n_px=${ow.getLong(3)}") // floor((16-3)/3)+1 px of row 0 fit
+  }
+
+  test("pngStats: real PNG decode — inflate, all five filters, gray/RGBA, " +
+    "truncation, rejects") {
+    import graft.ops.Multimodal
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) =
+      be32(data.length) ++ typ.getBytes ++ data ++ be32(0) // CRCs unchecked
+    def ihdr(w: Int, h: Int, ct: Int, depth: Int = 8, il: Int = 0) =
+      chunk("IHDR", be32(w) ++ be32(h) ++
+        Array(depth.toByte, ct.toByte, 0.toByte, 0.toByte, il.toByte))
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def deflate(raw: Array[Byte], level: Int = -1) = {
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    def png(w: Int, h: Int, ct: Int, idat: Array[Byte],
+            depth: Int = 8, il: Int = 0) =
+      sig ++ ihdr(w, h, ct, depth, il) ++ chunk("IDAT", idat) ++
+        chunk("IEND", Array.empty[Byte])
+    // inverse of the decoder's unfilter: emit the FILTERED scanline that
+    // must reconstruct to `cur`
+    def filterRow(f: Int, cur: Array[Byte], prev: Array[Byte], bpp: Int) = {
+      val out = new Array[Byte](cur.length + 1); out(0) = f.toByte
+      def u(a: Array[Byte], i: Int) = if (i >= 0) a(i) & 0xFF else 0
+      def paeth(a: Int, b: Int, c: Int) = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      for (i <- cur.indices) {
+        val left = u(cur, i - bpp); val up = u(prev, i); val ul = u(prev, i - bpp)
+        val sub = f match {
+          case 0 => 0; case 1 => left; case 2 => up
+          case 3 => (left + up) >>> 1; case 4 => paeth(left, up, ul)
+        }
+        out(i + 1) = (((cur(i) & 0xFF) - sub) & 0xFF).toByte
+      }
+      out
+    }
+    // 3x5 RGB, one row per filter type 0..4, deterministic pixels
+    val w = 3; val h = 5; val bpp = 3
+    val pixels = Array.tabulate(h, w * bpp)((j, i) => ((j * 31 + i * 7 + 5) % 256).toByte)
+    val rawB = Array.newBuilder[Byte]
+    var prevRow = new Array[Byte](w * bpp)
+    for (j <- 0 until h) { rawB ++= filterRow(j, pixels(j), prevRow, bpp); prevRow = pixels(j) }
+    val raw = rawB.result()
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (j <- 0 until h; x <- 0 until w) {
+      er += pixels(j)(x * 3) & 0xFF; eg += pixels(j)(x * 3 + 1) & 0xFF
+      eb += pixels(j)(x * 3 + 2) & 0xFF
+    }
+    val rgb = png(w, h, 2, deflate(raw))
+    val gray = png(2, 2, 0, deflate(Array[Byte](0, 1, 2, 0, 3, 4)))
+    val rgba = png(1, 2, 6, deflate(Array[Byte](
+      0, 10, 20, 30, 99.toByte, 0, 40, 50, 60, 7)))
+    // stored-block (level 0) stream cut after row 0: exactly w pixels decode
+    val stored = deflate(raw, level = 0)
+    val oneRow = png(w, h, 2, stored.take(2 + 5 + (w * bpp + 1)))
+    val rows = Seq(
+      (1L, rgb), (2L, gray), (3L, rgba), (4L, oneRow),
+      (5L, rgb.dropRight(30)),                         // byte-truncated payload
+      (6L, png(2, 2, 2, deflate(Array[Byte](0, 1, 2)), depth = 16)), // depth 16
+      (7L, png(2, 2, 2, deflate(Array[Byte](0, 1, 2)), il = 1)),     // interlaced
+      (8L, png(2, 2, 3, deflate(Array[Byte](0, 1, 2)))),             // palette
+      (9L, "not a png at all".getBytes))
+      .toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.pngStats(col("payload")).as("st"))
+      .select(col("id"), col("st.width"), col("st.height"), col("st.n_px"),
+        col("st.sum_r"), col("st.sum_g"), col("st.sum_b"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val full = got(1L)
+    assert((full.getInt(1), full.getInt(2), full.getLong(3)) == (w, h, (w * h).toLong))
+    assert((full.getLong(4), full.getLong(5), full.getLong(6)) == (er, eg, eb),
+      full.toString)
+    val g = got(2L)
+    assert((g.getInt(1), g.getLong(3), g.getLong(4), g.getLong(5), g.getLong(6))
+      == (2, 4L, 10L, 10L, 10L))
+    val a = got(3L)
+    assert((a.getLong(3), a.getLong(4), a.getLong(5), a.getLong(6))
+      == (2L, 50L, 70L, 90L)) // alpha bytes ignored
+    // stored-block cut after row 0: the decoded prefix is exactly row 0
+    val o = got(4L)
+    val r0 = (0 until w).map(x => pixels(0)(x * 3) & 0xFF).sum.toLong
+    assert(o.getLong(3) == w.toLong && o.getLong(4) == r0, o.toString)
+    // byte-truncated: never throws, decodes a strict prefix
+    assert(got(5L).isNullAt(1) || got(5L).getLong(3) < (w * h).toLong)
+    Seq(6L, 7L, 8L, 9L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
   }
 
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
