@@ -1447,6 +1447,84 @@ object OpsQueries {
                 ELSE round((sr+sg+sb)::DOUBLE / (3*n), 6) END AS brightness
               FROM g JOIN st USING (doc_id)""")),
 
+    // REAL PNG pixel decode: payloads are genuine PNGs — zlib stream
+    // (stored-block deflate, expressible in SQL byte-building) + filter-0
+    // scanlines — decoded by the PngStats kernel's Inflater + unfilter
+    // path; the oracle recomputes the stats from the SAME pixel formulas
+    // without touching bytes, so a decode bug cannot cancel out. Pixel
+    // values match q_image_rgb's formulas exactly (PNG stores RGB order
+    // vs BMP's BGR — a channel-order bug flips sum_r/sum_b and fails the
+    // hash). doc_id%5==4 is a non-PNG payload (all NULLs). Compressed
+    // (non-stored) deflate and filters 1-4 are exercised by PngStatsSpec
+    // fixtures in OpsSpec (Deflater isn't expressible in the SQL oracle).
+    Q("q_image_png",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          hex2(v), hex2(floor(v / 256).cast("int"))) }
+        def be32h(v0: Column) = lpad(hex(v0.cast("int")), 8, "0")
+        val id = col("doc_id")
+        val w = (pmod(id, lit(4)) + 1).cast("int")
+        val h = (pmod(id, lit(3)) + 1).cast("int")
+        val rawLen = (h * (w * 3 + 1)).cast("int")
+        val scanlines = concat_ws("", transform(sequence(lit(0), h - 1), j =>
+          concat(lit("00"), // filter type None
+            concat_ws("", transform(sequence(lit(0), w - 1), x => concat(
+              hex2(id * 3 + x + j * 11),         // R on disk (PNG order)
+              hex2(id * 2 + x * 5 + j),          // G
+              hex2(id + x * 3 + j * 7)))))))     // B
+        // zlib: header 0x7801, one final stored block (BFINAL=1 BTYPE=00),
+        // LEN/NLEN little-endian; adler trailer omitted (the kernel reads
+        // exactly h scanlines and never needs the checksum)
+        val zlib = concat(lit("780101"), le16h(rawLen),
+          le16h(lit(65535) - rawLen), scanlines)
+        val png = unhex(concat(
+          lit("89504E470D0A1A0A"),
+          lit("0000000D"), lit("49484452"), be32h(w), be32h(h),
+          lit("0802000000"), lit("00000000"), // depth 8, RGB; CRC unchecked
+          be32h(rawLen + 7), lit("49444154"), zlib, lit("00000000"),
+          lit("00000000"), lit("49454E44"), lit("00000000")))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(png)
+        val st = Multimodal.pngStats(payload)
+        T(s, d, "documents").select(id, st.as("st"))
+          .select(id,
+            col("st.width").as("width"), col("st.height").as("height"),
+            col("st.n_px").as("n_px"), col("st.sum_r").as("sum_r"),
+            col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"),
+            Multimodal.rgbMeanBrightness(col("st")).as("brightness"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h
+                FROM documents),
+              pix AS (
+                SELECT doc_id, x, j FROM g,
+                  unnest(range(0, h)) AS tj(j),
+                  unnest(range(0, w)) AS tx(x)),
+              st AS (
+                SELECT doc_id,
+                  count(*) AS n,
+                  sum((doc_id*3 + x + j*11) % 256) AS sr,
+                  sum((doc_id*2 + x*5 + j) % 256) AS sg,
+                  sum((doc_id + x*3 + j*7) % 256) AS sb
+                FROM pix GROUP BY doc_id)
+              SELECT g.doc_id,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE w END)::INT
+                  AS width,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE h END)::INT
+                  AS height,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE n END)::BIGINT
+                  AS n_px,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sr END)::BIGINT
+                  AS sum_r,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sg END)::BIGINT
+                  AS sum_g,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sb END)::BIGINT
+                  AS sum_b,
+                CASE WHEN g.doc_id % 5 = 4 THEN NULL
+                ELSE round((sr+sg+sb)::DOUBLE / (3*n), 6) END AS brightness
+              FROM g JOIN st USING (doc_id)""")),
+
     // REAL PCM decode: 16-bit mono WAVs with formula-generated frames —
     // the kernel decodes the actual bytes; the oracle recomputes the
     // integer stats from the SAME sample formula (never touching bytes),

@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side contract (schema, partitioning, batch shape) is real
   * and tested, and so is container-header METADATA extraction
   * ([[imageDims]]: PNG/JPEG/GIF format + dimensions, pure byte parsing).
-  * Only PIXEL decoding is STUBBED with a deterministic fake (this
-  * container has no image/audio codecs). A production deployment swaps
+  * PIXEL/SAMPLE decode is REAL wherever the stock JVM suffices: BMP
+  * ([[rgbStats]]), PNG incl. inflate + unfilter ([[pngStats]]), and WAV
+  * PCM ([[pcmStats]]). Only codec-requiring decode (JPEG/GIF pixels,
+  * MP3 audio frames) stays STUBBED with a deterministic fake (this
+  * container has no codec libraries). A production deployment swaps
   * `fakeDecode*` for a Pandas-UDF / mapInArrow stage with the same
   * input/output schema — nothing else changes.
   */
@@ -59,6 +62,20 @@ object Multimodal {
   def rgbStats(payload: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.compile.RgbStats(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** REAL PNG pixel decode: same integer channel stats as [[rgbStats]]
+    * (width, height, n_px, Σr, Σg, Σb) over a PNG payload via
+    * [[graft.compile.PngStats]] — IDAT inflate with stock
+    * `java.util.zip.Inflater` plus RFC 2083 per-row unfilter
+    * (None/Sub/Up/Average/Paeth), streaming two row buffers so memory
+    * is O(row). Depth-8, color types 0/2/4/6, non-interlaced; anything
+    * else (and non-PNG) → NULL; truncated/corrupt IDAT → decoded-prefix
+    * stats, never a throw. Composable with [[rgbMeanBrightness]]. */
+  def pngStats(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.PngStats(
       ColumnBridge.expression(payload)))
   }
 
