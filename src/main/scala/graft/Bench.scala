@@ -232,13 +232,44 @@ object Bench {
     val windowQuality =
       f""""window_quality":{"selected_sample":$bestIdx,"effective_cores":${sel.quality}%.1f,""" +
       """"policy":"headline fields come from the sample maximizing min(start,end) probe effective cores"}"""
-    println(
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$best,"sf":"$sfDir",""" +
       s""""queries_median":$med,$probeStart,$probeEnd,""" +
       s""""headline_samples":$samplesJson,$windowQuality,""" +
       s""""bench_rows":$rows,"bench_tokens":$tokens,""" +
-      s""""sequences_per_sec":${seqPerSec.round},"tokens_per_sec":${tokPerSec.round}}""")
-    spark.stop()
+      s""""sequences_per_sec":${seqPerSec.round},"tokens_per_sec":${tokPerSec.round}}"""
+    println(fullJson)
+    // the driver keeps only the LAST 2000 stdout chars and json-parses
+    // the final line — the full record above exceeds that (every r5/r6
+    // artifact landed "parsed": null), so persist it to a side file and
+    // END stdout with a compact line that always fits: headline fields,
+    // window quality, and the slowest queries, budget-bounded
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    val slowest = allDraws.map { case (k, v) => k -> v.min }
+      .sortBy(-_._2)
+    val qParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var budget = 900 // chars for the compact queries map
+    slowest.foreach { case (k, v) =>
+      val part = "\"" + k + "\":" + f"$v%.3f"
+      if (budget - part.length - 1 >= 0) { qParts += part; budget -= part.length + 1 }
+    }
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""sequences_per_sec":${seqPerSec.round},"tokens_per_sec":${tokPerSec.round},""" +
+      s""""bench_rows":$rows,"bench_tokens":$tokens,$windowQuality,""" +
+      s""""n_queries":${allDraws.length},""" +
+      s""""queries":${qParts.mkString("{", ",", "}")},""" +
+      s""""queries_note":"slowest best-of-$qIters subset; full map on the first stdout line and in BENCH_FULL.json"}"""
+    // stop BEFORE the final print: with run/outputStrategy=StdoutOutput the
+    // fork's stderr (Spark logs) interleaves into stdout, and a shutdown
+    // WARN after the compact line would push it out of the driver's
+    // 2000-char tail window
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop() catch { case _: Throwable => () }
+    println(compact)
+    System.out.flush()
   }
 }
 
