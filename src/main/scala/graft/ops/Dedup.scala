@@ -127,19 +127,27 @@ object Dedup {
                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(minShared >= 1, s"minShared ($minShared) must be >= 1")
     // distinct (id, fp): coverage is over the fingerprint SET (a gram
-    // repeated within one doc counts once — MOSS's match-count metric)
+    // repeated within one doc counts once — MOSS's match-count metric).
+    // ONE id-keyed aggregation builds the per-doc fp set AND its size,
+    // so every selection row carries its coverage denominator (_sz) and
+    // the pair aggregation reads it with first() — the r6 shape spent a
+    // distinct + a sizes aggregate + TWO re-joins of the pairs frame on
+    // the same facts. Per-doc set state is bounded by doc length
+    // (winnowed density ~2/(w+1)), never corpus-sized.
     val sel = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct().persist()
-    val sizes = sel.groupBy("id").agg(count(lit(1)).as("_n"))
+      .select(col(idCol).as("id"), col("fp"))
+      .groupBy("id").agg(collect_set(col("fp")).as("_fps"))
+      .select(col("id"), size(col("_fps")).cast("long").as("_sz"),
+        explode(col("_fps")).as("fp"))
+      .persist()
     val capped = capBuckets(sel, Seq("fp"), maxBucket)
-    val pairs0 = capped.select(col("fp"), col("id").as("id_a"))
-      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+    val out = capped.select(col("fp"), col("id").as("id_a"), col("_sz").as("_na"))
+      .join(capped.select(col("fp"), col("id").as("id_b"), col("_sz").as("_nb")),
+        Seq("fp"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"),
+        first("_na").as("_na"), first("_nb").as("_nb"))
       .where(col("shared_fps") >= minShared)
-    val out = pairs0
-      .join(sizes.select(col("id").as("id_a"), col("_n").as("_na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("_n").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("shared_fps"),
         (col("shared_fps").cast("double") / col("_na")).as("coverage_a"),
         (col("shared_fps").cast("double") / col("_nb")).as("coverage_b"))
