@@ -553,7 +553,8 @@ object Similarity {
     // ZERO per-call quantization work — the candidate stage never
     // touches the float corpus at all (AnnScaleBench measured the
     // inline path at ~3x the persisted path's scan cost)
-    val qc = preQuantized.getOrElse(quantizeInt8(corpus, corpusId, corpusVec))
+    val qc = spreadForScan(
+      preQuantized.getOrElse(quantizeInt8(corpus, corpusId, corpusVec)))
       .select(col(corpusId).as("neighbor_id"), col("qvec").as("cq"))
       .withColumn("cn", sqrt(dotQuantized(col("cq"), col("cq")).cast("double")))
     val qq = broadcast(quantizeInt8(queries, queryId, queryVec)
@@ -580,6 +581,21 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "approx_sim", "sim", "rank")
+  }
+
+  /** Guarantee candidate-scan parallelism for the compressed-code ANN
+    * tiers: a persisted int8/PQ table is tiny in BYTES (a 4-64×
+    * compression of the float corpus), so Spark's bytes-based split
+    * sizing hands the scan a handful of partitions — but the
+    * query-broadcast candidate stage costs rows × queries regardless of
+    * bytes, and under-splitting serializes it (AnnScaleBench measured
+    * the persisted PQ scan 5× slower than inline purely from the 8-vs-64
+    * partition read). Repartition up only when the input is
+    * under-split; at cluster scale a real code table already reads as
+    * ≥ defaultParallelism splits and this is a no-op. */
+  private def spreadForScan(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   // ------------------------------------------------------------------
@@ -674,16 +690,27 @@ object Similarity {
     // `preCodes` is the production shape: a persisted pqEncode output
     // (idCol, pcode) — the ADC scan then reads m longs per vector and
     // never touches the float corpus until the rerank re-join
-    val codes = preCodes
+    // degenerate rows (NULL code array / NULL element from a degenerate
+    // vector) are screened BEFORE the pair join, on the raw per-row
+    // columns — never on the computed distance. A post-join
+    // isnotnull(adc_dist) filter gets pushed through the projection into
+    // the BNLJ join CONDITION, inlining the full m-lookup ADC expression
+    // a second time into the fused codegen stage; on the persisted-code
+    // plan that fused stage falls out of JIT and the candidate scan runs
+    // ~6x slower (PqDiag at 1M vectors: 80.7 s -> inline-parity)
+    val codes = spreadForScan(preCodes
       .map(_.select(col(corpusId).as("neighbor_id"), col("pcode")))
       .getOrElse(corpus.select(col(corpusId).as("neighbor_id"),
-        pqEncodeCol(col(corpusVec), dim, codebooks).as("pcode")))
+        pqEncodeCol(col(corpusVec), dim, codebooks).as("pcode"))))
+      .where(col("pcode").isNotNull && !exists(col("pcode"), _.isNull))
     val lut = array((0 until m).map { s =>
       array(codebooks(s).map(cb =>
         dsqColumns(slice(col(queryVec), s * subDim + 1, subDim), cb)): _*)
     }: _*)
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qv"), lut.as("lut")))
+      col(queryVec).as("qv"), lut.as("lut"))
+      .where(col("lut").isNotNull &&
+        !exists(col("lut"), a => a.isNull || exists(a, _.isNull))))
     // subspace distances summed in subspace order (left-assoc), so an
     // oracle's pivoted d0+d1+…+dm-1 restates the float sum exactly
     val dist = (0 until m).map(s =>
@@ -692,11 +719,14 @@ object Similarity {
       .reduce(_ + _)
     val adc = codes.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_dist", Rounding.roundAt(dist, 6))
-      .where(col("adc_dist").isNotNull)
+    // out-of-codebook codes in caller-supplied preCodes can still yield
+    // a NULL lookup: rank them last and drop them AFTER the window (a
+    // filter above a Window can't sink into the join — zero per-pair
+    // cost), preserving the pre-fix output contract exactly
     val wa = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+      .orderBy(col("adc_dist").asc_nulls_last, col("neighbor_id").asc)
     val cand = adc.withColumn("arank", row_number().over(wa))
-      .where(col("arank") <= r)
+      .where(col("arank") <= r && col("adc_dist").isNotNull)
       .select("query_id", "neighbor_id", "adc_dist")
     val cv = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("cv"))
