@@ -1525,6 +1525,81 @@ object OpsQueries {
                 ELSE round((sr+sg+sb)::DOUBLE / (3*n), 6) END AS brightness
               FROM g JOIN st USING (doc_id)""")),
 
+    // REAL GIF pixel decode: payloads are genuine GIF89a files — global
+    // 128-entry color table + LZW data in the byte-aligned construction
+    // (min code size 7 → 8-bit codes; a clear code first and ≤126
+    // literals after it keep the code width fixed, which is valid LZW
+    // that SQL byte-building can express); the kernel runs its FULL
+    // variable-width decoder on them and maps indices through the
+    // palette; the oracle recomputes the stats from the SAME
+    // index+palette formulas without touching bytes, so a decode or
+    // palette-mapping bug cannot cancel out. doc_id%7==3 sets the
+    // interlace flag (row order permutes, channel sums don't).
+    // doc_id%5==4 is a non-GIF payload (all NULLs). The general
+    // code-width-growth / KwKwK / deferred-clear paths are exercised by
+    // OpsSpec's real LZW encoder round-trip (not expressible in SQL).
+    Q("q_image_gif",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          hex2(v), hex2(floor(v / 256).cast("int"))) }
+        val id = col("doc_id")
+        val w = (pmod(id, lit(4)) + 1).cast("int")
+        val h = (pmod(id, lit(3)) + 1).cast("int")
+        val pal = concat_ws("", transform(sequence(lit(0), lit(127)), i =>
+          concat(hex2(id + i * 2), hex2(id * 2 + i * 5),
+            hex2(id * 3 + i * 7))))
+        val pixels = concat_ws("", transform(sequence(lit(0), h - 1), j =>
+          concat_ws("", transform(sequence(lit(0), w - 1), x =>
+            hex2(pmod(id + x * 3 + j * 5, lit(128)))))))
+        val packed2 = when(pmod(id, lit(7)) === 3, lit("40")).otherwise(lit("00"))
+        val gif = unhex(concat(
+          lit("474946383961"), le16h(w), le16h(h), lit("F60000"), pal,
+          lit("2C"), lit("00000000"), le16h(w), le16h(h), packed2,
+          lit("07"), hex2(w * h + 2), lit("80"), pixels, lit("81"),
+          lit("00"), lit("3B")))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(gif)
+        val st = Multimodal.gifStats(payload)
+        T(s, d, "documents").select(id, st.as("st"))
+          .select(id,
+            col("st.width").as("width"), col("st.height").as("height"),
+            col("st.n_px").as("n_px"), col("st.sum_r").as("sum_r"),
+            col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"),
+            Multimodal.rgbMeanBrightness(col("st")).as("brightness"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h
+                FROM documents),
+              pix AS (
+                SELECT doc_id,
+                  (doc_id + x*3 + j*5) % 128 AS ci
+                FROM g, unnest(range(0, h)) AS tj(j),
+                  unnest(range(0, w)) AS tx(x)),
+              st AS (
+                SELECT doc_id,
+                  count(*) AS n,
+                  sum((doc_id + ci*2) % 256) AS sr,
+                  sum((doc_id*2 + ci*5) % 256) AS sg,
+                  sum((doc_id*3 + ci*7) % 256) AS sb
+                FROM pix GROUP BY doc_id)
+              SELECT g.doc_id,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE w END)::INT
+                  AS width,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE h END)::INT
+                  AS height,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE n END)::BIGINT
+                  AS n_px,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sr END)::BIGINT
+                  AS sum_r,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sg END)::BIGINT
+                  AS sum_g,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE sb END)::BIGINT
+                  AS sum_b,
+                CASE WHEN g.doc_id % 5 = 4 THEN NULL
+                ELSE round((sr+sg+sb)::DOUBLE / (3*n), 6) END AS brightness
+              FROM g JOIN st USING (doc_id)""")),
+
     // REAL PCM decode: 16-bit mono WAVs with formula-generated frames —
     // the kernel decodes the actual bytes; the oracle recomputes the
     // integer stats from the SAME sample formula (never touching bytes),

@@ -79,6 +79,22 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
+  /** REAL GIF pixel decode: same integer channel stats as [[rgbStats]]
+    * (width, height, n_px, Σr, Σg, Σb) over a GIF payload via
+    * [[graft.compile.GifStats]] — full variable-width GIF-LZW
+    * decompression (3..12-bit codes LSB-first, clear/end, KwKwK,
+    * deferred clear) of the first frame, indices mapped through the
+    * active color table (local overrides global). First frame only,
+    * transparency ignored, interlace accepted (sums are order-free);
+    * non-GIF / no color table → NULL; truncated or corrupt code
+    * streams → decoded-prefix stats, never a throw. Composable with
+    * [[rgbMeanBrightness]]. */
+  def gifStats(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.GifStats(
+      ColumnBridge.expression(payload)))
+  }
+
   /** Mean channel brightness from a [[rgbStats]] struct, rounded to 6
     * ((Σr+Σg+Σb)/(3·n) — exact integer sums, one divide). */
   def rgbMeanBrightness(stats: Column): Column =

@@ -1751,6 +1751,183 @@ class OpsSpec extends SparkSpec {
     Seq(6L, 7L, 8L, 9L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
   }
 
+  test("gifStats: real GIF-LZW decode — width growth, KwKwK, deferred clear, " +
+    "local palette, interlace, truncation, rejects") {
+    import graft.ops.Multimodal
+    // real GIF-LZW encoder (the decoder's exact inverse): emits
+    // variable-width codes LSB-first, grows the width when the
+    // just-added entry's code reaches 1<<codeSize, freezes at 4096
+    // (deferred clear — no reset emitted, the decoder must cope)
+    def lzwEncode(minCode: Int, idx: Seq[Int]): Array[Byte] = {
+      val clear = 1 << minCode; val endC = clear + 1
+      val out = Array.newBuilder[Byte]
+      var cur = 0L; var nb = 0; var codeSize = minCode + 1
+      def put(code: Int): Unit = {
+        cur |= code.toLong << nb; nb += codeSize
+        while (nb >= 8) { out += (cur & 0xFF).toByte; cur >>>= 8; nb -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var next = clear + 2
+      put(clear)
+      var w = -1
+      idx.foreach { k =>
+        if (w == -1) w = k
+        else dict.get((w, k)) match {
+          case Some(c) => w = c
+          case None =>
+            put(w)
+            if (next < 4096) {
+              dict((w, k)) = next
+              if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+              next += 1
+            }
+            w = k
+        }
+      }
+      if (w != -1) put(w)
+      put(endC)
+      if (nb > 0) out += (cur & 0xFF).toByte
+      out.result()
+    }
+    def palBits(n: Int) = { // palette size -> GIF size field (2^(f+1) = n)
+      var f = 0; while ((2 << f) < n) f += 1; f
+    }
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte)
+    def gif(w: Int, h: Int, pal: Seq[(Int, Int, Int)], idx: Seq[Int],
+            minCode: Int, interlace: Boolean = false, local: Boolean = false,
+            gce: Boolean = false, globalPal: Seq[(Int, Int, Int)] = Nil)
+      : Array[Byte] = {
+      val out = Array.newBuilder[Byte]
+      out ++= "GIF89a".getBytes
+      out ++= le16(w); out ++= le16(h)
+      val gp = if (local) globalPal else pal
+      if (gp.nonEmpty) {
+        out += (0x80 | (palBits(gp.size) & 7)).toByte
+        out += 0.toByte; out += 0.toByte
+        gp.foreach { case (r, g, b) =>
+          out += r.toByte; out += g.toByte; out += b.toByte }
+        // pad the declared 2^(f+1) entries
+        (gp.size until (2 << palBits(gp.size))).foreach { _ =>
+          out += 0.toByte; out += 0.toByte; out += 0.toByte }
+      } else { out += 0.toByte; out += 0.toByte; out += 0.toByte }
+      if (gce) { // graphic control extension: must be skipped
+        out += 0x21.toByte; out += 0xF9.toByte
+        out += 4.toByte; out ++= Array[Byte](0, 0, 0, 0); out += 0.toByte
+      }
+      out += 0x2C.toByte
+      out ++= le16(0); out ++= le16(0); out ++= le16(w); out ++= le16(h)
+      val p2 = (if (local) 0x80 else 0) | (if (interlace) 0x40 else 0) |
+        (if (local) palBits(pal.size) & 7 else 0)
+      out += p2.toByte
+      if (local) {
+        pal.foreach { case (r, g, b) =>
+          out += r.toByte; out += g.toByte; out += b.toByte }
+        (pal.size until (2 << palBits(pal.size))).foreach { _ =>
+          out += 0.toByte; out += 0.toByte; out += 0.toByte }
+      }
+      out += minCode.toByte
+      val data = lzwEncode(minCode, idx)
+      data.grouped(255).foreach { blk =>
+        out += blk.length.toByte; out ++= blk }
+      out += 0.toByte; out += 0x3B.toByte
+      out.result()
+    }
+    def expect(pal: Seq[(Int, Int, Int)], idx: Seq[Int]) = (
+      idx.map(i => pal(i)._1.toLong).sum,
+      idx.map(i => pal(i)._2.toLong).sum,
+      idx.map(i => pal(i)._3.toLong).sum)
+
+    // 100x100 seeded-random 128-color frame: the dictionary passes 256,
+    // 512, ... and hits the 4096 freeze (deferred clear), so every code
+    // width 8..12 and the frozen-table tail are all decoded
+    val rnd = new scala.util.Random(42)
+    val bigPal = Seq.tabulate(128)(i => ((i * 11) % 256, (i * 29) % 256, (i * 53) % 256))
+    val bigIdx = Seq.fill(100 * 100)(rnd.nextInt(128))
+    val (ber, beg, beb) = expect(bigPal, bigIdx)
+    // 8-color 5x4 with repetition: KwKwK (code == next) fires
+    val smallPal = Seq.tabulate(8)(i => (i * 3 + 1, i * 5 + 2, i * 7 + 3))
+    val smallIdx = Seq(1, 1, 1, 1, 2, 2, 2, 2, 1, 1, 1, 1, 3, 3, 3, 3, 4, 5, 6, 7)
+    val (ser, seg, seb) = expect(smallPal, smallIdx)
+    val kwkwk = Seq.fill(9)(5) // pure KwKwK chain from the first code
+    val (ker, keg, keb) = expect(smallPal, kwkwk)
+    val localPal = smallPal.map { case (r, g, b) => (255 - r, 255 - g, 255 - b) }
+    val (ler, leg, leb) = expect(localPal, smallIdx)
+    val big = gif(100, 100, bigPal, bigIdx, 7)
+    val rows = Seq(
+      (1L, big),
+      (2L, gif(5, 4, smallPal, smallIdx, 3, gce = true)),
+      (3L, gif(3, 3, smallPal, kwkwk, 3)),
+      (4L, gif(5, 4, localPal, smallIdx, 3, local = true, globalPal = smallPal)),
+      (5L, gif(5, 4, smallPal, smallIdx, 3, interlace = true)),
+      (6L, big.dropRight(big.length / 2)),      // truncated mid-stream
+      (7L, gif(5, 4, Nil, smallIdx, 3)),        // no color table at all
+      (8L, gif(2, 2, Seq((9, 9, 9), (4, 4, 4)), Seq(0, 1, 3, 1), 3)), // index 3 >= palette 2
+      (9L, "definitely not a gif".getBytes),
+      (10L, "GIF89a".getBytes))                 // header only
+      .toDF("id", "payload")
+    val got = rows.select(col("id"), Multimodal.gifStats(col("payload")).as("st"))
+      .select(col("id"), col("st.width"), col("st.height"), col("st.n_px"),
+        col("st.sum_r"), col("st.sum_g"), col("st.sum_b"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b1 = got(1L)
+    assert((b1.getInt(1), b1.getInt(2), b1.getLong(3)) == (100, 100, 10000L))
+    assert((b1.getLong(4), b1.getLong(5), b1.getLong(6)) == (ber, beg, beb))
+    val s2 = got(2L)
+    assert((s2.getInt(1), s2.getInt(2), s2.getLong(3)) == (5, 4, 20L))
+    assert((s2.getLong(4), s2.getLong(5), s2.getLong(6)) == (ser, seg, seb))
+    val k3 = got(3L)
+    assert((k3.getLong(3), k3.getLong(4), k3.getLong(5), k3.getLong(6))
+      == (9L, ker, keg, keb))
+    val l4 = got(4L)
+    assert((l4.getLong(4), l4.getLong(5), l4.getLong(6)) == (ler, leg, leb),
+      "local palette must override global")
+    val i5 = got(5L)
+    assert((i5.getLong(4), i5.getLong(5), i5.getLong(6)) == (ser, seg, seb),
+      "interlace permutes rows, channel sums are order-free")
+    // truncated: strict prefix, never a throw
+    val t6 = got(6L)
+    assert(t6.isNullAt(1) || (t6.getLong(3) > 0L && t6.getLong(3) < 10000L))
+    // bad index stops at the decoded prefix (0,1 decoded; 3 is out)
+    val x8 = got(8L)
+    assert(x8.getLong(3) == 2L && x8.getLong(4) == 13L, x8.toString)
+    Seq(7L, 9L, 10L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
+  }
+
+  test("gifStats: byte-aligned SQL-oracle construction decodes exactly") {
+    import graft.ops.Multimodal
+    // the q_image_gif construction: clear + <=126 literal root codes at
+    // min code size 7 keeps every code 8 bits — one byte per code;
+    // verify the kernel agrees with the direct palette sum
+    val id = 11
+    val w = (id % 4) + 1; val h = (id % 3) + 1
+    val out = Array.newBuilder[Byte]
+    out ++= "GIF89a".getBytes
+    out ++= Array((w & 0xFF).toByte, 0.toByte, (h & 0xFF).toByte, 0.toByte)
+    out += 0xF6.toByte; out += 0.toByte; out += 0.toByte
+    (0 until 128).foreach { i =>
+      out += ((id + i * 2) % 256).toByte
+      out += ((id * 2 + i * 5) % 256).toByte
+      out += ((id * 3 + i * 7) % 256).toByte }
+    out += 0x2C.toByte
+    out ++= Array[Byte](0, 0, 0, 0)
+    out ++= Array((w & 0xFF).toByte, 0.toByte, (h & 0xFF).toByte, 0.toByte)
+    out += 0.toByte
+    out += 7.toByte
+    out += (w * h + 2).toByte
+    out += 0x80.toByte
+    val idx = for (j <- 0 until h; x <- 0 until w) yield (id + x * 3 + j * 5) % 128
+    idx.foreach(i => out += i.toByte)
+    out += 0x81.toByte; out += 0.toByte; out += 0x3B.toByte
+    val st = Seq((1L, out.result())).toDF("id", "payload")
+      .select(Multimodal.gifStats(col("payload")).as("st"))
+      .select(col("st.n_px"), col("st.sum_r"), col("st.sum_g"), col("st.sum_b"))
+      .head()
+    assert(st.getLong(0) == (w * h).toLong)
+    assert(st.getLong(1) == idx.map(i => ((id + i * 2) % 256).toLong).sum)
+    assert(st.getLong(2) == idx.map(i => ((id * 2 + i * 5) % 256).toLong).sum)
+    assert(st.getLong(3) == idx.map(i => ((id * 3 + i * 7) % 256).toLong).sum)
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
