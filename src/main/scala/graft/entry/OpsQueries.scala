@@ -1600,6 +1600,81 @@ object OpsQueries {
                 ELSE round((sr+sg+sb)::DOUBLE / (3*n), 6) END AS brightness
               FROM g JOIN st USING (doc_id)""")),
 
+    // REAL baseline JPEG pixel decode: payloads are genuine JPEGs in the
+    // DC-only byte-aligned construction — single-code Huffman tables
+    // (one 8-bit DC code, one 8-bit AC EOB) make every MCU exactly three
+    // whole bytes (code, eight diff bits, EOB), which SQL byte-building
+    // can express; with q=1 and no AC the decoded block is the closed
+    // form floor(cumDC/8 + 0.5) + 128, so the oracle recomputes the
+    // stats from the running-sum formula without touching bytes. The
+    // kernel still runs its FULL entropy decoder + IDCT on these bytes —
+    // a Huffman, EXTEND, dequant, IDCT, or level-shift bug all diverge.
+    // The general path (AC content, 4:2:0 subsampling, cropping,
+    // restart markers, byte-stuffing) is exercised by OpsSpec's real
+    // in-test JPEG encoder round-trip (not expressible in SQL).
+    // doc_id%5==4 is a non-JPEG payload (all NULLs).
+    Q("q_image_jpeg",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def be16h(v0: Column) = lpad(hex(v0.cast("int")), 4, "0")
+        val id = col("doc_id")
+        val w = (pmod(id, lit(2)) + 1) * 8
+        val h = (pmod(id, lit(3)) + 1) * 8
+        val nm = ((pmod(id, lit(2)) + 1) * (pmod(id, lit(3)) + 1)).cast("int")
+        val mcus = concat_ws("", transform(sequence(lit(0), nm - 1), i =>
+          concat(lit("00"), hex2(lit(128) + pmod(id + i * 7, lit(42))),
+            lit("00"))))
+        val jpg = unhex(concat(
+          lit("FFD8"),
+          lit("FFDB004300" + "01" * 64),
+          lit("FFC0000B08"), be16h(h), be16h(w), lit("01011100"),
+          lit("FFC40014000000000000000001000000000000000008"),
+          lit("FFC40014100000000000000001000000000000000000"),
+          lit("FFDA0008010100003F00"),
+          mcus, lit("FFD9")))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(jpg)
+        val st = Multimodal.jpegStats(payload)
+        T(s, d, "documents").select(id, st.as("st"))
+          .select(id,
+            col("st.width").as("width"), col("st.height").as("height"),
+            col("st.n_px").as("n_px"), col("st.sum_r").as("sum_r"),
+            col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"),
+            Multimodal.rgbMeanBrightness(col("st")).as("brightness"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, ((doc_id % 2) + 1) * 8 AS w,
+                  ((doc_id % 3) + 1) * 8 AS h,
+                  ((doc_id % 2) + 1) * ((doc_id % 3) + 1) AS nm
+                FROM documents),
+              m AS (
+                SELECT doc_id, i, 128 + ((doc_id + i*7) % 42) AS diff
+                FROM g, unnest(range(0, nm)) AS t(i)),
+              c AS (
+                SELECT doc_id,
+                  sum(diff) OVER (PARTITION BY doc_id ORDER BY i) AS cum
+                FROM m),
+              st AS (
+                SELECT doc_id,
+                  sum(64 * (floor(cum / 8.0 + 0.5)::BIGINT + 128)) AS spx
+                FROM c GROUP BY doc_id)
+              SELECT g.doc_id,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE w END)::INT
+                  AS width,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE h END)::INT
+                  AS height,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE w * h END)::BIGINT
+                  AS n_px,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE spx END)::BIGINT
+                  AS sum_r,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE spx END)::BIGINT
+                  AS sum_g,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE spx END)::BIGINT
+                  AS sum_b,
+                CASE WHEN g.doc_id % 5 = 4 THEN NULL
+                ELSE round(spx::DOUBLE / (w * h), 6) END AS brightness
+              FROM g JOIN st USING (doc_id)""")),
+
     // REAL PCM decode: 16-bit mono WAVs with formula-generated frames —
     // the kernel decodes the actual bytes; the oracle recomputes the
     // integer stats from the SAME sample formula (never touching bytes),

@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * The Spark-side contract (schema, partitioning, batch shape) is real
   * and tested, and so is container-header METADATA extraction
   * ([[imageDims]]: PNG/JPEG/GIF format + dimensions, pure byte parsing).
-  * PIXEL/SAMPLE decode is REAL wherever the stock JVM suffices: BMP
-  * ([[rgbStats]]), PNG incl. inflate + unfilter ([[pngStats]]), and WAV
-  * PCM ([[pcmStats]]). Only codec-requiring decode (JPEG/GIF pixels,
-  * MP3 audio frames) stays STUBBED with a deterministic fake (this
-  * container has no codec libraries). A production deployment swaps
-  * `fakeDecode*` for a Pandas-UDF / mapInArrow stage with the same
-  * input/output schema — nothing else changes.
+  * PIXEL/SAMPLE decode is REAL for every image format and for PCM
+  * audio — all pure stock-JVM arithmetic, no codec library: BMP
+  * ([[rgbStats]]), PNG incl. inflate + unfilter ([[pngStats]]), GIF
+  * incl. full variable-width LZW ([[gifStats]]), baseline JPEG incl.
+  * Huffman entropy decode + IDCT ([[jpegStats]]), and WAV PCM
+  * ([[pcmStats]]). Only MP3 AUDIO FRAME decode (a full polyphase
+  * synthesis filterbank) stays STUBBED with a deterministic fake; its
+  * header metadata is real ([[mp3Meta]]). A production deployment
+  * swaps `fakeDecode*` for a Pandas-UDF / mapInArrow stage with the
+  * same input/output schema — nothing else changes.
   */
 object Multimodal {
 
@@ -92,6 +95,22 @@ object Multimodal {
   def gifStats(payload: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.compile.GifStats(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** REAL baseline JPEG pixel decode: same integer channel stats as
+    * [[rgbStats]] (width, height, n_px, Σr, Σg, Σb) over a JPEG payload
+    * via [[graft.compile.JpegStats]] — the complete T.81
+    * baseline-sequential path: canonical Huffman entropy decode (with
+    * byte-unstuffing and restart markers), dequantization, exact
+    * double-precision IDCT, and JFIF YCbCr→RGB with replicated-chroma
+    * upsampling. Grayscale fills r=g=b. Progressive/12-bit/arithmetic →
+    * NULL; truncated or corrupt entropy data → decoded-prefix stats
+    * (whole MCU rows), never a throw. Composable with
+    * [[rgbMeanBrightness]]. */
+  def jpegStats(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.JpegStats(
       ColumnBridge.expression(payload)))
   }
 

@@ -1928,6 +1928,267 @@ class OpsSpec extends SparkSpec {
     assert(st.getLong(3) == idx.map(i => ((id * 3 + i * 7) % 256).toLong).sum)
   }
 
+  test("jpegStats: real baseline JPEG decode — encoder round-trip exact for " +
+    "gray/4:4:4/4:2:0, cropping, restarts, truncation, rejects") {
+    import graft.ops.Multimodal
+    // --- in-test baseline JPEG ENCODER (T.81): FDCT + quantize +
+    // canonical Huffman with simple uniform-length tables (DC: twelve
+    // 4-bit codes = categories 0..11; AC: all 162 run/size symbols at
+    // 8 bits), byte-stuffing, optional restart markers ---
+    val acSyms: Vector[Int] =
+      Vector(0x00, 0xF0) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+    val acCode: Map[Int, Int] = acSyms.zipWithIndex.toMap
+    class BitW {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var cur = 0; private var nb = 0
+      def put(code: Int, len: Int): Unit =
+        (len - 1 to 0 by -1).foreach(i => putBit((code >>> i) & 1))
+      def putBit(b: Int): Unit = {
+        cur = (cur << 1) | b; nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte
+          cur = 0; nb = 0
+        }
+      }
+      def pad(): Unit = while (nb != 0) putBit(1)
+    }
+    def cat(v: Int): Int = {
+      var a = math.abs(v); var c = 0
+      while (a > 0) { a >>>= 1; c += 1 }; c
+    }
+    def mag(v: Int, c: Int): Int = if (v >= 0) v else v + (1 << c) - 1
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val cosT = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val cw = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    // FDCT + quantize an 8x8 spatial block (level-shifted inputs)
+    def fdctQ(px: Array[Int], q: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (u <- 0 until 8; v <- 0 until 8) {
+        var acc = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          acc += (px(y * 8 + x) - 128) * cosT(y)(u) * cosT(x)(v)
+        val f = 0.25 * cw(u) * cw(v) * acc
+        out(u * 8 + v) = math.round(f / q(u * 8 + v)).toInt
+      }
+      out
+    }
+    // the kernel's documented decode math, reimplemented here from the
+    // formulas (NOT calling the kernel): dequant + direct IDCT +
+    // floor(x+.5)+128 clamp
+    // C(u)C(v) with the exact 0.5 for (0,0) — the kernel's documented table
+    val ccT = Array.tabulate(8, 8)((u, v) =>
+      if (u == 0 && v == 0) 0.5 else cw(u) * cw(v))
+    def refIdct(coef: Array[Int], q: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var acc = 0.0
+        for (u <- 0 until 8; v <- 0 until 8) {
+          val f = coef(u * 8 + v) * q(u * 8 + v)
+          if (f != 0) acc += ccT(u)(v) * f * cosT(y)(u) * cosT(x)(v)
+        }
+        val s = math.floor(acc / 4.0 + 0.5).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, s))
+      }
+      out
+    }
+    def writeBlock(w: BitW, coef: Array[Int], dcPred: Int): Int = {
+      val diff = coef(0) - dcPred
+      val c = cat(diff)
+      w.put(c, 4); if (c > 0) w.put(mag(diff, c), c)
+      var k = 1; var run = 0
+      while (k < 64) {
+        val v = coef(zig(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { w.put(acCode(0xF0), 8); run -= 16 }
+          val s = cat(v)
+          w.put(acCode((run << 4) | s), 8); w.put(mag(v, s), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) w.put(acCode(0x00), 8) // EOB
+      coef(0)
+    }
+    def be16(v: Int) = Array((v >>> 8).toByte, (v & 0xFF).toByte)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    val huffBits = { // DHT bits arrays for the two tables
+      val dcBits = new Array[Byte](16); dcBits(3) = 12 // twelve 4-bit codes
+      val acBits = new Array[Byte](16); acBits(7) = acSyms.length.toByte
+      (dcBits, acBits)
+    }
+    def dhtSeg = seg(0xC4,
+      Array(0x00.toByte) ++ huffBits._1 ++ (0 to 11).map(_.toByte) ++
+      Array(0x10.toByte) ++ huffBits._2 ++ acSyms.map(_.toByte))
+    // encode: components given as full-res planes; sampling (hs, vs)
+    // per component; chroma planes are pre-downsampled by the CALLER
+    def jpeg(w0: Int, h0: Int, comps: Seq[(Array[Array[Int]], Int, Int)],
+             q: Array[Int], dri: Int = 0, sofMarker: Int = 0xC0)
+      : (Array[Byte], Seq[Array[Array[Int]]]) = {
+      val hMax = comps.map(_._2).max; val vMax = comps.map(_._3).max
+      val mcusX = (w0 + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h0 + 8 * vMax - 1) / (8 * vMax)
+      val qzig = Array.tabulate(64)(i => q(zig(i)))
+      val head = Array.newBuilder[Byte]
+      head ++= Array(0xFF.toByte, 0xD8.toByte)
+      head ++= seg(0xDB, Array(0x00.toByte) ++ qzig.map(_.toByte))
+      head ++= seg(sofMarker, Array(8.toByte) ++ be16(h0) ++ be16(w0) ++
+        Array(comps.length.toByte) ++
+        comps.zipWithIndex.flatMap { case ((_, hs, vs), i) =>
+          Array((i + 1).toByte, ((hs << 4) | vs).toByte, 0.toByte) })
+      head ++= dhtSeg
+      if (dri > 0) head ++= seg(0xDD, be16(dri))
+      head ++= seg(0xDA, Array(comps.length.toByte) ++
+        comps.indices.flatMap(i => Array((i + 1).toByte, 0x00.toByte)) ++
+        Array(0.toByte, 63.toByte, 0.toByte))
+      // entropy data + the reference decoded planes
+      val bw = new BitW
+      val preds = Array.fill(comps.length)(0)
+      val decPlanes = comps.map { case (_, hs, vs) =>
+        Array.fill(mcusY * vs * 8)(new Array[Int](mcusX * hs * 8)) }
+      var mcu = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (dri > 0 && mcu == dri) {
+          bw.pad()
+          bw.out += 0xFF.toByte
+          bw.out += (0xD0 + (((my * mcusX + mx) / dri - 1) % 8)).toByte
+          preds.indices.foreach(i => preds(i) = 0)
+          mcu = 0
+        }
+        for (ci <- comps.indices) {
+          val (plane, hs, vs) = comps(ci)
+          for (by <- 0 until vs; bx <- 0 until hs) {
+            val px = new Array[Int](64)
+            for (y <- 0 until 8; x <- 0 until 8) {
+              val gy = (my * vs + by) * 8 + y; val gx = (mx * hs + bx) * 8 + x
+              px(y * 8 + x) =
+                if (gy < plane.length && gx < plane(0).length) plane(gy)(gx)
+                else 128 // pad MCU overhang
+            }
+            val coef = fdctQ(px, q)
+            preds(ci) = writeBlock(bw, coef, preds(ci))
+            val dec = refIdct(coef, q)
+            for (y <- 0 until 8; x <- 0 until 8)
+              decPlanes(ci)((my * vs + by) * 8 + y)((mx * hs + bx) * 8 + x) =
+                dec(y * 8 + x)
+          }
+        }
+        mcu += 1
+      }
+      bw.pad()
+      val bytes = head.result() ++ bw.out ++ Array(0xFF.toByte, 0xD9.toByte)
+      (bytes, decPlanes)
+    }
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    // expected sums from the reference planes using the kernel's
+    // documented upsample + YCbCr->RGB formulas
+    def expected(w0: Int, h0: Int, planes: Seq[Array[Array[Int]]],
+                 samp: Seq[(Int, Int)]): (Long, Long, Long) = {
+      val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h0; x <- 0 until w0) {
+        if (planes.length == 1) {
+          val g = planes(0)(y)(x)
+          sr += g; sg += g; sb += g
+        } else {
+          def s(i: Int) =
+            planes(i)(y / (vMax / samp(i)._2))(x / (hMax / samp(i)._1))
+          val yy = s(0); val cb = s(1); val cr = s(2)
+          sr += clamp(math.floor(yy + 1.402 * (cr - 128) + 0.5).toInt)
+          sg += clamp(math.floor(
+            yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+          sb += clamp(math.floor(yy + 1.772 * (cb - 128) + 0.5).toInt)
+        }
+      }
+      (sr, sg, sb)
+    }
+    def kernelStats(bytes: Array[Byte]) =
+      Seq(Tuple1(bytes)).toDF("payload")
+        .select(Multimodal.jpegStats(col("payload")).as("st"))
+        .select(col("st.width"), col("st.height"), col("st.n_px"),
+          col("st.sum_r"), col("st.sum_g"), col("st.sum_b")).head()
+
+    val q2 = Array.fill(64)(2) // mild uniform quantizer
+    // 1) grayscale 16x16, rich AC content
+    val gray = Array.tabulate(16, 16)((y, x) => (x * 13 + y * 7 + 30) % 256)
+    val (gb, gdec) = jpeg(16, 16, Seq((gray, 1, 1)), q2)
+    val (ger, geg, geb) = expected(16, 16, gdec, Seq((1, 1)))
+    val g = kernelStats(gb)
+    assert((g.getInt(0), g.getInt(1), g.getLong(2)) == (16, 16, 256L))
+    assert((g.getLong(3), g.getLong(4), g.getLong(5)) == (ger, geg, geb))
+    // 2) color 4:4:4 16x8
+    val yP = Array.tabulate(8, 16)((y, x) => (x * 9 + y * 17 + 50) % 256)
+    val cbP = Array.tabulate(8, 16)((y, x) => (x * 5 + y * 3 + 90) % 256)
+    val crP = Array.tabulate(8, 16)((y, x) => (x * 11 + y * 2 + 10) % 256)
+    val (cb444, cdec) = jpeg(16, 8,
+      Seq((yP, 1, 1), (cbP, 1, 1), (crP, 1, 1)), q2)
+    val (cer, ceg, ceb) = expected(16, 8, cdec, Seq((1, 1), (1, 1), (1, 1)))
+    val c = kernelStats(cb444)
+    assert((c.getInt(0), c.getInt(1), c.getLong(2)) == (16, 8, 128L))
+    assert((c.getLong(3), c.getLong(4), c.getLong(5)) == (cer, ceg, ceb))
+    // 3) color 4:2:0 20x12 (dims not MCU multiples -> cropping) with
+    // pre-downsampled chroma (top-left pick) and a restart every 1 MCU
+    val w0 = 20; val h0 = 12
+    val yF = Array.tabulate(h0, w0)((y, x) => (x * 7 + y * 13 + 40) % 256)
+    val cbF = Array.tabulate((h0 + 1) / 2, (w0 + 1) / 2)((y, x) =>
+      (x * 19 + y * 5 + 100) % 256)
+    val crF = Array.tabulate((h0 + 1) / 2, (w0 + 1) / 2)((y, x) =>
+      (x * 3 + y * 23 + 60) % 256)
+    val (sb420, sdec) = jpeg(w0, h0,
+      Seq((yF, 2, 2), (cbF, 1, 1), (crF, 1, 1)), q2, dri = 1)
+    val (ser2, seg2, seb2) = expected(w0, h0, sdec, Seq((2, 2), (1, 1), (1, 1)))
+    val s = kernelStats(sb420)
+    assert((s.getInt(0), s.getInt(1), s.getLong(2)) == (w0, h0, 240L))
+    assert((s.getLong(3), s.getLong(4), s.getLong(5)) == (ser2, seg2, seb2),
+      "4:2:0 + cropping + restart markers must decode exactly")
+    // 4) truncation: cut mid-entropy -> decoded prefix (whole MCU rows)
+    val tr = kernelStats(gb.dropRight(gb.length / 3))
+    assert(tr.isNullAt(0) || (tr.getLong(2) > 0L && tr.getLong(2) < 256L))
+    // 5) rejects: progressive SOF2, junk, header-only
+    val (pb, _) = jpeg(16, 16, Seq((gray, 1, 1)), q2, sofMarker = 0xC2)
+    assert(kernelStats(pb).isNullAt(0), "progressive must be NULL")
+    assert(kernelStats("not a jpeg".getBytes).isNullAt(0))
+    assert(kernelStats(Array(0xFF.toByte, 0xD8.toByte)).isNullAt(0))
+  }
+
+  test("jpegStats: DC-only byte-aligned SQL-oracle construction decodes exactly") {
+    import graft.ops.Multimodal
+    // the q_image_jpeg construction: single-code Huffman tables make
+    // every MCU three whole bytes (DC len-8 code 0x00, eight diff bits,
+    // AC len-8 EOB 0x00); q=1; DC-only so each block is one flat value
+    // floor(cum/8 + 0.5) + 128
+    val id = 7
+    val w = 8 * (id % 2 + 1); val h = 8 * (id % 3 + 1)
+    val nm = (w / 8) * (h / 8)
+    val out = Array.newBuilder[Byte]
+    def raw(hx: String): Unit =
+      hx.grouped(2).foreach(p => out += Integer.parseInt(p, 16).toByte)
+    raw("FFD8")
+    raw("FFDB0043" + "00" + "01" * 64)
+    raw("FFC0000B08" + f"$h%04X" + f"$w%04X" + "01" + "011100")
+    raw("FFC40014" + "00" + "0000000000000001" + "0000000000000000" + "08")
+    raw("FFC40014" + "10" + "0000000000000001" + "0000000000000000" + "00")
+    raw("FFDA0008" + "01" + "0100" + "003F00")
+    val diffs = (0 until nm).map(i => 128 + ((id + i * 7) % 42))
+    diffs.foreach(d => raw(f"00$d%02X00"))
+    raw("FFD9")
+    val st = Seq(Tuple1(out.result())).toDF("payload")
+      .select(Multimodal.jpegStats(col("payload")).as("st"))
+      .select(col("st.width"), col("st.height"), col("st.n_px"),
+        col("st.sum_r"), col("st.sum_g"), col("st.sum_b")).head()
+    val cums = diffs.scanLeft(0)(_ + _).drop(1)
+    val exp = cums.map(c => 64L * (math.floor(c / 8.0 + 0.5).toLong + 128)).sum
+    assert((st.getInt(0), st.getInt(1), st.getLong(2)) == (w, h, (w * h).toLong))
+    assert((st.getLong(3), st.getLong(4), st.getLong(5)) == (exp, exp, exp))
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
