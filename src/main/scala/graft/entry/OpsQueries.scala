@@ -1675,6 +1675,63 @@ object OpsQueries {
                 ELSE round(spx::DOUBLE / (w * h), 6) END AS brightness
               FROM g JOIN st USING (doc_id)""")),
 
+    // REAL FLAC audio decode: payloads are genuine FLAC files — the
+    // byte-aligned construction (mono 16-bit VERBATIM subframe, bsCode
+    // 6, every field on a byte boundary) that SQL hex-building can
+    // express; the kernel runs its full frame decoder on them; the
+    // oracle recomputes the stats from the SAME sample formula as
+    // q_audio_pcm without touching bytes (FLAC is lossless, so expected
+    // stats ARE the input-sample stats). The rice/fixed/LPC/mid-side
+    // paths are exercised by OpsSpec's real in-test FLAC encoder (not
+    // expressible in SQL). doc_id%5==4 is a non-FLAC payload (NULLs).
+    Q("q_audio_flac",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def be16h(v0: Column) = lpad(hex(v0.cast("int")), 4, "0")
+        val id = col("doc_id")
+        val n = (pmod(id, lit(50)) + 1).cast("int")
+        val frames = concat_ws("", transform(sequence(lit(0), n - 1),
+          i => be16h(pmod(id * 7 + i * 13, lit(65536)))))
+        val packed = lpad(hex((lit((8000L << 44) | (15L << 36)) + n)
+          .cast("long")), 16, "0")
+        val flac = unhex(concat(
+          lit("664C6143"), lit("80000022"),
+          be16h(n), be16h(n), lit("000000000000"),
+          packed, lit("00" * 16),
+          lit("FFF8600800"), hex2(n - 1), lit("00"),
+          lit("02"), frames, lit("0000")))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(flac)
+        val st = Multimodal.flacPcm(payload)
+        T(s, d, "documents").select(id, st.as("st"))
+          .select(id,
+            col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+            col("st.sum_abs").as("sum_abs"), col("st.sum_sq").as("sum_sq"),
+            Multimodal.pcmRms(col("st")).as("rms"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id, (doc_id % 50) + 1 AS n,
+                  list_transform(range(0, (doc_id % 50) + 1),
+                    i -> (((doc_id*7 + i*13) % 65536) + 32768) % 65536
+                         - 32768) AS ss
+                FROM documents)
+              SELECT doc_id,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL ELSE n END)::BIGINT
+                  AS n_samples,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE list_max(list_transform(ss, s -> abs(s))) END)::INT
+                  AS peak,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE list_reduce(list_transform(ss, s -> abs(s)),
+                        (a,b) -> a+b) END)::BIGINT AS sum_abs,
+                (CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE list_reduce(list_transform(ss, s -> s*s),
+                        (a,b) -> a+b) END)::BIGINT AS sum_sq,
+                CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE round(sqrt(list_reduce(list_transform(ss, s -> s*s),
+                       (a,b) -> a+b)::DOUBLE / n), 6) END AS rms
+              FROM p""")),
+
     // REAL PCM decode: 16-bit mono WAVs with formula-generated frames —
     // the kernel decodes the actual bytes; the oracle recomputes the
     // integer stats from the SAME sample formula (never touching bytes),

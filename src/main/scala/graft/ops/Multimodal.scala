@@ -152,6 +152,20 @@ object Multimodal {
       Rounding.roundAt(sqrt(stats.getField("sum_sq").cast("double") /
         stats.getField("n_samples")), 6))
 
+  /** REAL FLAC audio frame DECODE: same integer sample stats as
+    * [[pcmStats]] (n_samples, peak, Σ|s|, Σs²; channels pooled) over a
+    * FLAC payload via [[graft.compile.FlacPcm]] — the complete lossless
+    * path: CONSTANT/VERBATIM/FIXED/LPC subframes, Rice + Rice2 residual
+    * partitions with raw escapes, wasted bits, and left/right/mid-side
+    * stereo decorrelation. Pure arithmetic, no codec tables (the reason
+    * MP3 frames stay stubbed and FLAC doesn't). Truncated/corrupt →
+    * whole-frame decoded-prefix stats; non-FLAC → NULL. */
+  def flacPcm(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.FlacPcm(
+      ColumnBridge.expression(payload)))
+  }
+
   /** REAL FLAC STREAMINFO metadata — (channels, sample_rate, bits,
     * total_samples); same no-codec contract as [[wavMeta]]. */
   def flacMeta(payload: Column): Column = {

@@ -2189,6 +2189,215 @@ class OpsSpec extends SparkSpec {
     assert((st.getLong(3), st.getLong(4), st.getLong(5)) == (exp, exp, exp))
   }
 
+  test("flacPcm: real FLAC decode — fixed/LPC/constant/verbatim, rice " +
+    "partitions + escape, mid/side, wasted bits, multi-frame, truncation") {
+    import graft.ops.Multimodal
+    // --- in-test FLAC ENCODER: MSB-first bit packing, rice coding,
+    // fixed/LPC residuals — FLAC is lossless, so expected stats are the
+    // stats of the INPUT samples, no reference decode needed ---
+    class FW {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var cur = 0; private var nb = 0
+      def put(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => putBit(((v >>> i) & 1).toInt))
+      def putBit(x: Int): Unit = {
+        cur = (cur << 1) | x; nb += 1
+        if (nb == 8) { out += cur.toByte; cur = 0; nb = 0 }
+      }
+      def align(): Unit = while (nb != 0) putBit(0)
+    }
+    def rice(w: FW, e: Int, param: Int): Unit = {
+      val u = if (e >= 0) e.toLong << 1 else ((-e).toLong << 1) - 1
+      val q = (u >>> param).toInt
+      (0 until q).foreach(_ => w.putBit(0)); w.putBit(1)
+      if (param > 0) w.put(u & ((1L << param) - 1), param)
+    }
+    def streaminfo(nTotal: Int): Array[Byte] = {
+      val w = new FW
+      w.put(0x80, 8); w.put(34, 24)          // last block, STREAMINFO
+      w.put(1024, 16); w.put(1024, 16)       // min/max block (metadata)
+      w.put(0, 24); w.put(0, 24)             // min/max frame
+      w.put((8000L << 44) | (0L << 41) | (15L << 36) | nTotal, 64)
+      (0 until 16).foreach(_ => w.put(0, 8)) // md5
+      w.out.toArray
+    }
+    def frameHeader(w: FW, frameNo: Int, bs: Int, chCode: Int): Unit = {
+      w.put(0xFF, 8); w.put(0xF8, 8)
+      w.put(7, 4); w.put(0, 4)               // 16-bit bs; rate from SI
+      w.put(chCode, 4); w.put(4, 3); w.put(0, 1) // 16-bit samples
+      w.put(frameNo, 8)                      // UTF-8 single byte
+      w.put(bs - 1, 16)
+      w.put(0, 8)                            // CRC-8 (unverified)
+    }
+    def endFrame(w: FW): Unit = { w.align(); w.put(0, 16) }
+    def fixedRes(s: Array[Int], order: Int): Array[Int] =
+      (order until s.length).map { k =>
+        val p = order match {
+          case 0 => 0L
+          case 1 => s(k - 1).toLong
+          case 2 => 2L * s(k - 1) - s(k - 2)
+          case 3 => 3L * s(k - 1) - 3L * s(k - 2) + s(k - 3)
+          case 4 => 4L * s(k - 1) - 6L * s(k - 2) + 4L * s(k - 3) - s(k - 4)
+        }
+        (s(k) - p).toInt
+      }.toArray
+    def residual(w: FW, res: Array[Int], bs: Int, order: Int, param: Int,
+                 pOrder: Int = 0, escRaw: Int = -1): Unit = {
+      w.put(0, 2); w.put(pOrder, 4)
+      val parts = 1 << pOrder; val per = bs / parts
+      var idx = 0
+      (0 until parts).foreach { p =>
+        val cnt = if (p == 0) per - order else per
+        if (escRaw >= 0) {
+          w.put(15, 4); w.put(escRaw, 5)
+          (0 until cnt).foreach { _ =>
+            if (escRaw > 0) w.put(res(idx).toLong & ((1L << escRaw) - 1), escRaw)
+            idx += 1 }
+        } else {
+          w.put(param, 4)
+          (0 until cnt).foreach { _ => rice(w, res(idx), param); idx += 1 }
+        }
+      }
+    }
+    def subFixed(w: FW, s: Array[Int], order: Int, sb: Int, param: Int,
+                 pOrder: Int = 0, wasted: Int = 0): Unit = {
+      w.put(0, 1); w.put(8 + order, 6)
+      if (wasted == 0) w.put(0, 1)
+      else { w.put(1, 1); (0 until wasted - 1).foreach(_ => w.putBit(0)); w.putBit(1) }
+      val eff = s.map(_ >> wasted)
+      (0 until order).foreach(i => w.put(eff(i).toLong & ((1L << (sb - wasted)) - 1), sb - wasted))
+      residual(w, fixedRes(eff, order), s.length, order, param, pOrder)
+    }
+    def subVerbatim(w: FW, s: Array[Int], sb: Int): Unit = {
+      w.put(0, 1); w.put(1, 6); w.put(0, 1)
+      s.foreach(v => w.put(v.toLong & ((1L << sb) - 1), sb))
+    }
+    def subConstant(w: FW, v: Int, sb: Int): Unit = {
+      w.put(0, 1); w.put(0, 6); w.put(0, 1)
+      w.put(v.toLong & ((1L << sb) - 1), sb)
+    }
+    def subLpc(w: FW, s: Array[Int], coef: Array[Int], shift: Int,
+               prec: Int, sb: Int, param: Int): Unit = {
+      val order = coef.length
+      w.put(0, 1); w.put(31 + order, 6); w.put(0, 1)
+      (0 until order).foreach(i => w.put(s(i).toLong & ((1L << sb) - 1), sb))
+      w.put(prec - 1, 4); w.put(shift.toLong & 0x1F, 5)
+      coef.foreach(c => w.put(c.toLong & ((1L << prec) - 1), prec))
+      val res = (order until s.length).map { k =>
+        var acc = 0L
+        (0 until order).foreach(j => acc += coef(j).toLong * s(k - 1 - j))
+        (s(k) - (acc >> shift)).toInt
+      }.toArray
+      residual(w, res, s.length, order, param)
+    }
+    def stats(chans: Seq[Array[Int]]): (Long, Int, Long, Long) = {
+      var n = 0L; var peak = 0; var sa = 0L; var sq = 0L
+      chans.foreach(_.foreach { s =>
+        val a = math.abs(s); if (a > peak) peak = a
+        sa += a; sq += s.toLong * s; n += 1 })
+      (n, peak, sa, sq)
+    }
+    def kernel(bytes: Array[Byte]) =
+      Seq(Tuple1(bytes)).toDF("payload")
+        .select(Multimodal.flacPcm(col("payload")).as("st"))
+        .select(col("st.n_samples"), col("st.peak"), col("st.sum_abs"),
+          col("st.sum_sq")).head()
+    val magic = "fLaC".getBytes
+
+    // 1) mono: FIXED order 2 + a second frame with LPC order 2 (shift 1)
+    val s1 = Array.tabulate(64)(i => (i * 37 % 800) - 400)
+    val s2 = Array.tabulate(32)(i => (i * i * 3 % 500) - 250)
+    val w1 = new FW
+    frameHeader(w1, 0, 64, 0); subFixed(w1, s1, 2, 16, 5); endFrame(w1)
+    frameHeader(w1, 1, 32, 0); subLpc(w1, s2, Array(3, -1), 1, 5, 16, 5)
+    endFrame(w1)
+    val f1 = magic ++ streaminfo(96) ++ w1.out
+    val (n1, p1, a1, q1) = stats(Seq(s1, s2))
+    val g1 = kernel(f1)
+    assert((g1.getLong(0), g1.getInt(1), g1.getLong(2), g1.getLong(3))
+      == (n1, p1, a1, q1), g1.toString)
+    // 2) mid/side stereo + rice partitions (order 2) on the mid channel
+    val l = Array.tabulate(64)(i => (i * 53 % 1000) - 500)
+    val r = Array.tabulate(64)(i => (i * 29 % 900) - 450)
+    val mid = Array.tabulate(64)(i => (l(i) + r(i)) >> 1)
+    val side = Array.tabulate(64)(i => l(i) - r(i))
+    val w2 = new FW
+    frameHeader(w2, 0, 64, 10)
+    subFixed(w2, mid, 1, 16, 5, pOrder = 2)  // mid at 16 bits
+    subVerbatim(w2, side, 17)                // side carries 17 bits
+    endFrame(w2)
+    val g2 = kernel(magic ++ streaminfo(64) ++ w2.out)
+    val (n2, p2, a2, q2) = stats(Seq(l, r))
+    assert((g2.getLong(0), g2.getInt(1), g2.getLong(2), g2.getLong(3))
+      == (n2, p2, a2, q2), "mid/side reconstruction must be exact")
+    // 3) constant subframe + rice ESCAPE partition + wasted bits
+    val cv = Array.fill(48)(-123)
+    val s3 = Array.tabulate(48)(i => ((i * 7 % 30) - 15) * 4) // 2 wasted bits
+    val w3 = new FW
+    frameHeader(w3, 0, 48, 1)                // 2 independent channels
+    subConstant(w3, -123, 16)
+    subFixed(w3, s3, 0, 16, 0, wasted = 2)   // order-0: residual = samples
+    endFrame(w3)
+    // escape variant re-encodes channel 2's residuals raw in 8 bits:
+    val w3b = new FW
+    frameHeader(w3b, 0, 48, 1)
+    subConstant(w3b, -123, 16)
+    locally {
+      w3b.put(0, 1); w3b.put(8, 6); w3b.put(0, 1) // fixed order 0
+      residual(w3b, s3, 48, 0, 0, escRaw = 8)
+    }
+    endFrame(w3b)
+    val (n3, p3, a3, q3) = stats(Seq(cv, s3))
+    Seq(w3, w3b).foreach { w =>
+      val g = kernel(magic ++ streaminfo(96) ++ w.out)
+      assert((g.getLong(0), g.getInt(1), g.getLong(2), g.getLong(3))
+        == (n3, p3, a3, q3), "constant + wasted/escape must be exact")
+    }
+    // 4) truncation mid-second-frame: whole-frame prefix = frame 1 only
+    val cut = f1.dropRight(8)
+    val gt = kernel(cut)
+    val (nf1, pf1, af1, qf1) = stats(Seq(s1))
+    assert((gt.getLong(0), gt.getInt(1), gt.getLong(2), gt.getLong(3))
+      == (nf1, pf1, af1, qf1), "truncation keeps whole decoded frames")
+    // 5) rejects
+    assert(Seq(Tuple1("not flac at all".getBytes)).toDF("payload")
+      .select(Multimodal.flacPcm(col("payload")).as("st"))
+      .select(col("st.n_samples")).head().isNullAt(0))
+    assert(Seq(Tuple1(magic ++ streaminfo(0))).toDF("payload")
+      .select(Multimodal.flacPcm(col("payload")).as("st"))
+      .select(col("st.n_samples")).head().isNullAt(0), "no frames -> NULL")
+  }
+
+  test("flacPcm: byte-aligned verbatim SQL-oracle construction decodes exactly") {
+    import graft.ops.Multimodal
+    // the q_audio_flac construction: mono 16-bit VERBATIM subframe with
+    // bsCode 6 — every field lands on a byte boundary, expressible in
+    // SQL hex building; samples reuse the q_audio_pcm formula
+    val id = 13
+    val n = (id % 50) + 1
+    val w = Array.newBuilder[Byte]
+    def raw(hx: String): Unit =
+      hx.grouped(2).foreach(p => w += Integer.parseInt(p, 16).toByte)
+    raw("664C6143") // fLaC
+    raw("80000022") // last, STREAMINFO, len 34
+    raw(f"$n%04X" + f"$n%04X" + "000000" + "000000")
+    raw(f"${(8000L << 44) | (15L << 36) | n}%016X")
+    raw("00" * 16)
+    raw("FFF8" + "60" + "08" + "00" + f"${n - 1}%02X" + "00")
+    raw("02") // verbatim subframe
+    (0 until n).foreach(i => raw(f"${(id * 7 + i * 13) % 65536}%04X"))
+    raw("0000") // frame CRC-16
+    val st = Seq(Tuple1(w.result())).toDF("payload")
+      .select(Multimodal.flacPcm(col("payload")).as("st"))
+      .select(col("st.n_samples"), col("st.peak"), col("st.sum_abs"),
+        col("st.sum_sq")).head()
+    val ss = (0 until n).map(i => (((id * 7 + i * 13) % 65536) << 16) >> 16)
+    assert(st.getLong(0) == n.toLong)
+    assert(st.getInt(1) == ss.map(math.abs).max)
+    assert(st.getLong(2) == ss.map(s => math.abs(s).toLong).sum)
+    assert(st.getLong(3) == ss.map(s => s.toLong * s).sum)
+  }
+
   test("curate: c4Rules rewrites lines and drops rule-violating pages pre-dedup") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ") + "."
     val junk = "this line just trails off with no punctuation at all"
