@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * parsing, no codec, corrupt/truncated/non-FLAC payloads yield NULL,
   * never throw. */
 final case class FlacMeta(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = FlacMeta.outType
   override def nullable: Boolean = true
@@ -79,7 +79,7 @@ object FlacMeta {
   * [[WavMeta]]: pure byte parsing, corrupt/non-MP3 payloads yield NULL,
   * never throw. */
 final case class Mp3Meta(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = Mp3Meta.outType
   override def nullable: Boolean = true

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * their final training segmentation bit-for-bit). The merge table
   * rides as plan literals; encoding is a pure narrow projection. */
 final case class BpeEncode(child: Expression, mergesFlat: Seq[String])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(mergesFlat.length % 2 == 0, "bpe: merges must be (left, right) pairs")
 

@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * final sum. Here: one int-histogram pass + one sorted fold.
   */
 final case class CharEntropy(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

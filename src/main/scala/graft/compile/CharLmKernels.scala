@@ -40,7 +40,7 @@ object CharLmKernels {
   * DISTINCT code points per doc (≤ alphabet size), not one row per
   * character, before the corpus-level partial aggregation. */
 final case class CodePointHistogram(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType =
     MapType(IntegerType, IntegerType, valueContainsNull = false)
@@ -85,7 +85,7 @@ final case class CodePointHistogram(child: Expression)
   * symbol, adjacent mapped pairs pack into 21-bit-per-symbol long keys.
   * Fewer than two code points → empty map (no bigrams). */
 final case class MappedBigrams(child: Expression, alphabet: Seq[Int])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType =
     MapType(LongType, IntegerType, valueContainsNull = false)
@@ -150,7 +150,7 @@ final case class CharLmScore(
     bigramCounts: Seq[Long],
     ctxKeys: Seq[Int],
     ctxCounts: Seq[Long])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = CharLmKernels.scoreType
   override def nullable: Boolean = true

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * orderings the signal exists to produce.
   */
 final case class DeflateRatio(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   * (it validates JSON values, jsen/lib/jsen.js); this operator belongs
   * to the builder brief's multimodal mandate. */
 final case class FlacPcm(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = PcmStats.outType
   override def nullable: Boolean = true

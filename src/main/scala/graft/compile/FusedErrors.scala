@@ -2,7 +2,6 @@ package graft.compile
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +25,7 @@ final case class FusedErrors(
     specJson: String,
     greedy: Boolean,
     cfg: KernelCompiler.KernelCfg)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = ConstraintCompiler.errorsType
   override def nullable: Boolean = false
@@ -37,10 +36,8 @@ final case class FusedErrors(
       throw new IllegalStateException(
         "graft: FusedErrors constructed for a kernel-unsupported spec"))
 
-  // the instance itself validates NULL values (jsen validates null data);
-  // no nullSafeEval
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  // the kernel itself validates NULL values (jsen validates null data)
+  override def evalBoxed(v: Any): Any = {
     val out = new KernelCompiler.ErrBuf(greedy)
     kernel.eval(v, "", out)
     val n = out.buf.length

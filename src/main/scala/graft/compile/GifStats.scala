@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
   * to the builder brief's multimodal mandate — decode / feature-extract
   * over opaque binary columns with the Spark-side plumbing real. */
 final case class GifStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = RgbStats.outType
   override def nullable: Boolean = true

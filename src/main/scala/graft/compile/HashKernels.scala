@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (see [[graft.ops.Dedup.hashFamily]] for the measured failure).
   */
 final case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
   private val P = 2147483647L // 2^31 - 1
@@ -78,7 +78,7 @@ final case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
   * code points in one JVM loop with zero allocations.
   */
 final case class Fingerprint32(child: Expression, mult: Long = 31L)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   private val M = 2147483647L // 2^31 - 1
 

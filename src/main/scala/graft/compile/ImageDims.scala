@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unrecognized / truncated / null payloads yield NULL, never throw —
   * corrupt media must not kill a 10^12-row scan. */
 final case class ImageDims(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = ImageDims.outType
   // NULL for corrupt/unrecognized payloads regardless of input nullability
@@ -118,7 +118,7 @@ object ImageDims {
   * / other depths → NULL; a pixel array truncated against the header's
   * promise decodes the whole pixels actually present. */
 final case class RgbStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = RgbStats.outType
   override def nullable: Boolean = true

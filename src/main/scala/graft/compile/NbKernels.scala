@@ -75,7 +75,7 @@ object NbKernels {
   * DISTINCT buckets per doc (≤ `buckets`), not one row per token,
   * before the corpus-level partial aggregation. */
 final case class HashedFeatures(child: Expression, buckets: Int, mult: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(buckets >= 2, "nb: buckets must be >= 2")
 
@@ -140,7 +140,7 @@ final case class NbScore(
     negCounts: Seq[Long],
     posTotal: Long,
     negTotal: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(buckets >= 2, "nb: buckets must be >= 2")
 
@@ -208,7 +208,7 @@ final case class LinearScoreMicro(
     mult: Long,
     weightsMicro: Seq[Long],
     biasMicro: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(buckets >= 2, "lr: buckets must be >= 2")
   require(weightsMicro.length == buckets,

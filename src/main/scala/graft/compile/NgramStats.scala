@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * signal (callers map total=0 to 0.0 fractions, not to "repetitive").
   */
 final case class NgramStats(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(n >= 1, "n-gram size must be >= 1")
 

@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * strings (the overwhelming majority of web text) are returned
   * untouched without materializing a java.lang.String. */
 final case class NormalizeNfc(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable

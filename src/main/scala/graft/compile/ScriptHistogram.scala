@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * with a JDK `Character.UnicodeScript` lookup per code point.
   */
 final case class ScriptHistogram(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = ScriptHistogram.outType
   override def nullable: Boolean = true

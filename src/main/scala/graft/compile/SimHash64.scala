@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * Java here.
   */
 final case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"

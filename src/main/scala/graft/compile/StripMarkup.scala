@@ -58,7 +58,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * q_curate_web DuckDB oracles, which restate the CHAIN in SQL.
   */
 final case class StripMarkup(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable

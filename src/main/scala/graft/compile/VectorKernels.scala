@@ -33,7 +33,7 @@ private[graft] object VectorKernels {
   * kernel picks the well-defined NULL ("similarity undefined") for both
   * session modes. */
 final case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with BinaryKernelCallCodegen {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
@@ -80,7 +80,7 @@ final case class HyperplaneBuckets(
     tables: Int,
     planes: Int,
     dim: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(planesFlat.length == tables * planes * dim, "plane matrix shape mismatch")
 
@@ -99,9 +99,8 @@ final case class HyperplaneBuckets(
 
   // a NULL vector buckets to all-zeros like the Column formulation
   // (`when(NULL >= 0, …).otherwise(0)` per bit), NOT to NULL — override
-  // eval, no nullSafeEval
-  override def eval(input: InternalRow): Any = {
-    val raw = child.eval(input)
+  // evalBoxed, no nullSafeEval
+  override def evalBoxed(raw: Any): Any = {
     if (raw == null) return new GenericArrayData(new Array[Long](tables))
     val v = raw.asInstanceOf[ArrayData]
     val out = new Array[Long](tables)
@@ -156,7 +155,7 @@ final case class NearestCells(
     k: Int,
     dim: Int,
     nprobe: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(centroidsFlat.length == k * dim, "centroid matrix shape mismatch")
   require(nprobe >= 1 && nprobe <= k, "nprobe out of range")
@@ -174,9 +173,8 @@ final case class NearestCells(
   @transient private lazy val get = VectorKernels.elemGetter(child.dataType).toOption.get
   @transient private lazy val c: Array[Double] = centroidsFlat.toArray
 
-  override def eval(input: InternalRow): Any = {
+  override def evalBoxed(raw: Any): Any = {
     val dists = new Array[Double](k)
-    val raw = child.eval(input)
     var degenerate = raw == null
     if (!degenerate) {
       val v = raw.asInstanceOf[ArrayData]
@@ -234,7 +232,7 @@ final case class NearestCells(
   * input, length mismatch, or NULL element — the `zip_with`+`aggregate`
   * null algebra of the Column formulation it replaces. */
 final case class QuantizedDot(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with BinaryKernelCallCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_q"
@@ -288,7 +286,7 @@ final case class MatVec(
     matrixFlat: Seq[Double],
     k: Int,
     dim: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(matrixFlat.length == k * dim, "projection matrix shape mismatch")
 
@@ -345,7 +343,7 @@ final case class NearestCellSim(
     centroidsFlat: Seq[Double],
     k: Int,
     dim: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(centroidsFlat.length == k * dim, "centroid matrix shape mismatch")
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * data-chunk size is read from its header field even when the payload
   * bytes are truncated (metadata extraction, not decoding). */
 final case class WavMeta(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = WavMeta.outType
   // NULL for corrupt/non-WAV payloads regardless of input nullability
@@ -88,7 +88,7 @@ object WavMeta {
   * A declared data size past the payload decodes the whole samples
   * actually present (metadata lies; bytes don't). */
 final case class PcmStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   override def dataType: DataType = PcmStats.outType
   override def nullable: Boolean = true

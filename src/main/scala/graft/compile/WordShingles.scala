@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * of everything` fallback), pinned by the OpsSpec parity test so the
   * DuckDB gate oracles that restate shingling in SQL keep matching. */
 final case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -86,7 +86,7 @@ final case class WordShingles(child: Expression, n: Int)
   * carries no window). Parity with the Column formulation is pinned in
   * OpsSpec so the DuckDB span oracles keep matching. */
 final case class WordWindowIds(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCallCodegen {
 
   require(n >= 1, "window size must be >= 1")
 

@@ -71,7 +71,7 @@ final case class BloomAgg(
   * to use it). NULL key → NULL (three-valued, like IN). */
 final case class BloomContains(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  with graft.compile.BinaryKernelCallCodegen {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true

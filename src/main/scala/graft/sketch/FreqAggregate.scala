@@ -62,7 +62,7 @@ final case class FreqSketchAgg(
   * as array<struct<term, estimate, max_error>> in (estimate desc, term)
   * order. Runs on aggregated rows only (CodegenFallback is fine). */
 final case class FreqTopK(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with graft.compile.KernelCallCodegen {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
@@ -98,7 +98,7 @@ final case class FreqTopK(child: Expression, n: Int)
   * rows only. */
 final case class FreqChi2(
     left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with graft.compile.BinaryKernelCallCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -127,7 +127,7 @@ final case class FreqChi2(
   * [[FreqChi2]]: cells come from the reference. Aggregated rows only. */
 final case class FreqPsi(
     left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with graft.compile.BinaryKernelCallCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -69,7 +69,7 @@ final case class KllSketchAgg(
   * (one per group), never in the per-row hot path, so interpreted eval
   * (CodegenFallback) is fine. */
 final case class KllQuantiles(child: Expression, probs: Seq[Double])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with graft.compile.KernelCallCodegen {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -95,7 +95,7 @@ final case class KllQuantiles(child: Expression, probs: Seq[Double])
 /** `kll_cdf(sketch, points)` — scalar: estimated CDF values at the given
   * points, for KS-style comparisons in SQL space. */
 final case class KllCdf(child: Expression, points: Seq[Double])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with graft.compile.KernelCallCodegen {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -126,7 +126,7 @@ final case class KllCdf(child: Expression, points: Seq[Double])
 final case class KllKsDistance(
     left: org.apache.spark.sql.catalyst.expressions.Expression,
     right: org.apache.spark.sql.catalyst.expressions.Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with graft.compile.BinaryKernelCallCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
