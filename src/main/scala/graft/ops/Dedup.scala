@@ -79,29 +79,39 @@ object Dedup {
                          k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(w >= 1, s"w ($w) must be >= 1")
-    val staged = df
-      .select(col(idCol), TextAnalysis.words(col(textCol)).as("_ws"))
-      .withColumn("_n", greatest(size(col("_ws")) - (k - 1), lit(0)))
-      // gram hashes, bound once (lambda-CSE discipline)
-      .withColumn("_g", when(col("_n") >= 1,
-        transform(sequence(lit(0), col("_n") - 1),
-          i => TextAnalysis.fingerprint(
-            concat_ws(" ", slice(col("_ws"), i + 1, lit(k)))))))
-    // window j covers gram indices [j, min(j+w, n)); rightmost-tie argmin
-    val win = transform(
-      sequence(lit(0), greatest(col("_n") - w, lit(0))),
-      j => aggregate(
-        sequence(j, least(j + w, col("_n")) - 1),
-        struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
-        (acc, i) => {
-          val h = element_at(col("_g"), i + 1)
-          when(h <= acc.getField("h"),
-            struct(h.as("h"), i.as("p"))).otherwise(acc)
-        }))
-    staged
-      .where(col("_n") >= 1)
-      .select(col(idCol), explode(array_distinct(win)).as("_s"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the fused kernel: gram fp31s + rightmost-tie window argmin +
+    // distinct, one JVM pass (graft.compile.WinnowSelect) — exact value
+    // of [[winnowSelectColumns]] (parity pinned in OpsSpec); n = 0 docs
+    // yield an empty array, which explode drops
+    val sel = ColumnBridge.column(graft.compile.WinnowSelect(
+      ColumnBridge.expression(TextAnalysis.words(col(textCol))), k, w))
+    df.select(col(idCol), explode(sel).as("_s"))
       .select(col(idCol), col("_s.p").as("pos"), col("_s.h").as("fp"))
+  }
+
+  /** The original Column formulation of the winnow selection (parity
+    * oracle for [[graft.compile.WinnowSelect]]): gram hashes via
+    * [[TextAnalysis.fingerprint]] of each slice-and-join k-gram, then the
+    * rightmost-tie (`h <= acc.h`) window argmin fold, distinct. Test-only:
+    * the inline `g` reference re-evaluates per lambda element, the cost
+    * the kernel exists to remove. */
+  private[graft] def winnowSelectColumns(ws: Column, k: Int, w: Int): Column = {
+    val n = greatest(size(ws) - (k - 1), lit(0))
+    val g = transform(sequence(lit(0), n - 1),
+      i => TextAnalysis.fingerprint(concat_ws(" ", slice(ws, i + 1, lit(k)))))
+    when(n >= 1,
+      array_distinct(transform(
+        sequence(lit(0), greatest(n - w, lit(0))),
+        j => aggregate(
+          sequence(j, least(j + w, n) - 1),
+          struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
+          (acc, i) => {
+            val h = element_at(g, i + 1)
+            when(h <= acc.getField("h"),
+              struct(h.as("h"), i.as("p"))).otherwise(acc)
+          }))))
+      .otherwise(array().cast("array<struct<h:bigint,p:int>>"))
   }
 
   /** Consume [[winnowFingerprints]] selections into overlap PAIRS — the
@@ -276,6 +286,32 @@ object Dedup {
   val xxhashShingleId: Column => Column =
     s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL))
 
+  /** Unmasked xxhash64 shingle id — the SimHash default, where all 64
+    * bits feed the majority vote. */
+  val xxhashShingleId64: Column => Column = s => xxhash64(s)
+
+  /** Map the PUBLISHED id families onto the element-wise
+    * [[graft.compile.HashElements]] kernel (a reference-equality match on
+    * the vals above); a custom lambda keeps the `transform` fallback. The
+    * kernel path exists because a lambda HOF in the projection runs
+    * interpreted per element AND ejects the stage from whole-stage
+    * codegen ([[graft.compile.KernelCallCodegen]]). */
+  private def shingleIdsKernel(sh: Column, shingleId: Column => Column,
+                               mask31: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def kernel(kind: String, mask: Boolean): Column =
+      ColumnBridge.column(graft.compile.HashElements(
+        ColumnBridge.expression(sh), kind, mask))
+    // xxhashShingleId masks ITSELF (its published value is 31-bit), so
+    // its kernel twin masks regardless of the caller's mask31
+    if (shingleId eq xxhashShingleId) kernel("xx64", mask = true)
+    else if (shingleId eq xxhashShingleId64) kernel("xx64", mask31)
+    else if (shingleId eq portableShingleId) kernel("fp31", mask31)
+    else if (shingleId eq portableShingleId62) kernel("fp62", mask31)
+    else if (mask31) transform(sh, s => shingleId(s).bitwiseAND(lit(0x7FFFFFFFL)))
+    else transform(sh, s => shingleId(s))
+  }
+
   /** Portable shingle-id hash: a 31-bit polynomial rolling hash over code
     * points — weaker mixing than xxhash64 but restateable verbatim in any
     * SQL engine (one `list_reduce`), which is what lets the LSH gate
@@ -304,8 +340,8 @@ object Dedup {
     // wrapping requirement (see hashFamily) need x < 2^31, and a
     // caller-supplied wide hash (e.g. portableShingleId62, meant for
     // SimHash) would otherwise silently overflow into garbage signatures
-    val ids = transform(shingles(text, shingleN),
-      s => shingleId(s).bitwiseAND(lit(0x7FFFFFFFL)))
+    val ids = shingleIdsKernel(shingles(text, shingleN), shingleId,
+      mask31 = true)
     val fam = hashFamily(k, seed)
     ColumnBridge.column(graft.compile.MinHashSignature(
       ColumnBridge.expression(ids), fam.map(_._1), fam.map(_._2)))
@@ -691,9 +727,10 @@ object Dedup {
     * Catalyst-HOF fold runs interpreted with a 64-slot allocation per
     * element and is ~n×64 boxed ops per row. */
   def simhash(text: Column, shingleN: Int = 3,
-              shingleId: Column => Column = xxhash64(_)): Column = {
+              shingleId: Column => Column = xxhashShingleId64): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val ids = transform(shingles(text, shingleN), shingleId)
+    val ids = shingleIdsKernel(shingles(text, shingleN), shingleId,
+      mask31 = false)
     ColumnBridge.column(graft.compile.SimHash64(ColumnBridge.expression(ids)))
   }
 
@@ -706,7 +743,7 @@ object Dedup {
     * laziness/lineage tradeoff. */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 3, shingleN: Int = 3,
-                        shingleId: Column => Column = xxhash64(_),
+                        shingleId: Column => Column = xxhashShingleId64,
                         materialize: Boolean = true,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // cached: the chunk self-join recomputes each side's projection, and

@@ -10,10 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace word list (lowercased, punctuation stripped). */
-  def words(text: Column): Column =
-    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"),
-      w => w =!= "")
+  /** Whitespace word list (lowercased, punctuation stripped) — the
+    * [[graft.compile.WordsKernel]] single JVM pass, bit-identical to the
+    * reference chain
+    * `filter(split(lower(regexp_replace(text, "[^\p{L}\p{N}\s]", " ")),
+    * "\s+"), _ =!= "")` (WordsKernelSpec fuzzes the equivalence; the SQL
+    * oracles keep restating that chain). The kernel replaces two regex
+    * automata + a lambda HOF per row, and — because Spark's lambda HOFs
+    * are CodegenFallback — lets stages tokenizing text stay inside
+    * whole-stage codegen. */
+  def words(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.WordsKernel(
+      ColumnBridge.expression(text)))
+  }
 
   // Small function-word inventories per language (public knowledge).
   val stopwords: Map[String, Seq[String]] = Map(
