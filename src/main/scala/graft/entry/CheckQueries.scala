@@ -96,6 +96,54 @@ object CheckQueries {
                 FROM documents GROUP BY 1)
               SELECT * FROM rc UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM cnt""")),
 
+    // violation-output cap (PipelineConfig.maxViolationsPerPart): the
+    // written violations are the DETERMINISTIC first K per (part, check)
+    // by (doc_id, path, keyword, …) — restatable as one SQL row_number
+    // because (doc_id, path, keyword) is unique per group, so the
+    // longer tie-break never reorders. Gates the two-phase salted top-K
+    // (capViolations) against the single-window definition, end-to-end
+    // through the pipeline's write.
+    Q("q_pipeline_violations_cap",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-gate-cap").toString
+        val docs = T(s, d, "documents")
+          .withColumn("part", pmod(col("doc_id"), lit(4)).cast("int"))
+        val checks: Seq[Check] = Seq(
+          RowConstraintCheck(Validator(
+            """{"properties":{"n_chars":{"minimum":150,"maximum":400},
+                              "lang":{"enum":["en","de","fr"]},
+                              "source":{"pattern":"^src\\d+$"}}}""",
+            ValidatorOptions(greedy = true))))
+        new graft.pipeline.ValidationPipeline(checks,
+          graft.pipeline.PipelineConfig(s"$dir/ckpt", s"$dir/out",
+            maxViolationsPerPart = Some(5)))
+          .run(docs)
+        s.read.parquet(s"$dir/out/violations")
+          .select(col("part").cast("int").as("part"), col("doc_id"),
+            col("path"), col("keyword"), col("check"))
+      },
+      Some("""WITH v AS (
+                SELECT (doc_id % 4)::INT AS part, doc_id::VARCHAR AS doc_id,
+                       'n_chars' AS path, 'minimum' AS keyword
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars < 150
+                UNION ALL
+                SELECT (doc_id % 4)::INT, doc_id::VARCHAR, 'n_chars', 'maximum'
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 400
+                UNION ALL
+                SELECT (doc_id % 4)::INT, doc_id::VARCHAR, 'lang', 'enum'
+                FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+                UNION ALL
+                SELECT (doc_id % 4)::INT, doc_id::VARCHAR, 'source', 'pattern'
+                FROM documents
+                WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src\d+$')),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY part
+                  ORDER BY doc_id, path, keyword) AS rn
+                FROM v)
+              SELECT part, doc_id, path, keyword,
+                     'row_constraint' AS check
+              FROM r WHERE rn <= 5""")),
+
     Q("q_stats_exact",
       (s, d) => {
         val df = T(s, d, "orders").withColumn("part",

@@ -30,7 +30,20 @@ final case class PipelineConfig(
       * on drift — zero scans, so a silently-retyped or dropped column
       * aborts the run before a 100-TB pass is paid for (the value-level
       * checks can stay green while every downstream consumer breaks). */
-    referenceSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    referenceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+    /** Violation-output cap: when set, at most this many violation ROWS
+      * are written per (part, check) — the deterministic first K by the
+      * full violation row ordering (doc_id, path, keyword, message,
+      * additional_properties). At 10^12 rows a poisoned source (a schema
+      * break every value-check flags, an upstream rewrite that corrupts
+      * every doc_id) makes the violations table INPUT-sized: the error
+      * path of the run writes petabytes and dominates its cost exactly
+      * when the run should be failing fast. Verdicts keep the EXACT
+      * `violation_count` either way (they aggregate the check output,
+      * not the written sample). The selection is the two-phase salted
+      * top-K (see [[ValidationPipeline.capViolations]]) so an
+      * all-rows-red partition never serializes into one task. */
+    maxViolationsPerPart: Option[Int] = None)
 
 final case class PipelineResult(
     violations: DataFrame,
@@ -112,7 +125,11 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
           r.verdicts.where(!col("part").isin(committed.toSeq: _*)))
       } else c.run(pending)
     }
-    val violations = results.map(_.violations).reduce(_ unionAll _)
+    val violationsAll = results.map(_.violations).reduce(_ unionAll _)
+    val violations = cfg.maxViolationsPerPart match {
+      case Some(k) => ValidationPipeline.capViolations(violationsAll, k)
+      case None    => violationsAll
+    }
     val verdicts = (results.map(_.verdicts) :+ rowCountVerdicts).reduce(_ unionAll _)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -137,5 +154,41 @@ final class ValidationPipeline(checks: Seq[Check], cfg: PipelineConfig) {
 
     PipelineResult(violations, verdicts,
       pendingParts, committed.toSeq.sorted, totalRows)
+  }
+}
+
+object ValidationPipeline {
+  /** Deterministic first-K violation rows per (part, check), ordered by
+    * the full violation row (doc_id, path, keyword, message,
+    * additional_properties — NULLs first, a total order up to fully
+    * identical rows, which are interchangeable).
+    *
+    * Two-phase because one window over (part, check) is a skew cliff:
+    * the group cardinality is tiny and an all-rows-red partition would
+    * funnel 10^9 rows into ONE reducer's sort — the same degenerate
+    * input this cap exists for. Phase 1 ranks within (part, check,
+    * salt-of-row) across `Salts` reducers and keeps ≤ K per salt; phase
+    * 2 ranks the ≤ Salts·K survivors per (part, check). Every global
+    * top-K row ranks ≤ K within its own salt bucket, so phase 1 never
+    * drops a final selection. */
+  private[pipeline] val Salts = 64
+
+  def capViolations(v: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"maxViolationsPerPart ($k) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq("doc_id", "path", "keyword", "message",
+      "additional_properties").map(c => col(c).asc_nulls_first)
+    val salt = pmod(xxhash64(col("doc_id"), col("path"), col("keyword"),
+      col("message"), col("additional_properties")), lit(Salts))
+    val phase1 = v
+      .withColumn("_vr", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy(col("part"), col("check"), salt)
+          .orderBy(ord: _*)))
+      .where(col("_vr") <= k).drop("_vr")
+    phase1
+      .withColumn("_vr", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy(col("part"), col("check"))
+          .orderBy(ord: _*)))
+      .where(col("_vr") <= k).drop("_vr")
   }
 }

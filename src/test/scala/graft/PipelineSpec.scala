@@ -207,6 +207,44 @@ class PipelineSpec extends SparkSpec {
     assert(moved, "any movement off a perfectly stable history must flag")
   }
 
+  test("maxViolationsPerPart: deterministic first-K written, exact counts kept") {
+    val dir = Files.createTempDirectory("graft-pipe-cap").toString
+    val k = 3
+    val capped = new ValidationPipeline(allChecks,
+      PipelineConfig(s"$dir/ckpt", s"$dir/out", maxViolationsPerPart = Some(k)))
+      .run(table)
+    val written = spark.read.parquet(s"$dir/out/violations")
+    // cap holds per (part, check)
+    val over = written.groupBy("part", "check").count()
+      .where(col("count") > k).count()
+    assert(over == 0, "some (part, check) group exceeds the cap")
+    // the selection is the deterministic global first-K: equal to a
+    // single-window rank over the UNCAPPED frame (two-phase ≡ one-phase)
+    val dirAll = Files.createTempDirectory("graft-pipe-all").toString
+    val all = new ValidationPipeline(allChecks,
+      PipelineConfig(s"$dirAll/ckpt", s"$dirAll/out")).run(table)
+    val uncapped = spark.read.parquet(s"$dirAll/out/violations")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq("doc_id", "path", "keyword", "message",
+      "additional_properties").map(c => col(c).asc_nulls_first)
+    val expected = uncapped.withColumn("_r", row_number()
+        .over(Window.partitionBy(col("part"), col("check")).orderBy(ord: _*)))
+      .where(col("_r") <= k).drop("_r")
+      .collect().map(_.toString).sorted.toSeq
+    val got = written.collect().map(_.toString).sorted.toSeq
+    assert(got == expected, "capped selection differs from global first-K")
+    // verdict counts stay EXACT (aggregate of the check, not the sample)
+    val cappedCounts = capped.verdicts
+      .select("part", "check", "violation_count").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val allCounts = all.verdicts
+      .select("part", "check", "violation_count").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cappedCounts == allCounts)
+    assert(cappedCounts.values.exists(_ > k),
+      "fixture must actually exceed the cap for this test to bite")
+  }
+
   test("pipeline end-to-end: verdicts, violations, checkpoint, resume") {
     val dir = Files.createTempDirectory("graft-pipe").toString
     val pcfg = PipelineConfig(s"$dir/ckpt", s"$dir/out", lineage = "test-run")
