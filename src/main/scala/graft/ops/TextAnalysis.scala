@@ -33,8 +33,34 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "para"),
   )
 
+  /** The one-pass character/word census kernel
+    * ([[graft.compile.TextCounts]]) — integer inputs for
+    * [[qualityScore]] / [[tokenCountBpe]] / [[tokenCountWs]], replacing
+    * three regex scans + a lambda HOF per row with one JVM pass. */
+  def textCounts(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.TextCounts(
+      ColumnBridge.expression(text)))
+  }
+
+  /** All four languages' stopword hit-rates over a precomputed word list
+    * in ONE array pass (`struct<de,en,es,fr>` —
+    * [[graft.compile.StopwordScores]]); the per-language Column chain is
+    * a lambda filter per language per row. */
+  def stopwordScoresFromWords(ws: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val langs = stopwords.keys.toSeq.sorted
+    ColumnBridge.column(graft.compile.StopwordScores(
+      ColumnBridge.expression(ws), langs, langs.map(stopwords)))
+  }
+
   /** Per-language stopword hit-rate over a precomputed word list. */
-  def stopwordRatioFromWords(ws: Column, lang: String): Column = {
+  def stopwordRatioFromWords(ws: Column, lang: String): Column =
+    stopwordScoresFromWords(ws).getField(lang)
+
+  /** The original Column formulation of [[stopwordRatioFromWords]]
+    * (parity oracle for [[graft.compile.StopwordScores]]). */
+  private[graft] def stopwordRatioColumns(ws: Column, lang: String): Column = {
     val sw = stopwords(lang)
     when(size(ws) > 0,
       size(filter(ws, w => w.isin(sw: _*))).cast("double") / size(ws))
@@ -53,7 +79,11 @@ object TextAnalysis {
     * [[langId]] recomputes it once per language. */
   def langIdFromWords(ws: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordRatioFromWords(ws, l).as("score"),
+    val sc = stopwordScoresFromWords(ws)
+    // the kernel subtree appears once per language struct; whole-stage
+    // codegen subexpression elimination evaluates it once per row (no
+    // lambda anywhere in this tree anymore, so both WSCG and CSE apply)
+    val scored = langs.map(l => struct(sc.getField(l).as("score"),
       lit(l).as("lang")))
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
@@ -62,14 +92,27 @@ object TextAnalysis {
   /** n-gram-free language ID (single-expression convenience form). */
   def langId(text: Column): Column = langIdFromWords(words(text))
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(words(text))
+  /** Whitespace token count (= [[textCounts]] `n_words`: replacement and
+    * lowercasing never change the L/N run structure `words` splits on). */
+  def tokenCountWs(text: Column): Column = textCounts(text).getField("n_words")
 
   /** BPE-ish token count: alphanumeric runs + individual non-space
     * punctuation characters, the unit count a byte-pair pre-tokenizer's
     * regex pass produces (defined arithmetically — no lookarounds — so
-    * RE2-based engines can restate it). */
-  def tokenCountBpe(text: Column): Column =
+    * RE2-based engines can restate it). One [[textCounts]] pass:
+    * `n_words + n_punct` ≡ the split-runs + stripped-length chain
+    * (parity pinned in TextCountsSpec). */
+  def tokenCountBpe(text: Column): Column = {
+    val c = textCounts(text)
+    c.getField("n_words") + c.getField("n_punct")
+  }
+
+  /** The original Column formulations of the [[textCounts]] consumers
+    * (parity oracles for [[graft.compile.TextCounts]]). */
+  private[graft] def tokenCountWsColumns(text: Column): Column =
+    size(filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")),
+      "\\s+"), w => w =!= ""))
+  private[graft] def tokenCountBpeColumns(text: Column): Column =
     size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= "")) +
       length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
 
@@ -77,12 +120,17 @@ object TextAnalysis {
     * word length band, whitespace sanity. The standard cheap pre-filter
     * stack for web-scale corpora. */
   def qualityScore(text: Column): Column = {
-    val n = length(text)
-    val alphaRatio = (length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+    // one textCounts pass replaces length(text) + two regex strips +
+    // the tokenizer; every downstream double op keeps the exact Column
+    // arithmetic (n_letter ≡ strip-non-L length, n_cp - n_ws ≡
+    // strip-\s+ length — TextCountsSpec pins the integer equalities)
+    val c = textCounts(text)
+    val n = c.getField("n_cp")
+    val alphaRatio = (c.getField("n_letter").cast("double") /
       greatest(n, lit(1)))
-    val wordCount = tokenCountWs(text)
+    val wordCount = c.getField("n_words")
     val meanWordLen = when(wordCount > 0,
-      length(regexp_replace(text, "\\s+", "")).cast("double") / wordCount)
+      (n - c.getField("n_ws")).cast("double") / wordCount)
       .otherwise(lit(0.0))
     val lengthOk = when(n >= 100 && n <= 20000, lit(1.0))
       .when(n >= 20 && n < 100, lit(0.5)).otherwise(lit(0.0))
