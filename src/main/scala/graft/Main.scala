@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *   --checkpoint /data/validation_ckpt \
   *   [--vocab /data/vocab]            \  (source dimension for referential)
   *   [--reference /data/clean_sample] \  (drift reference sample)
-  *   [--part-col part] [--id-col doc_id] [--greedy true]
+  *   [--part-col part] [--id-col doc_id] [--greedy true] \
+  *   [--max-violations-per-part 100000]  (cap written violation rows —
+  *                                        see PipelineConfig; verdict
+  *                                        counts stay exact)
   * }}}
   *
   * Interrupted runs resume by re-submitting with the same checkpoint dir:
@@ -68,7 +71,8 @@ object Main {
       checkpointDir = req("checkpoint"),
       outputDir = req("output"),
       partCol = partCol,
-      lineage = s"input=${req("input")} specHash=${specJson.hashCode}")
+      lineage = s"input=${req("input")} specHash=${specJson.hashCode}",
+      maxViolationsPerPart = opts.get("max-violations-per-part").map(_.toInt))
     val result = new ValidationPipeline(checks.result(), cfg).run(input)
 
     println(s"processed parts: ${result.processedParts.mkString(",")}")
