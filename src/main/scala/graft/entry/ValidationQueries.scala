@@ -563,6 +563,33 @@ object ValidationQueries {
             + CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)::BIGINT AS nviol
              FROM documents""")),
 
+    // validated COLUMNAR ingest (ORC round-trip): binary formats carry
+    // no per-record corrupt channel, so the one-pass reader is the
+    // constraint projection fused onto the scan; the oracle restates the
+    // spec over the original table (the ORC round trip is lossless)
+    Q("q_source_orc",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-gate-orc"
+        T(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").orc(tmp)
+        graft.sources.ValidatedSource.orc(s, tmp,
+          Validator(
+            """{"required":["doc_id","lang"],
+                "properties":{"n_chars":{"minimum":100,"maximum":450},
+                              "lang":{"enum":["en","de","fr","es"]}}}""",
+            ValidatorOptions(greedy = true)))
+          .select(col("doc_id"), col("valid"),
+            size(col("errors")).cast("long").as("nviol"))
+      },
+      Some("""SELECT doc_id,
+             ((n_chars >= 100 AND n_chars <= 450)
+              AND lang IN ('en','de','fr','es')) AS valid,
+             (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END
+            + CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)::BIGINT AS nviol
+             FROM documents""")),
+
     Q("q_defaults_build",
       (s, d) => DefaultsBuilder.build(
         T(s, d, "documents").select(col("doc_id"),

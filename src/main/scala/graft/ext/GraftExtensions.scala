@@ -87,14 +87,12 @@ object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayTransform, BitwiseAnd, Coalesce, CreateArray, EqualTo, LambdaFunction, Lower, NamedLambdaVariable, Not, RegExpReplace, StringSplit, XxHash64}
 
   /** [[graft.ops.TextAnalysis.words]]: lowercased, punctuation-stripped,
-    * empty-dropped whitespace word list. */
-  private def wordsExpr(text: Expression): Expression = {
-    val cleaned = StringSplit(
-      Lower(RegExpReplace(text, Literal("[^\\p{L}\\p{N}\\s]"), Literal(" "))),
-      Literal("\\s+"), Literal(-1))
-    val w = NamedLambdaVariable("w", StringType, nullable = true)
-    ArrayFilter(cleaned, LambdaFunction(Not(EqualTo(w, Literal(""))), Seq(w)))
-  }
+    * empty-dropped whitespace word list — the same [[graft.compile.WordsKernel]]
+    * the Scala API rides (bit-identical to the old regex+HOF chain,
+    * WordsKernelSpec), so the SQL surface gets the kernel speed and the
+    * stage keeps whole-stage codegen. */
+  private def wordsExpr(text: Expression): Expression =
+    graft.compile.WordsKernel(text)
 
   /** [[graft.ops.Dedup.shingles]]: distinct word n-grams via the
     * WordShingles kernel, NULL/short text -> [""]. */

@@ -83,4 +83,17 @@ object ValidatedSource {
       .csv(path)
     withCorruptHandling(parsed, rowSchema, validator)
   }
+
+  /** ORC source: rows arrive already typed (columnar formats have no
+    * per-record corrupt channel — file-level corruption fails the read,
+    * Spark's contract for binary formats), so validated ingest is the
+    * constraint pass alone, still one narrow scan-fused projection.
+    * Returns the file's columns + `valid` + `errors`. */
+  def orc(spark: SparkSession, path: String, validator: Validator): DataFrame =
+    validator.withValidation(spark.read.orc(path))
+
+  /** Parquet source — same contract as [[orc]]. */
+  def parquet(spark: SparkSession, path: String,
+              validator: Validator): DataFrame =
+    validator.withValidation(spark.read.parquet(path))
 }
