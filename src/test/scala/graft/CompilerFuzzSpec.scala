@@ -68,7 +68,7 @@ class CompilerFuzzSpec extends SparkSpec with Draft4Harness {
       val kws = Vector.newBuilder[(String, JValue)]
       val nKw = 1 + rnd.nextInt(3)
       (0 until nKw).foreach { _ =>
-        rnd.nextInt(16) match {
+        rnd.nextInt(19) match {
           case 0 =>
             kws += "type" -> (if (rnd.nextBoolean())
               JStr(oneOf("string", "number", "integer", "boolean", "array",
@@ -111,6 +111,24 @@ class CompilerFuzzSpec extends SparkSpec with Draft4Harness {
             kws += oneOf("allOf", "anyOf", "oneOf") ->
               JArr(Vector.fill(1 + rnd.nextInt(2))(schema(depth - 1)))
           case 14 if depth > 0 => kws += "not" -> schema(depth - 1)
+          case 16 if depth > 0 =>
+            kws += "patternProperties" -> JObj(
+              Vector(oneOf("^a", "[bc]", "c$")).map(p =>
+                p -> (schema(depth - 1): JValue)))
+            if (rnd.nextBoolean())
+              kws += "additionalProperties" -> (if (rnd.nextBoolean())
+                JBool(false) else schema(depth - 1))
+          case 17 if depth > 0 =>
+            kws += "additionalProperties" -> (if (rnd.nextBoolean())
+              JBool(false) else schema(depth - 1))
+          case 18 if depth == 2 =>
+            // definitions + an internal $ref — ROOT level only: JSON
+            // Pointers resolve from the document root, so a nested
+            // subschema carrying "#/definitions/d0" would (correctly)
+            // fail resolution against the root document
+            kws += "definitions" -> JObj(Vector(
+              "d0" -> (schema(depth - 1): JValue)))
+            kws += "$ref" -> JStr("#/definitions/d0")
           case _ => kws += "minimum" -> jint(rnd.nextInt(5) - 2)
         }
       }
