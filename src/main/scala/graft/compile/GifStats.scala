@@ -34,8 +34,10 @@ import org.apache.spark.sql.types._
   * (it validates JSON values, jsen/lib/jsen.js); this operator belongs
   * to the builder brief's multimodal mandate — decode / feature-extract
   * over opaque binary columns with the Spark-side plumbing real. */
-final case class GifStats(child: Expression)
+final case class GifStats(child: Expression, frame: Int = 0)
   extends UnaryExpression with KernelCallCodegen {
+
+  require(frame >= 0, s"graft_gif_stats: frame ($frame) must be >= 0")
 
   override def dataType: DataType = RgbStats.outType
   override def nullable: Boolean = true
@@ -48,9 +50,36 @@ final case class GifStats(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any =
-    GifStats.parse(input.asInstanceOf[Array[Byte]])
+    GifStats.parse(input.asInstanceOf[Array[Byte]], frame)
 
   override protected def withNewChildInternal(newChild: Expression): GifStats =
+    copy(child = newChild)
+}
+
+/** REAL GIF animation frame COUNT: walk the container's block structure
+  * (extensions, image descriptors, local color tables, data sub-blocks)
+  * counting COMPLETE image frames until the trailer — the frame-sample
+  * mandate's addressing primitive ([[GifStats]]'s `frame` parameter
+  * decodes the sampled frame's pixels). No LZW decode: skipping a frame
+  * costs its sub-block length walk only. Truncated containers count the
+  * frames whose bytes are fully present; non-GIF → NULL. */
+final case class GifFrameCount(child: Expression)
+  extends UnaryExpression with KernelCallCodegen {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_frame_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gif_frame_count requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifStats.frameCount(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrameCount =
     copy(child = newChild)
 }
 
@@ -59,13 +88,43 @@ object GifStats {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
-  private[graft] def parse(b: Array[Byte]): InternalRow = {
+  /** Skip `off` past a sub-block chain (lengths + 0 terminator); -1 when
+    * the chain runs off the payload. */
+  private def skipSubBlocks(b: Array[Byte], off0: Int): Int = {
+    var off = off0
+    while (true) {
+      if (off >= b.length) return -1
+      val n = u8(b, off)
+      off += 1
+      if (n == 0) return off
+      off += n
+    }
+    -1 // unreachable
+  }
+
+  /** Skip `off` past one whole image frame (descriptor already at `off`,
+    * value 0x2C): descriptor + optional local color table + LZW min-code
+    * byte + data sub-blocks; -1 when any part is missing. */
+  private def skipFrame(b: Array[Byte], off0: Int): Int = {
+    var off = off0
+    if (off + 10 > b.length) return -1
+    val packed2 = u8(b, off + 9)
+    off += 10
+    if ((packed2 & 0x80) != 0) {
+      off += 3 * (2 << (packed2 & 7))
+      if (off > b.length) return -1
+    }
+    if (off >= b.length) return -1
+    off += 1 // LZW minimum code size
+    skipSubBlocks(b, off)
+  }
+
+  /** Header + global-color-table gate: (offset past GCT, gctOff, gctSize)
+    * or null for non-GIF. */
+  private def headerWalk(b: Array[Byte]): (Int, Int, Int) = {
     if (b == null || b.length < 13) return null
-    // header: GIF87a / GIF89a
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
         (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
-    // logical screen descriptor: the screen dims are canvas metadata;
-    // stats use the frame descriptor's dims below
     val packed = u8(b, 10)
     val gctFlag = (packed & 0x80) != 0
     val gctSize = 2 << (packed & 7)
@@ -76,22 +135,58 @@ object GifStats {
       off += 3 * gctSize
       if (off > b.length) return null
     }
-    // walk blocks to the first image descriptor, skipping extensions
+    (off, gctOff, gctSize)
+  }
+
+  /** Count COMPLETE image frames (see [[GifFrameCount]]). */
+  private[graft] def frameCount(b: Array[Byte]): Any = {
+    val hdr = headerWalk(b)
+    if (hdr == null) return null
+    var off = hdr._1
+    var count = 0
+    while (true) {
+      if (off >= b.length) return count // truncated: complete frames only
+      u8(b, off) match {
+        case 0x21 =>
+          val next = skipSubBlocks(b, off + 2)
+          if (next < 0) return count
+          off = next
+        case 0x2C =>
+          val next = skipFrame(b, off)
+          if (next < 0) return count
+          count += 1
+          off = next
+        case 0x3B => return count // trailer
+        case _ => return count    // corrupt tail: keep the prefix count
+      }
+    }
+    count // unreachable
+  }
+
+  private[graft] def parse(b: Array[Byte], frame: Int = 0): InternalRow = {
+    val hdr = headerWalk(b)
+    if (hdr == null) return null
+    var off = hdr._1
+    val gctOff = hdr._2
+    val gctSize = hdr._3
+    // walk blocks to the TARGET image descriptor, skipping extensions
+    // and earlier frames (their data skips by sub-block length, no decode)
+    var remaining = frame
     var found = false
     while (!found) {
       if (off >= b.length) return null
       u8(b, off) match {
         case 0x21 => // extension: introducer + label + sub-blocks + 0x00
-          off += 2
-          var sub = true
-          while (sub) {
-            if (off >= b.length) return null
-            val n = u8(b, off)
-            off += 1
-            if (n == 0) sub = false else off += n
-          }
-        case 0x2C => found = true
-        case _ => return null // trailer before any image, or corrupt
+          val next = skipSubBlocks(b, off + 2)
+          if (next < 0) return null
+          off = next
+        case 0x2C if remaining == 0 => found = true
+        case 0x2C =>
+          val next = skipFrame(b, off)
+          if (next < 0) return null
+          remaining -= 1
+          off = next
+        case _ => return null // trailer before the target frame, or corrupt
       }
     }
     // image descriptor: 0x2C left(2) top(2) width(2) height(2) packed(1)

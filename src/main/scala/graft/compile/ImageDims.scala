@@ -137,6 +137,69 @@ final case class RgbStats(child: Expression)
     copy(child = newChild)
 }
 
+/** REAL image RESIZE (nearest-neighbor) of a 24-bit uncompressed BMP
+  * payload to `dw`×`dh`: output pixel (x, y) samples source pixel
+  * (⌊x·W/dw⌋, ⌊y·H/dh⌋) — integer floor arithmetic a SQL oracle restates
+  * verbatim. Returns the resized image as `dw·dh·3` bytes of top-down
+  * row-major RGB (disk BGR converted, bottom-up row order unflipped).
+  *
+  * Cost is O(dw·dh) sampled FETCHES per row — never a walk over the
+  * source grid, so a forged header can't make it spin ([[RgbStats]]'s
+  * monotone-offset discipline, taken further: offsets stay in Long and
+  * every sampled pixel is bounds-checked). Contract differs from the
+  * stats kernels on truncation BY DESIGN: a resize without the full
+  * sampled grid is not a prefix, it's a different image — any sampled
+  * pixel out of bounds → NULL, like non-BMP payloads. */
+final case class BmpResize(child: Expression, dw: Int, dh: Int)
+  extends UnaryExpression with KernelCallCodegen {
+
+  require(dw >= 1 && dw <= 4096 && dh >= 1 && dh <= 4096,
+    s"graft_bmp_resize: target dims ${dw}x$dh out of [1, 4096]")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bmp_resize requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val hdr = RgbStats.header(b)
+    if (hdr == null) return null
+    val (dataOff, width, rawH) = (hdr._1, hdr._2, hdr._3)
+    val height = math.abs(rawH)
+    val stride = (width * 3L + 3) & ~3L
+    val out = new Array[Byte](dw * dh * 3)
+    var y = 0
+    while (y < dh) {
+      val srcY = (y.toLong * height / dh).toInt
+      // positive height = bottom-up on disk: image row y is disk row H-1-y
+      val diskRow = if (rawH > 0) height - 1 - srcY else srcY
+      var x = 0
+      while (x < dw) {
+        val srcX = (x.toLong * width / dw).toInt
+        val off = dataOff + diskRow * stride + srcX * 3L
+        if (off < 0 || off + 3 > b.length) return null
+        val o = off.toInt
+        val t = (y * dw + x) * 3
+        out(t) = b(o + 2)     // R (disk is BGR)
+        out(t + 1) = b(o + 1) // G
+        out(t + 2) = b(o)     // B
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BmpResize =
+    copy(child = newChild)
+}
+
 object RgbStats {
   val outType: StructType = StructType(Seq(
     StructField("width", IntegerType),
@@ -152,7 +215,10 @@ object RgbStats {
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
-  private[graft] def parse(b: Array[Byte]): InternalRow = {
+  /** Shared 24-bit-uncompressed-BMP header gate: (dataOff, width, rawH)
+    * for a plausible payload, null otherwise (the [[parse]] rules —
+    * [[BmpResize]] reuses them verbatim). */
+  private[compile] def header(b: Array[Byte]): (Long, Int, Int) = {
     // BMP file header (14) + BITMAPINFOHEADER (>= 40)
     if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     val dataOff = le32(b, 10)
@@ -166,6 +232,14 @@ object RgbStats {
     val height = math.abs(rawH)
     if (width <= 0 || height == 0 || bits != 24 || compression != 0L ||
         dataOff < 54 || dataOff > b.length) return null
+    (dataOff, width, rawH)
+  }
+
+  private[graft] def parse(b: Array[Byte]): InternalRow = {
+    val hdr = header(b)
+    if (hdr == null) return null
+    val (dataOff, width, rawH) = (hdr._1, hdr._2, hdr._3)
+    val height = math.abs(rawH)
     val rowBytes = width * 3L
     val stride = (rowBytes + 3) & ~3L // rows pad to 4-byte boundaries
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var n = 0L

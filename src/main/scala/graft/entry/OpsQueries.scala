@@ -1381,6 +1381,64 @@ object OpsQueries {
     // sums from the SAME (x, row) formula without touching bytes.
     // doc_id%5==4 is a non-BMP payload (all NULLs). Orientation is
     // irrelevant to channel sums, so the formula indexes FILE rows
+    // REAL image resize: same SQL-built BMPs as q_image_rgb, nearest-
+    // neighbor to 3x2; the oracle recomputes every output pixel from the
+    // SAME source-pixel formulas + the floor sampling arithmetic without
+    // touching bytes (disk rows are bottom-up: image row y = disk row
+    // h-1-y — an orientation bug flips the hex and fails the hash)
+    Q("q_image_resize",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          hex2(v), hex2(floor(v / 256).cast("int"))) }
+        def le32h(v0: Column) = { val v = v0.cast("int"); concat(
+          le16h(pmod(v, lit(65536))), le16h(floor(v / 65536).cast("int"))) }
+        val id = col("doc_id")
+        val w = (pmod(id, lit(4)) + 1).cast("int")
+        val h = (pmod(id, lit(3)) + 1).cast("int")
+        val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4)).cast("int")
+        val stride = (w * 3 + pad).cast("int")
+        val rows = concat_ws("", transform(sequence(lit(0), h - 1), j =>
+          concat(
+            concat_ws("", transform(sequence(lit(0), w - 1), x => concat(
+              hex2(id + x * 3 + j * 7),          // B on disk
+              hex2(id * 2 + x * 5 + j),          // G
+              hex2(id * 3 + x + j * 11)))),      // R
+            rpad(lit(""), (pad * 2).cast("int"), lit("0")))))
+        val bmp = unhex(concat(
+          lit("424D"), le32h(lit(54) + stride * h), le32h(lit(0)),
+          le32h(lit(54)), le32h(lit(40)), le32h(w), le32h(h),
+          lit("0100"), lit("1800"), le32h(lit(0)), le32h(stride * h),
+          le32h(lit(2835)), le32h(lit(2835)), le32h(lit(0)), le32h(lit(0)),
+          rows))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(bmp)
+        T(s, d, "documents").select(id,
+          hex(Multimodal.rgbResize(payload, 3, 2)).as("rgb_hex"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h
+                FROM documents),
+              pix AS (
+                SELECT doc_id,
+                  ty.y, tx.x,
+                  (tx.x * w) // 3 AS sx,
+                  h - 1 - ((ty.y * h) // 2) AS j
+                FROM g, unnest(range(0, 2)) AS ty(y),
+                        unnest(range(0, 3)) AS tx(x)),
+              px AS (
+                SELECT doc_id, y, x,
+                  printf('%02X%02X%02X',
+                    (doc_id*3 + sx + j*11) % 256,
+                    (doc_id*2 + sx*5 + j) % 256,
+                    (doc_id + sx*3 + j*7) % 256) AS hx
+                FROM pix)
+              SELECT g.doc_id,
+                CASE WHEN g.doc_id % 5 = 4 THEN NULL
+                ELSE (SELECT string_agg(hx, '' ORDER BY y, x)
+                      FROM px WHERE px.doc_id = g.doc_id) END AS rgb_hex
+              FROM g""")),
+
     Q("q_image_rgb",
       (s, d) => {
         def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
@@ -1538,6 +1596,73 @@ object OpsQueries {
     // doc_id%5==4 is a non-GIF payload (all NULLs). The general
     // code-width-growth / KwKwK / deferred-clear paths are exercised by
     // OpsSpec's real LZW encoder round-trip (not expressible in SQL).
+    // REAL GIF frame-sample: TWO-frame animations built in SQL (the
+    // q_image_gif byte-aligned LZW construction, twice, different pixel
+    // formulas per frame) — frame count + the SECOND frame's decoded
+    // stats; the oracle recomputes frame 1's sums from its own formula,
+    // so sampling the wrong frame (or not skipping frame 0's data
+    // correctly) fails the hash. doc_id%5==4 → non-GIF (NULLs).
+    Q("q_gif_frames",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          hex2(v), hex2(floor(v / 256).cast("int"))) }
+        val id = col("doc_id")
+        val w = (pmod(id, lit(4)) + 1).cast("int")
+        val h = (pmod(id, lit(3)) + 1).cast("int")
+        val pal = concat_ws("", transform(sequence(lit(0), lit(127)), i =>
+          concat(hex2(id + i * 2), hex2(id * 2 + i * 5),
+            hex2(id * 3 + i * 7))))
+        def frame(ci: (Column, Column) => Column) = concat(
+          lit("2C"), lit("00000000"), le16h(w), le16h(h), lit("00"),
+          lit("07"), hex2(w * h + 2), lit("80"),
+          concat_ws("", transform(sequence(lit(0), h - 1), j =>
+            concat_ws("", transform(sequence(lit(0), w - 1), x =>
+              hex2(pmod(ci(x, j), lit(128))))))),
+          lit("81"), lit("00"))
+        val gif = unhex(concat(
+          lit("474946383961"), le16h(w), le16h(h), lit("F60000"), pal,
+          frame((x, j) => id + x * 3 + j * 5),
+          frame((x, j) => id * 2 + x * 7 + j * 11),
+          lit("3B")))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(gif)
+        val st = Multimodal.gifFrameStats(payload, 1)
+        T(s, d, "documents")
+          .select(id, Multimodal.gifFrameCount(payload).as("n_frames"),
+            st.as("st"))
+          .select(id, col("n_frames"),
+            col("st.n_px").as("n_px"), col("st.sum_r").as("sum_r"),
+            col("st.sum_g").as("sum_g"), col("st.sum_b").as("sum_b"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h
+                FROM documents),
+              pix AS (
+                SELECT doc_id,
+                  (doc_id*2 + x*7 + j*11) % 128 AS ci
+                FROM g, unnest(range(0, h)) AS tj(j),
+                  unnest(range(0, w)) AS tx(x)),
+              st AS (
+                SELECT doc_id,
+                  count(*) AS n,
+                  sum((doc_id + ci*2) % 256) AS sr,
+                  sum((doc_id*2 + ci*5) % 256) AS sg,
+                  sum((doc_id*3 + ci*7) % 256) AS sb
+                FROM pix GROUP BY doc_id)
+              SELECT g.doc_id,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE 2 END)::INT
+                  AS n_frames,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE st.n END)::BIGINT
+                  AS n_px,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE st.sr END)::BIGINT
+                  AS sum_r,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE st.sg END)::BIGINT
+                  AS sum_g,
+                (CASE WHEN g.doc_id % 5 = 4 THEN NULL ELSE st.sb END)::BIGINT
+                  AS sum_b
+              FROM g JOIN st USING (doc_id)""")),
+
     Q("q_image_gif",
       (s, d) => {
         def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")

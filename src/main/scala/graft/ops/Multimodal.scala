@@ -183,6 +183,39 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
+  /** REAL animation frame-sample: decode the `frame`-th (0-based) image
+    * frame of an animated GIF into the same exact channel stats as
+    * [[gifStats]] — earlier frames skip by container block walking (no
+    * LZW decode paid for unsampled frames). Frame absent/truncated →
+    * NULL. */
+  def gifFrameStats(payload: Column, frame: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.GifStats(
+      ColumnBridge.expression(payload), frame))
+  }
+
+  /** REAL animation frame COUNT (complete frames present in the
+    * container; truncation counts the prefix; non-GIF → NULL). */
+  def gifFrameCount(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.GifFrameCount(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** REAL image RESIZE: nearest-neighbor downsample/upsample of a 24-bit
+    * uncompressed BMP payload to `dw`×`dh`, returned as dw·dh·3 bytes of
+    * top-down row-major RGB ([[graft.compile.BmpResize]] — O(dw·dh)
+    * sampled fetches, never a source-grid walk). Non-BMP or a payload
+    * missing any sampled pixel → NULL (a partial resize is a different
+    * image, not a prefix). Compressed formats route through their REAL
+    * decoders' stats today; resizing them needs the full pixel buffer
+    * those kernels deliberately stream past. */
+  def rgbResize(payload: Column, dw: Int, dh: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.compile.BmpResize(
+      ColumnBridge.expression(payload), dw, dh))
+  }
+
   /** STUB image decode: deterministic fake dimensions derived from payload
     * length and first bytes. Real impl: a mapInArrow batch decoder with
     * this exact output schema. */

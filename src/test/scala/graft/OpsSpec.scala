@@ -1604,6 +1604,45 @@ class OpsSpec extends SparkSpec {
     Seq(4L, 5L, 6L).foreach(id => assert(got(id).isNullAt(1), s"id=$id"))
   }
 
+  test("rgbResize: nearest-neighbor, bottom-up + top-down, upsample, rejects") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    def bmp(w: Int, h: Int, px: Array[Byte]) =
+      "BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(px.length) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0) ++ px
+    // 2x2 bottom-up, stride 8: disk row 0 = IMAGE row 1
+    val px = Array[Byte](
+      10, 20, 30, 40, 50, 60, 99, 99,  // disk row 0 → image row 1
+      1, 2, 3, 4, 5, 6, 99, 99)        // disk row 1 → image row 0
+    val topDown = ("BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(px.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ px)
+    val rows = Seq(
+      1L -> bmp(2, 2, px), 2L -> topDown,
+      3L -> bmp(2, 2, px.dropRight(10)),      // sampled pixel missing → NULL
+      4L -> "junk".getBytes).toDF("id", "payload")
+    // identity 2x2 resize: image order = disk rows flipped (RGB order out)
+    val got = rows.select($"id", Multimodal.rgbResize($"payload", 2, 2).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(got(1L) == Seq[Byte](3, 2, 1, 6, 5, 4, 30, 20, 10, 60, 50, 40))
+    // top-down: disk row 0 IS image row 0
+    assert(got(2L) == Seq[Byte](30, 20, 10, 60, 50, 40, 3, 2, 1, 6, 5, 4))
+    assert(got(3L) == null && got(4L) == null)
+    // 1x1 downsample picks (0,0); 4x2 upsample repeats columns (sx = x*2/4)
+    val one = rows.where($"id" === 1)
+      .select(Multimodal.rgbResize($"payload", 1, 1)).head().getAs[Array[Byte]](0)
+    assert(one.toSeq == Seq[Byte](3, 2, 1))
+    val up = rows.where($"id" === 1)
+      .select(Multimodal.rgbResize($"payload", 4, 1)).head().getAs[Array[Byte]](0)
+    assert(up.toSeq == Seq[Byte](3, 2, 1, 3, 2, 1, 6, 5, 4, 6, 5, 4))
+  }
+
   test("rgbStats: real BMP decode, padding, truncation, top-down, rejects") {
     import graft.ops.Multimodal
     def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
@@ -1926,6 +1965,64 @@ class OpsSpec extends SparkSpec {
     assert(st.getLong(1) == idx.map(i => ((id + i * 2) % 256).toLong).sum)
     assert(st.getLong(2) == idx.map(i => ((id * 2 + i * 5) % 256).toLong).sum)
     assert(st.getLong(3) == idx.map(i => ((id * 3 + i * 7) % 256).toLong).sum)
+  }
+
+  test("gifFrameStats/gifFrameCount: multi-frame addressing, skip-without-" +
+    "decode, truncation counts the complete prefix, rejects") {
+    import graft.ops.Multimodal
+    val id = 11
+    val w = 3; val h = 2
+    def frameBytes(ci: (Int, Int) => Int): Array[Byte] = {
+      val out = Array.newBuilder[Byte]
+      out += 0x2C.toByte
+      out ++= Array[Byte](0, 0, 0, 0)
+      out ++= Array((w & 0xFF).toByte, 0.toByte, (h & 0xFF).toByte, 0.toByte)
+      out += 0.toByte
+      out += 7.toByte
+      out += (w * h + 2).toByte
+      out += 0x80.toByte
+      for (j <- 0 until h; x <- 0 until w) out += (ci(x, j) % 128).toByte
+      out += 0x81.toByte; out += 0.toByte
+      out.result()
+    }
+    val head = {
+      val out = Array.newBuilder[Byte]
+      out ++= "GIF89a".getBytes
+      out ++= Array((w & 0xFF).toByte, 0.toByte, (h & 0xFF).toByte, 0.toByte)
+      out += 0xF6.toByte; out += 0.toByte; out += 0.toByte
+      (0 until 128).foreach { i =>
+        out += ((id + i * 2) % 256).toByte
+        out += ((id * 2 + i * 5) % 256).toByte
+        out += ((id * 3 + i * 7) % 256).toByte }
+      out.result()
+    }
+    val f0 = frameBytes((x, j) => id + x * 3 + j * 5)
+    val f1 = frameBytes((x, j) => id * 2 + x * 7 + j * 11)
+    val full = head ++ f0 ++ f1 :+ 0x3B.toByte
+    val truncated = head ++ f0 ++ f1.dropRight(4) // frame 1 incomplete
+    val df = Seq(
+      (1L, full), (2L, truncated), (3L, "junk!".getBytes)).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.gifFrameCount(col("payload")).as("n"),
+        Multimodal.gifFrameStats(col("payload"), 1).as("st1"),
+        Multimodal.gifStats(col("payload")).as("st0"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // full: 2 frames; frame 1's sums come from ITS index formula
+    assert(got(1L).getInt(1) == 2)
+    val idx1 = for (j <- 0 until h; x <- 0 until w) yield (id * 2 + x * 7 + j * 11) % 128
+    val st1 = got(1L).getStruct(2)
+    assert(st1.getLong(2) == (w * h).toLong)
+    assert(st1.getLong(3) == idx1.map(i => ((id + i * 2) % 256).toLong).sum)
+    // frame 0 via the default still decodes frame 0's formula
+    val idx0 = for (j <- 0 until h; x <- 0 until w) yield (id + x * 3 + j * 5) % 128
+    assert(got(1L).getStruct(3).getLong(3) ==
+      idx0.map(i => ((id + i * 2) % 256).toLong).sum)
+    // truncated: only the complete frame counts; SAMPLING the truncated
+    // frame keeps the family's decoded-prefix contract (n_px < w*h)
+    assert(got(2L).getInt(1) == 1)
+    assert(got(2L).getStruct(2).getLong(2) < (w * h).toLong)
+    // non-GIF → NULL count and NULL stats
+    assert(got(3L).isNullAt(1) && got(3L).isNullAt(2))
   }
 
   test("jpegStats: real baseline JPEG decode — encoder round-trip exact for " +
