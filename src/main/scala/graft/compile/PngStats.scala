@@ -50,6 +50,65 @@ final case class PngStats(child: Expression)
     copy(child = newChild)
 }
 
+/** REAL PNG image RESIZE — the [[BmpResize]] contract over the inflate +
+  * unfilter row stream: nearest-neighbor to `dw`×`dh`, output pixel
+  * (x, y) samples source (⌊x·W/dw⌋, ⌊y·H/dh⌋), returned as dw·dh·3
+  * bytes of top-down row-major RGB (gray color types fill r=g=b; alpha
+  * dropped). Rows decode streaming and the stream STOPS after the last
+  * sampled row, so a dh≪H thumbnail never inflates the image's tail.
+  * Any sampled row missing (truncated/corrupt IDAT) → NULL — a partial
+  * resize is a different image, not a prefix. Non-PNG → NULL. */
+final case class PngResize(child: Expression, dw: Int, dh: Int)
+  extends UnaryExpression with KernelCallCodegen {
+
+  require(dw >= 1 && dw <= 4096 && dh >= 1 && dh <= 4096,
+    s"graft_png_resize: target dims ${dw}x$dh out of [1, 4096]")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_resize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_png_resize requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val png = PngStats.open(input.asInstanceOf[Array[Byte]])
+    if (png == null) return null
+    val out = new Array[Byte](dw * dh * 3)
+    // sampled source rows, ascending; several output rows may share one
+    val srcRows = Array.tabulate(dh)(y => (y.toLong * png.h / dh).toInt)
+    val lastNeeded = srcRows(dh - 1)
+    var nextOut = 0 // first output row whose source row is still pending
+    PngStats.decodeRows(png) { (y, cur) =>
+      while (nextOut < dh && srcRows(nextOut) == y) {
+        var x = 0
+        while (x < dw) {
+          val sx = (x.toLong * png.w / dw).toInt
+          val px = 1 + sx * png.bpp
+          val t = (nextOut * dw + x) * 3
+          png.colorType match {
+            case 0 | 4 =>
+              val g = cur(px)
+              out(t) = g; out(t + 1) = g; out(t + 2) = g
+            case _ =>
+              out(t) = cur(px); out(t + 1) = cur(px + 1); out(t + 2) = cur(px + 2)
+          }
+          x += 1
+        }
+        nextOut += 1
+      }
+      y < lastNeeded // stop the stream once the last sampled row is in
+    }
+    if (nextOut < dh) null else out // a sampled row never arrived
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PngResize =
+    copy(child = newChild)
+}
+
 object PngStats {
 
   /** Caps against forged IHDR dims: a curation-stats kernel has no
@@ -71,11 +130,18 @@ object PngStats {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  private[graft] def parse(b: Array[Byte]): InternalRow = {
+  /** Opened PNG: header fields + concatenated IDAT bytes (the shared
+    * front half of [[parse]] and [[PngResize]]). */
+  private[compile] final case class Opened(
+      w: Int, h: Int, colorType: Int, bpp: Int,
+      rowBytes: Int, idat: Array[Byte])
+
+  /** Header + chunk-walk gate (the [[parse]] rules verbatim); null on
+    * any reject. */
+  private[compile] def open(b: Array[Byte]): Opened = {
     if (b == null || b.length < 8 + 25) return null
     var i = 0
     while (i < 8) { if (u8(b, i) != Sig(i)) return null; i += 1 }
-    // IHDR must be the first chunk
     if (be32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' ||
         b(14) != 'D' || b(15) != 'R') return null
     val width = be32(b, 16)
@@ -92,8 +158,7 @@ object PngStats {
         compression != 0 || filterMethod != 0 || interlace != 0 ||
         width * height > MaxPixels || width * bpp + 1 > MaxRowBytes)
       return null
-    // walk chunks, concatenating IDAT data (bounded by the payload)
-    var off = 8 + 25 // past IHDR incl. its CRC
+    var off = 8 + 25
     var idatLen = 0
     val spans = Vector.newBuilder[(Int, Int)]
     var end = false
@@ -118,31 +183,39 @@ object PngStats {
     var p = 0
     spans.result().foreach { case (s, n) =>
       System.arraycopy(b, s, idat, p, n); p += n }
+    Opened(width.toInt, height.toInt, colorType, bpp,
+      width.toInt * bpp + 1, idat)
+  }
 
-    val rowBytes = width.toInt * bpp + 1 // +1 filter byte
+  /** Inflate + unfilter row stream: calls `onRow(y, cur)` with each
+    * UNFILTERED scanline (filter byte at index 0 already consumed; pixel
+    * bytes from index 1); `onRow` returns false to stop early. Returns
+    * the count of rows delivered (truncation/corruption stops the
+    * stream — the caller decides whether a prefix is acceptable). */
+  private[compile] def decodeRows(png: Opened)
+                                 (onRow: (Int, Array[Byte]) => Boolean): Int = {
+    val rowBytes = png.rowBytes
+    val bpp = png.bpp
     val inf = new java.util.zip.Inflater()
-    inf.setInput(idat)
+    inf.setInput(png.idat)
     val prev = new Array[Byte](rowBytes)
     val cur = new Array[Byte](rowBytes)
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var n = 0L
-    val w = width.toInt; val h = height.toInt
+    var delivered = 0
     try {
-      var y = 0L
-      var truncated = false
-      while (y < height && !truncated) {
-        // fill one scanline (filter byte + pixels) from the stream
+      var y = 0
+      var halt = false
+      while (y < png.h && !halt) {
         var got = 0
         var stalled = false
         while (got < rowBytes && !stalled) {
           val k = inf.inflate(cur, got, rowBytes - got)
           if (k > 0) got += k
-          else stalled = true // finished / truncated / needs dict: stop
+          else stalled = true
         }
-        if (got < rowBytes) truncated = true
+        if (got < rowBytes) halt = true
         else {
-          // unfilter in place (RFC 2083 §6.2-6.6); prev is all-zero for row 0
           val f = u8(cur, 0)
-          if (f > 4) truncated = true // invalid filter: stop at the prefix
+          if (f > 4) halt = true
           else {
             var x = 1
             while (x < rowBytes) {
@@ -159,31 +232,44 @@ object PngStats {
               cur(x) = ((u8(cur, x) + add) & 0xFF).toByte
               x += 1
             }
-            // accumulate channel sums
-            var px = 1
-            colorType match {
-              case 0 | 4 => // gray (+alpha): r=g=b=gray
-                while (px < rowBytes) {
-                  val g = u8(cur, px)
-                  sumR += g; sumG += g; sumB += g; n += 1
-                  px += bpp
-                }
-              case 2 | 6 => // RGB(+alpha)
-                while (px < rowBytes) {
-                  sumR += u8(cur, px); sumG += u8(cur, px + 1)
-                  sumB += u8(cur, px + 2); n += 1
-                  px += bpp
-                }
+            delivered += 1
+            if (!onRow(y, cur)) halt = true
+            else {
+              System.arraycopy(cur, 0, prev, 0, rowBytes)
+              y += 1
             }
-            System.arraycopy(cur, 0, prev, 0, rowBytes)
-            y += 1
           }
         }
       }
     } catch {
-      case _: java.util.zip.DataFormatException => () // corrupt: keep prefix
+      case _: java.util.zip.DataFormatException => () // corrupt: stop
     } finally inf.end()
+    delivered
+  }
+
+  private[graft] def parse(b: Array[Byte]): InternalRow = {
+    val png = open(b)
+    if (png == null) return null
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var n = 0L
+    decodeRows(png) { (_, cur) =>
+      var px = 1
+      png.colorType match {
+        case 0 | 4 => // gray (+alpha): r=g=b=gray
+          while (px < png.rowBytes) {
+            val g = u8(cur, px)
+            sumR += g; sumG += g; sumB += g; n += 1
+            px += png.bpp
+          }
+        case 2 | 6 => // RGB(+alpha)
+          while (px < png.rowBytes) {
+            sumR += u8(cur, px); sumG += u8(cur, px + 1)
+            sumB += u8(cur, px + 2); n += 1
+            px += png.bpp
+          }
+      }
+      true // stats always consume the whole stream (prefix on truncation)
+    }
     if (n == 0) null
-    else InternalRow(w, h, n, sumR, sumG, sumB)
+    else InternalRow(png.w, png.h, n, sumR, sumG, sumB)
   }
 }

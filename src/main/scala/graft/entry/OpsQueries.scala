@@ -1381,6 +1381,62 @@ object OpsQueries {
     // sums from the SAME (x, row) formula without touching bytes.
     // doc_id%5==4 is a non-BMP payload (all NULLs). Orientation is
     // irrelevant to channel sums, so the formula indexes FILE rows
+    // REAL image resize over PNG: same SQL-built stored-block PNGs as
+    // q_image_png (top-down rows, so j = srcY — no orientation flip);
+    // the shared rgbResize entry dispatches to the PNG kernel, whose
+    // streaming decode stops after the last sampled row
+    Q("q_image_resize_png",
+      (s, d) => {
+        def hex2(v: Column) = lpad(hex(pmod(v.cast("int"), lit(256))), 2, "0")
+        def le16h(v0: Column) = { val v = v0.cast("int"); concat(
+          hex2(v), hex2(floor(v / 256).cast("int"))) }
+        def be32h(v0: Column) = lpad(hex(v0.cast("int")), 8, "0")
+        val id = col("doc_id")
+        val w = (pmod(id, lit(4)) + 1).cast("int")
+        val h = (pmod(id, lit(3)) + 1).cast("int")
+        val rawLen = (h * (w * 3 + 1)).cast("int")
+        val scanlines = concat_ws("", transform(sequence(lit(0), h - 1), j =>
+          concat(lit("00"),
+            concat_ws("", transform(sequence(lit(0), w - 1), x => concat(
+              hex2(id * 3 + x + j * 11),         // R (PNG order)
+              hex2(id * 2 + x * 5 + j),          // G
+              hex2(id + x * 3 + j * 7)))))))     // B
+        val zlib = concat(lit("780101"), le16h(rawLen),
+          le16h(lit(65535) - rawLen), scanlines)
+        val png = unhex(concat(
+          lit("89504E470D0A1A0A"),
+          lit("0000000D"), lit("49484452"), be32h(w), be32h(h),
+          lit("0802000000"), lit("00000000"),
+          be32h(rawLen + 7), lit("49444154"), zlib, lit("00000000"),
+          lit("00000000"), lit("49454E44"), lit("00000000")))
+        val payload = when(pmod(id, lit(5)) === 4,
+          encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(png)
+        T(s, d, "documents").select(id,
+          hex(Multimodal.rgbResize(payload, 3, 2)).as("rgb_hex"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h
+                FROM documents),
+              pix AS (
+                SELECT doc_id,
+                  ty.y, tx.x,
+                  (tx.x * w) // 3 AS sx,
+                  (ty.y * h) // 2 AS j
+                FROM g, unnest(range(0, 2)) AS ty(y),
+                        unnest(range(0, 3)) AS tx(x)),
+              px AS (
+                SELECT doc_id, y, x,
+                  printf('%02X%02X%02X',
+                    (doc_id*3 + sx + j*11) % 256,
+                    (doc_id*2 + sx*5 + j) % 256,
+                    (doc_id + sx*3 + j*7) % 256) AS hx
+                FROM pix)
+              SELECT g.doc_id,
+                CASE WHEN g.doc_id % 5 = 4 THEN NULL
+                ELSE (SELECT string_agg(hx, '' ORDER BY y, x)
+                      FROM px WHERE px.doc_id = g.doc_id) END AS rgb_hex
+              FROM g""")),
+
     // REAL image resize: same SQL-built BMPs as q_image_rgb, nearest-
     // neighbor to 3x2; the oracle recomputes every output pixel from the
     // SAME source-pixel formulas + the floor sampling arithmetic without

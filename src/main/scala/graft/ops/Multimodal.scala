@@ -202,18 +202,22 @@ object Multimodal {
       ColumnBridge.expression(payload)))
   }
 
-  /** REAL image RESIZE: nearest-neighbor downsample/upsample of a 24-bit
-    * uncompressed BMP payload to `dw`×`dh`, returned as dw·dh·3 bytes of
-    * top-down row-major RGB ([[graft.compile.BmpResize]] — O(dw·dh)
-    * sampled fetches, never a source-grid walk). Non-BMP or a payload
-    * missing any sampled pixel → NULL (a partial resize is a different
-    * image, not a prefix). Compressed formats route through their REAL
-    * decoders' stats today; resizing them needs the full pixel buffer
-    * those kernels deliberately stream past. */
+  /** REAL image RESIZE: nearest-neighbor to `dw`×`dh`, returned as
+    * dw·dh·3 bytes of top-down row-major RGB, over EITHER supported
+    * pixel source — 24-bit uncompressed BMP ([[graft.compile.BmpResize]],
+    * O(dw·dh) sampled fetches) or depth-8 PNG ([[graft.compile.PngResize]],
+    * streaming inflate+unfilter that STOPS after the last sampled row).
+    * Format dispatch is a coalesce over the magic-gated kernels (each
+    * nulls on the other's magic before any work). A payload missing any
+    * sampled pixel → NULL (a partial resize is a different image, not a
+    * prefix); other formats → NULL. */
   def rgbResize(payload: Column, dw: Int, dh: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(graft.compile.BmpResize(
-      ColumnBridge.expression(payload), dw, dh))
+    coalesce(
+      ColumnBridge.column(graft.compile.BmpResize(
+        ColumnBridge.expression(payload), dw, dh)),
+      ColumnBridge.column(graft.compile.PngResize(
+        ColumnBridge.expression(payload), dw, dh)))
   }
 
   /** STUB image decode: deterministic fake dimensions derived from payload

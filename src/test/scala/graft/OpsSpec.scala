@@ -1967,6 +1967,56 @@ class OpsSpec extends SparkSpec {
     assert(st.getLong(3) == idx.map(i => ((id * 3 + i * 7) % 256).toLong).sum)
   }
 
+  test("pngResize via rgbResize: nearest-neighbor over inflate+unfilter, " +
+    "gray fill, truncated sampled row → NULL, non-image → NULL") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]) =
+      be32(data.length) ++ tag.getBytes ++ data ++ be32(0) // CRC unchecked
+    def png(w: Int, h: Int, colorType: Int, raw: Array[Byte]) = {
+      val z = new java.util.zip.Deflater()
+      z.setInput(raw); z.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = z.deflate(buf); z.end()
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", be32(w) ++ be32(h) ++
+          Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)) ++
+        chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty[Byte])
+    }
+    // 2x2 RGB, filter Sub on row 1 (exercises unfilter before sampling)
+    val raw = Array[Byte](
+      0, 1, 2, 3, 4, 5, 6,          // row 0 None: (1,2,3) (4,5,6)
+      1, 10, 20, 30, 5, 5, 5)       // row 1 Sub:  (10,20,30) (15,25,35)
+    val rgb = png(2, 2, 2, raw)
+    // 2x1 gray, filter None
+    val gray = png(2, 1, 0, Array[Byte](0, 7, 200.toByte))
+    val truncated = {
+      val full = png(2, 2, 2, raw)
+      // cut deep into the IDAT DATA (not just the unverified checksums):
+      // a sampled row can no longer arrive
+      full.take(full.length - 30)
+    }
+    val df = Seq(1L -> rgb, 2L -> gray, 3L -> truncated,
+      4L -> "nope".getBytes).toDF("id", "payload")
+    val got = df.select($"id", Multimodal.rgbResize($"payload", 2, 2).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(got(1L) == Seq[Byte](1, 2, 3, 4, 5, 6, 10, 20, 30, 15, 25, 35))
+    // gray source: 2x2 output repeats the single row, r=g=b
+    val g2 = df.where($"id" === 2)
+      .select(Multimodal.rgbResize($"payload", 2, 2)).head().getAs[Array[Byte]](0)
+    assert(g2.toSeq == Seq[Byte](7, 7, 7, 200.toByte, 200.toByte, 200.toByte,
+      7, 7, 7, 200.toByte, 200.toByte, 200.toByte))
+    assert(got(3L) == null && got(4L) == null)
+    // 2x1 thumbnail of the 2x2: only row 0 sampled — succeeds even on a
+    // stream whose tail is the other row
+    val thumb = df.where($"id" === 1)
+      .select(Multimodal.rgbResize($"payload", 2, 1)).head().getAs[Array[Byte]](0)
+    assert(thumb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+  }
+
   test("gifFrameStats/gifFrameCount: multi-frame addressing, skip-without-" +
     "decode, truncation counts the complete prefix, rejects") {
     import graft.ops.Multimodal
