@@ -105,11 +105,19 @@ object Bpe {
         wordFreq.merge(p, 1L, (a, b) => a + b)
     })
     import scala.jdk.CollectionConverters._
-    var words: Map[Vector[String], Long] = wordFreq.asScala.toMap
-      .groupBy { case (w, _) =>
+    // mutable (symbol-vector → freq) census across rounds: each round
+    // rebuilds ONLY the words containing the merged pair (unchanged
+    // words keep their Vector by reference) — the r7 trainer re-allocated
+    // and re-grouped the ENTIRE map every round, O(rounds × corpus-words)
+    // driver allocation for a usually-tiny affected set. Same counts,
+    // same tie-breaks, identical merge table.
+    var words = new java.util.HashMap[Vector[String], Long]()
+    wordFreq.asScala.foreach { case (w, f) =>
+      val syms =
         w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
-      }.map { case (syms, ws) => syms -> ws.values.sum }
-    val alphabet = words.keys.flatten.toSet ++
+      words.merge(syms, f, (a, b) => a + b)
+    }
+    val alphabet = words.keySet().asScala.flatten.toSet ++
       sample.flatMap(t => pretokens(t).filter(p =>
         Character.isWhitespace(p.charAt(0))).flatMap(p =>
         p.codePoints().toArray.map(cp => new String(Character.toChars(cp)))))
@@ -118,7 +126,7 @@ object Bpe {
     var m = 0
     while (m < numMerges && !done) {
       val counts = new java.util.HashMap[(String, String), Long]()
-      words.foreach { case (syms, f) =>
+      words.forEach { (syms, f) =>
         var i = 0
         while (i < syms.length - 1) {
           counts.merge((syms(i), syms(i + 1)), f, (a, b) => a + b)
@@ -133,16 +141,27 @@ object Bpe {
           .minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
         val joined = best._1 + best._2
-        words = words.map { case (syms, f) =>
-          val out = Vector.newBuilder[String]
+        val next = new java.util.HashMap[Vector[String], Long](words.size() * 2)
+        words.forEach { (syms, f) =>
+          var has = false
           var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-              out += joined; i += 2
-            } else { out += syms(i); i += 1 }
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == best._1 && syms(i + 1) == best._2
+            i += 1
           }
-          (out.result(), f)
-        }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+          val key = if (!has) syms else {
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                out += joined; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            out.result()
+          }
+          next.merge(key, f, (a, b) => a + b)
+        }
+        words = next
         m += 1
       }
     }

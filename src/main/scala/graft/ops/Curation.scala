@@ -167,18 +167,24 @@ object Curation {
       else scored
     val lmFiltered = cfg.maxLmBits match {
       case Some(maxBits) =>
-        // self-training runs two census jobs over the upstream chain —
-        // persist it for their duration (the cross-stage pattern); a
-        // supplied model costs nothing extra
-        val model = cfg.lmModel.getOrElse {
-          val cached = ruled.persist()
-          val m = CharLm.train(cached, textCol, cfg.lmMaxAlphabet)
-          cached.unpersist(false)
-          m
+        // self-training runs two census jobs over the upstream chain and
+        // the scoring pass reads it once more — materialize the chain
+        // ONCE (eager localCheckpoint) and let census jobs and the
+        // scoring plan all read the blocks; the r7 shape persisted only
+        // across training and re-evaluated the whole chain again for
+        // scoring. A supplied model skips the checkpoint entirely.
+        cfg.lmModel match {
+          case Some(model) =>
+            CharLm.score(ruled, textCol, model)
+              .where(col("lm_bits_per_char") <= maxBits)
+              .drop("n_bigrams", "lm_bits_per_char")
+          case None =>
+            val cached = ruled.localCheckpoint(true)
+            val model = CharLm.train(cached, textCol, cfg.lmMaxAlphabet)
+            CharLm.score(cached, textCol, model)
+              .where(col("lm_bits_per_char") <= maxBits)
+              .drop("n_bigrams", "lm_bits_per_char")
         }
-        CharLm.score(ruled, textCol, model)
-          .where(col("lm_bits_per_char") <= maxBits)
-          .drop("n_bigrams", "lm_bits_per_char")
       case None => ruled
     }
     // key on the text alone: the payload already carries it, and a
@@ -193,19 +199,23 @@ object Curation {
       case Some(ref) =>
         // the upstream chain (line dedup + redaction + scoring + exact
         // dedup) feeds the cross stage THREE times (banding, shingle
-        // verify, final anti-join) — persist it for the duration of the
-        // eager hit computation, then release; the drop set itself is
-        // small and checkpointed, so the final anti-join's only upstream
-        // re-evaluation is the one unavoidable post-release pass
-        val cached = nearDeduped.persist()
+        // verify, final anti-join) — materialize it ONCE with an eager
+        // localCheckpoint and let banding, verify AND the final
+        // anti-join all read the blocks (freed by the ContextCleaner
+        // when the result is dereferenced). The r7 shape persisted only
+        // for the eager hit computation and re-evaluated the whole
+        // multi-stage chain once more for the final anti-join; at scale
+        // the checkpoint is the classic write-once/read-thrice
+        // materialization of a multi-consumer intermediate (guide §5),
+        // spilling to executor disk when larger than storage memory.
+        val cached = nearDeduped.localCheckpoint(true)
         val hits = Dedup.crossCorpusDuplicates(cached, ref, idCol, textCol,
           cfg.nearDedupThreshold, cfg.crossShingleN, cfg.crossBands,
           cfg.crossRowsPerBand, shingleId = cfg.crossShingleId)
         val dropIds0 = hits.select(col("new_id").as(idCol)).distinct()
           .localCheckpoint(true)
-        cached.unpersist(false)
         val dropIds = if (cfg.broadcastDrops) broadcast(dropIds0) else dropIds0
-        nearDeduped.join(dropIds, Seq(idCol), "left_anti")
+        cached.join(dropIds, Seq(idCol), "left_anti")
       case None => nearDeduped
     }
     val decontaminated = cfg.decontaminateAgainst match {

@@ -618,26 +618,33 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // the self rows of the union carry the PREVIOUS label as `_old`
+      // (exactly one self row per id — labels has unique ids), so the
+      // changed-label count folds into the propagation aggregate and the
+      // whole round is ONE job: the r7 shape spent a second join +
+      // isEmpty action per round on the same fact
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("group_id"))
-        .union(labels)
-        .groupBy("id").agg(min("group_id").as("group_id"))
+        .select(col("dst").as("id"), col("group_id"),
+          lit(null).cast(labels.schema("group_id").dataType).as("_old"))
+        .union(labels.select(col("id"), col("group_id"),
+          col("group_id").as("_old")))
+        .groupBy("id").agg(min("group_id").as("group_id"), max("_old").as("_old"))
       // pointer jumping: every label is itself a node id, so follow it to
       // that node's (already ≤) label; the left join never misses because
       // labels never leave the component's node set
       val next = prop
         .join(prop.select(col("id").as("group_id"), col("group_id").as("_jump")),
           Seq("group_id"), "left")
-        .select(col("id"), coalesce(col("_jump"), col("group_id")).as("group_id"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("group_id", "prev"), Seq("id"))
-        .where(col("group_id") =!= col("prev")).isEmpty
+        .select(col("id"), coalesce(col("_jump"), col("group_id")).as("group_id"),
+          (coalesce(col("_jump"), col("group_id")) =!= col("_old")).as("_changed"))
+        .localCheckpoint(false) // lazy: the count action below materializes it
+      converged = next.agg(count(when(col("_changed"), lit(1)))).head().getLong(0) == 0L
       // the superseded round's checkpoint blocks are freed by the
       // ContextCleaner once dereferenced here (Dataset.unpersist cannot
       // release localCheckpoint storage); each copy is two long columns
       // over the clustered ids, and rounds are bounded by maxIter
-      labels = next
+      labels = next.select(col("id"), col("group_id"))
       iter += 1
     }
     require(converged, s"duplicateGroups did not converge in $maxIter rounds")
@@ -818,20 +825,48 @@ object Dedup {
     val lines0 = df.select(col(idCol).as("id"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
-    val lines = HotKeys.applyGuard(lines0, Seq("id"), guard, "dedupLines")
-    val hot0 = lines.where(trim(col("line")) =!= "")
-      .select("id", "line").distinct()
-      .groupBy("line").agg(count(lit(1)).as("_docs"))
-      .where(col("_docs") >= minDocs)
-      .select(col("line"), lit(true).as("_hot"))
-    val hot = if (broadcastHot) broadcast(hot0) else hot0
-    lines.join(hot, Seq("line"), "left")
-      .groupBy("id")
-      .agg(concat_ws(sep, transform(
-        array_sort(collect_list(when(col("_hot").isNull,
-          struct(col("pos"), col("line"))))),
-        s => s.getField("line"))).as(textCol))
-      .withColumnRenamed("id", idCol)
+    if (broadcastHot && guard == HotKeys.SkewGuard.Off) {
+      // Narrow-rebuild path (guide §2.4 — remove shuffles outright): the
+      // hot-line census still derives from the exploded frame, but the
+      // per-doc rebuild filters each document's OWN split array against
+      // the hot set riding as a broadcast 1-row array (the DriftChecks
+      // totals-frame pattern), so corpus lines never shuffle at all —
+      // the r7 shape re-exchanged every (id, pos, line) row of the
+      // corpus for a collect_list rebuild. Membership is array_contains
+      // over the hot set, whose broadcastability was already this
+      // branch's precondition. Whitespace-only lines never enter the
+      // hot set, so they pass the membership test unconditionally, and
+      // line order is the array's own. Unlike the grouped rebuild this
+      // emits one row PER INPUT ROW (a duplicated id stays duplicated —
+      // ingestion dedup is [[keepCanonical]]'s job, and the grouped
+      // path's pos-interleaved merge of distinct same-id texts was an
+      // accident, not a contract).
+      val hotArr = lines0.where(trim(col("line")) =!= "")
+        .select("id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("_docs"))
+        .where(col("_docs") >= minDocs)
+        .agg(collect_list(col("line")).as("_graft_hot"))
+      df.join(broadcast(hotArr))
+        .select(col(idCol),
+          array_join(filter(split(coalesce(col(textCol), lit("")),
+            java.util.regex.Pattern.quote(sep)),
+            l => !array_contains(col("_graft_hot"), l)), sep).as(textCol))
+    } else {
+      val lines = HotKeys.applyGuard(lines0, Seq("id"), guard, "dedupLines")
+      val hot0 = lines.where(trim(col("line")) =!= "")
+        .select("id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("_docs"))
+        .where(col("_docs") >= minDocs)
+        .select(col("line"), lit(true).as("_hot"))
+      val hot = if (broadcastHot) broadcast(hot0) else hot0
+      lines.join(hot, Seq("line"), "left")
+        .groupBy("id")
+        .agg(concat_ws(sep, transform(
+          array_sort(collect_list(when(col("_hot").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as(textCol))
+        .withColumnRenamed("id", idCol)
+    }
   }
 
   /** INTRA-document line dedup (the other half of the published C4 rule:

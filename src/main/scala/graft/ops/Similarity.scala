@@ -386,14 +386,25 @@ object Similarity {
 
   private def pairsFromAssignment(assigned: DataFrame, dim: Int,
                                   threshold: Double, maxCell: Int,
-                                  subPlanes: Int, seed: Long): DataFrame = {
-    val census = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
-    // hot rows only pay the sub-bucket kernel: the CaseWhen short-circuits
-    val keyed = assigned.join(broadcast(census), Seq("cell"))
-      .select(col("id"), col("cell"),
-        when(col("_n") > maxCell, lshBucket(col("v"), dim, subPlanes, seed))
-          .otherwise(lit(-1L)).as("sub"))
-    val guarded = Dedup.capBuckets(keyed, Seq("cell", "sub"), maxCell)
+                                  subPlanes: Int, seed: Long,
+                                  censusedNoHot: Boolean = false): DataFrame = {
+    val guarded = if (censusedNoHot) {
+      // the caller already censused the (≤ k cells, bounded) population
+      // and found NO cell above maxCell: sub-bucket keying and the cap's
+      // recount are provably no-ops, so skip the census broadcast join
+      // and the capBuckets join outright (two joins + an aggregation
+      // exchange fewer — guide §2.4). NULL cells still never pair.
+      assigned.where(col("cell").isNotNull)
+        .select(col("id"), col("cell"), lit(-1L).as("sub"))
+    } else {
+      val census = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
+      // hot rows only pay the sub-bucket kernel: the CaseWhen short-circuits
+      val keyed = assigned.join(broadcast(census), Seq("cell"))
+        .select(col("id"), col("cell"),
+          when(col("_n") > maxCell, lshBucket(col("v"), dim, subPlanes, seed))
+            .otherwise(lit(-1L)).as("sub"))
+      Dedup.capBuckets(keyed, Seq("cell", "sub"), maxCell)
+    }
     val a = guarded.select(col("cell"), col("sub"), col("id").as("id_a"))
     val b = guarded.select(col("cell"), col("sub"), col("id").as("id_b"))
     // each row lives in exactly one (cell, sub) key → pairs need no dedup
@@ -468,8 +479,15 @@ object Similarity {
                     subPlanes: Int = 8, seed: Long = 42L,
                     maxIter: Int = 25): DataFrame = {
     val assigned = assignCells(df, idCol, vecCol, dim, centroids).persist()
+    // the cell census is ≤ centroids.size groups — adjudicate the skew
+    // guard eagerly (this action also fills the persist), so the common
+    // no-hot-cell case skips the census join and the cap recount in the
+    // pair job entirely
+    val noHot = assigned.where(col("cell").isNotNull)
+      .groupBy("cell").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxCell).isEmpty
     val pairs = pairsFromAssignment(assigned, dim, threshold,
-        maxCell, subPlanes, seed)
+        maxCell, subPlanes, seed, censusedNoHot = noHot)
       .select("id_a", "id_b").localCheckpoint(true)
     assigned.unpersist(false)
     val losers = Dedup.duplicateGroups(pairs, maxIter)

@@ -3207,10 +3207,23 @@ class OpsSpec extends SparkSpec {
       5L -> "no boiler here"), out.toString)
   }
 
-  test("dedupLines plan: hot-line set broadcast back, no corpus anti-join shuffle") {
+  test("dedupLines plan: hot set broadcast as 1-row array, narrow rebuild (no corpus shuffle)") {
     val plan = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the hot-line set attaches as a broadcast single-row array
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the rebuild is a narrow array filter: no array_sort(collect_list(
+    // struct(pos, line))) regroup of the exploded corpus lines, so the
+    // only exchanges in the whole plan are the (small, distinct-line)
+    // census aggregations
+    assert(!plan.contains("array_sort"), plan)
+    // the narrow path never regroups the corpus lines by doc id
+    assert(!plan.contains("ObjectHashAggregate(keys=[id#"), plan)
+    // the broadcastHot=false fallback keeps the grouped-rebuild shape
+    // (an id-keyed collect_list regroup of the exploded lines)
+    val lazyPlan = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 3,
+      broadcastHot = false).queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("ObjectHashAggregate(keys=[id#"), lazyPlan)
   }
 
   test("dedupLines skew guard: degenerate id dropped/raised, cool docs unchanged") {
