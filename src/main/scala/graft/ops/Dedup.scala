@@ -609,7 +609,65 @@ object Dedup {
     * Spark iterative-algorithm discipline. `maxIter` bounds pathological
     * graphs; throws if not converged (a silent partial clustering would
     * merge nothing worse than under-grouping, but callers must know). */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Edge-count gate below which [[duplicateGroups]] solves the
+    * components with a driver-side union-find instead of the iterative
+    * distributed loop: the loop costs several shuffle stages PER ROUND
+    * regardless of size, which dwarfs a bounded collect for small pair
+    * sets (the broadcast-join-threshold philosophy — pick the physical
+    * strategy by size). 1M edges ≈ 16 MB of ids, well inside driver
+    * budget; the labels are identical by construction (min reachable id
+    * under the same ordering). */
+  val LocalGroupsMaxEdges: Int = 1000000
+
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 25,
+                      localMaxEdges: Int = LocalGroupsMaxEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // size-gated local solve: probe with limit+1 — if the whole edge set
+    // fits, we already hold it and union-find replaces the round loop
+    // outright (one bounded job instead of jobs-per-round). Restricted to
+    // integral ids so the driver's ordering provably matches Spark's min.
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (integral && localMaxEdges > 0)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(localMaxEdges + 1).collect()
+      else Array.empty
+    if (integral && localMaxEdges > 0 && probe.length <= localMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id so every root is its component's minimum —
+        // exactly the distributed loop's converged label
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = parent.keySet().asScala.toSeq.map(id =>
+        org.apache.spark.sql.Row(id, find(id)))
+      // nullable = true matches the distributed loop's aggregate output
+      // schema exactly (gate artifacts hash the dumped parquet schema)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("group_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      return (if (idType == org.apache.spark.sql.types.IntegerType)
+        out.select(col("id").cast("int").as("id"),
+          col("group_id").cast("int").as("group_id"))
+      else out)
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -621,8 +679,11 @@ object Dedup {
       // the self rows of the union carry the PREVIOUS label as `_old`
       // (exactly one self row per id — labels has unique ids), so the
       // changed-label count folds into the propagation aggregate and the
-      // whole round is ONE job: the r7 shape spent a second join +
-      // isEmpty action per round on the same fact
+      // round spends no separate join + isEmpty action on convergence.
+      // The aggregate is materialized eagerly because the pointer-jump
+      // join reads it TWICE — unpersisted, both join sides would
+      // re-evaluate the whole edges-join-labels subtree (2x the round's
+      // shuffle at scale).
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("group_id"),
@@ -630,6 +691,7 @@ object Dedup {
         .union(labels.select(col("id"), col("group_id"),
           col("group_id").as("_old")))
         .groupBy("id").agg(min("group_id").as("group_id"), max("_old").as("_old"))
+        .localCheckpoint(true)
       // pointer jumping: every label is itself a node id, so follow it to
       // that node's (already ≤) label; the left join never misses because
       // labels never leave the component's node set

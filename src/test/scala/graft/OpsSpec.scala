@@ -114,6 +114,14 @@ class OpsSpec extends SparkSpec {
       val got = Dedup.duplicateGroups(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"round $round: got=$got want=$want")
+      // the distributed round loop (forced past the local-solve gate)
+      // must produce the identical labels and schema
+      val dist = Dedup.duplicateGroups(edges.toDF("id_a", "id_b"),
+        localMaxEdges = 0)
+      assert(dist.schema.fieldNames.toSeq == Seq("id", "group_id"))
+      val gotDist = dist.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == want, s"round $round (dist): got=$gotDist want=$want")
     }
   }
 
