@@ -150,7 +150,11 @@ object Dedup {
       .select(col("id"), size(col("_fps")).cast("long").as("_sz"),
         explode(col("_fps")).as("fp"))
       .persist()
-    val capped = capBuckets(sel, Seq("fp"), maxBucket)
+    // eager hot-fingerprint census first (fills the cache); a cold guard
+    // then costs the pair join nothing
+    val capped = capBucketsIf(
+      adjudicateHotBuckets("winnowOverlaps", sel, Seq("fp"), maxBucket),
+      sel, Seq("fp"), maxBucket)
     val out = capped.select(col("fp"), col("id").as("id_a"), col("_sz").as("_na"))
       .join(capped.select(col("fp"), col("id").as("id_b"), col("_sz").as("_nb")),
         Seq("fp"))
@@ -162,7 +166,6 @@ object Dedup {
         (col("shared_fps").cast("double") / col("_na")).as("coverage_a"),
         (col("shared_fps").cast("double") / col("_nb")).as("coverage_b"))
       .localCheckpoint(true) // eager: bounds the selection cache
-    logDroppedBuckets("winnowOverlaps", sel, Seq("fp"), maxBucket)
     sel.unpersist(false)
     out
   }
@@ -379,12 +382,14 @@ object Dedup {
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val pairIds = if (materializePairs) {
       // narrow banded frame, cached so the self-join doesn't recompute
-      // every signature once per side
+      // every signature once per side; the hot-bucket census runs FIRST
+      // (filling the cache) so a cold guard costs the pair join nothing
       val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
         rowsPerBand, seed, shingleId).persist()
-      val pairs = bandPairs(banded, maxBucket)
+      val anyHot = adjudicateHotBuckets("minhashDuplicates", banded,
+        Seq("band", "bucket"), maxBucket)
+      val pairs = bandPairs(banded, maxBucket, Some(anyHot))
         .localCheckpoint(true) // eager: bounds the band cache's lifetime
-      logDroppedBuckets("minhashDuplicates", banded, Seq("band", "bucket"), maxBucket)
       banded.unpersist(false)
       pairs
     } else bandPairs(bandedBuckets(df, idCol, textCol, shingleN, bands,
@@ -467,26 +472,44 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
 
-  /** Eager dropped-bucket metric (only called on already-materialized
-    * inputs, so the extra agg reads cache, not the source). */
-  private def logDroppedBuckets(op: String, bucketed: DataFrame,
-                                keys: Seq[String], maxBucket: Int): Unit =
-    if (maxBucket != Int.MaxValue) {
+  /** Eager hot-bucket adjudication on an already-materialized banded
+    * frame: ONE bounded agg job (reading cache, not the source) that
+    * both logs the dropped buckets (no silent caps) and tells the
+    * caller whether the guard has anything to do — when it returns
+    * false, [[capBuckets]] is provably the identity and its recount
+    * aggregation + join can be skipped in the pair job outright
+    * (guide §2.4; the r7 shape always paid the recount AND ran this
+    * same census afterwards just for the log). */
+  private def adjudicateHotBuckets(op: String, bucketed: DataFrame,
+                                   keys: Seq[String], maxBucket: Int): Boolean =
+    if (maxBucket == Int.MaxValue) false
+    else {
       val d = oversizedBuckets(bucketed, keys, maxBucket)
         .agg(count(lit(1)), coalesce(sum("n"), lit(0L))).head()
       if (d.getLong(0) > 0)
         log.warn(s"$op: dropped ${d.getLong(0)} hot buckets " +
           s"(${d.getLong(1)} member rows) from the pair join; " +
           "route them via exactDuplicates")
+      d.getLong(0) > 0
     }
+
+  /** [[capBuckets]] with an already-adjudicated verdict: identity when
+    * the eager census found no hot bucket. */
+  private def capBucketsIf(anyHot: Boolean, bucketed: DataFrame,
+                           keys: Seq[String], maxBucket: Int): DataFrame =
+    if (anyHot) capBuckets(bucketed, keys, maxBucket) else bucketed
 
   /** Bucket self-join: only docs agreeing on a full band collide; output
     * is the deduped (id_a, id_b) candidate list — no shingles, no
     * signatures cross this shuffle. Buckets above `maxBucket` are dropped
     * (hot-bucket guard — see [[DefaultMaxBucket]]). */
   private[graft] def bandPairs(banded: DataFrame,
-                               maxBucket: Int = Int.MaxValue): DataFrame = {
-    val guarded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+                               maxBucket: Int = Int.MaxValue,
+                               adjudicatedHot: Option[Boolean] = None): DataFrame = {
+    val guarded = adjudicatedHot match {
+      case Some(anyHot) => capBucketsIf(anyHot, banded, Seq("band", "bucket"), maxBucket)
+      case None => capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    }
     val a = guarded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = guarded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -526,9 +549,12 @@ object Dedup {
       bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId)
     val pairs = if (materializePairs) {
       val bn = banded(newDf).persist(); val br = banded(refDf).persist()
-      val p = crossBandPairs(bn, br, maxBucket).localCheckpoint(true)
-      logDroppedBuckets("crossCorpusDuplicates(new)", bn, Seq("band", "bucket"), maxBucket)
-      logDroppedBuckets("crossCorpusDuplicates(ref)", br, Seq("band", "bucket"), maxBucket)
+      val hotN = adjudicateHotBuckets("crossCorpusDuplicates(new)", bn,
+        Seq("band", "bucket"), maxBucket)
+      val hotR = adjudicateHotBuckets("crossCorpusDuplicates(ref)", br,
+        Seq("band", "bucket"), maxBucket)
+      val p = crossBandPairs(bn, br, maxBucket, Some(hotN), Some(hotR))
+        .localCheckpoint(true)
       bn.unpersist(false); br.unpersist(false)
       p
     } else crossBandPairs(banded(newDf), banded(refDf), maxBucket)
@@ -545,14 +571,21 @@ object Dedup {
   /** Asymmetric (new × ref) band join: both sides' bucket populations
     * capped, candidate id pairs deduped while narrow. */
   private[graft] def crossBandPairs(bn: DataFrame, br: DataFrame,
-                                    maxBucket: Int): DataFrame =
-    capBuckets(bn, Seq("band", "bucket"), maxBucket)
+                                    maxBucket: Int,
+                                    adjudicatedHotN: Option[Boolean] = None,
+                                    adjudicatedHotR: Option[Boolean] = None): DataFrame = {
+    def guard(df: DataFrame, adjudicated: Option[Boolean]) = adjudicated match {
+      case Some(anyHot) => capBucketsIf(anyHot, df, Seq("band", "bucket"), maxBucket)
+      case None => capBuckets(df, Seq("band", "bucket"), maxBucket)
+    }
+    guard(bn, adjudicatedHotN)
       .select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(capBuckets(br, Seq("band", "bucket"), maxBucket)
+      .join(guard(br, adjudicatedHotR)
         .select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
 
   /** [[crossCorpusDuplicates]] against a PRECOMPUTED reference index —
     * the production incremental-ingestion shape: the reference side's
@@ -576,9 +609,12 @@ object Dedup {
     val pairs = if (materializePairs) {
       val bn = bandedBuckets(newDf, idCol, textCol, shingleN, bands,
         rowsPerBand, seed, shingleId).persist()
-      val p = crossBandPairs(bn, refBanded, maxBucket).localCheckpoint(true)
-      logDroppedBuckets("crossCorpusDuplicatesIndexed(new)", bn,
+      val hotN = adjudicateHotBuckets("crossCorpusDuplicatesIndexed(new)", bn,
         Seq("band", "bucket"), maxBucket)
+      // the ref side is a stored index frame (not cached here) — its
+      // guard stays inline rather than paying an extra adjudication scan
+      val p = crossBandPairs(bn, refBanded, maxBucket, Some(hotN))
+        .localCheckpoint(true)
       bn.unpersist(false)
       p
     } else crossBandPairs(
@@ -737,7 +773,13 @@ object Dedup {
                   maxIter: Int = 25): DataFrame = {
     val banded = bandedBuckets(df, idCol, textCol, shingleN, bands,
       rowsPerBand, seed, shingleId).persist()
-    val pairIds = bandPairs(banded, maxBucket)
+    // eager hot-bucket census (fills the banding cache): when no bucket
+    // is hot, the pair join skips the cap recount AND the star-edge
+    // branch collapses to a statically-empty frame — the common cold
+    // case pays one bounded agg job instead of two extra joins
+    val anyHot = maxBucket != Int.MaxValue &&
+      !oversizedBuckets(banded, Seq("band", "bucket"), maxBucket).isEmpty
+    val pairIds = bandPairs(banded, maxBucket, Some(anyHot))
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val verified = verifyJaccard(
       pairIds
@@ -747,9 +789,9 @@ object Dedup {
     // hot-group star edges: ONE aggregate computes both the population
     // and the min id per bucket (same (band, bucket) partitioning as the
     // cap's count, so the exchange is shared — no window sort); skipped
-    // entirely when the guard is off
+    // entirely when the guard is off or the census found no hot bucket
     val hotPairs =
-      if (maxBucket == Int.MaxValue) verified.where(lit(false))
+      if (!anyHot) verified.where(lit(false))
       else {
         val hot = banded.groupBy("band", "bucket")
           .agg(count(lit(1)).as("_n"), min("id").as("_gmin"))
@@ -824,8 +866,15 @@ object Dedup {
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk", "ckey")))
-    // hot-chunk guard: identical/near-empty docs all share every chunk key
-    val guarded = capBuckets(chunked, Seq("chunk", "ckey"), maxBucket)
+    // hot-chunk guard: identical/near-empty docs all share every chunk
+    // key; with materialized signatures the census runs eagerly first
+    // (filling the cache) so a cold guard costs the pair join nothing
+    val guarded =
+      if (materialize)
+        capBucketsIf(adjudicateHotBuckets("simhashDuplicates", chunked,
+            Seq("chunk", "ckey"), maxBucket),
+          chunked, Seq("chunk", "ckey"), maxBucket)
+      else capBuckets(chunked, Seq("chunk", "ckey"), maxBucket)
     val a = guarded.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("chunk"), col("ckey"),
@@ -838,7 +887,6 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
     if (materialize) {
       val out = joined.localCheckpoint(true) // eager: bounds the sig cache
-      logDroppedBuckets("simhashDuplicates", chunked, Seq("chunk", "ckey"), maxBucket)
       sigs.unpersist(false)
       out
     } else joined

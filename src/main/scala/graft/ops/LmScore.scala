@@ -47,16 +47,23 @@ object LmScore {
     val words = corpus.select(TextAnalysis.words(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val tokens = words.select(explode(col("ws")).as("term"))
-    val total = tokens.count()
+    // ONE tokenize+explode+aggregate pass feeds both the corpus total
+    // (sum of the per-term counts) and the top-V vocabulary — the r7
+    // shape ran a separate full count() pass over the exploded tokens
+    // first. The aggregated frame (distinct terms) is persisted for the
+    // two bounded follow-up actions, then released.
+    val grouped = tokens.groupBy("term").agg(count(lit(1)).as("n")).persist()
+    val total = grouped.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
     // the vocabulary is bounded by topV (≤ 65k rows by default), so it
     // COLLECTS to a local frame instead of persisting the distributed
     // aggregation: no executor-cache lifetime to manage, and the two
     // vocab joins below plus every scoring broadcast read driver-local
     // data (the bigram table stays a lazy distributed frame — persist
     // model.bi yourself if scoring many batches against one model)
-    val uniRows = tokens.groupBy("term").agg(count(lit(1)).as("n"))
+    val uniRows = grouped
       .orderBy(col("n").desc, col("term").asc).limit(topV)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    grouped.unpersist(false)
     val uni = uniRows.toDF("term", "n")
     val vocabSize = uniRows.length.toLong
     val pairs = words.select(posexplode(slice(col("ws"), lit(1),
