@@ -154,10 +154,22 @@ object Curation {
       else canonical
     val deboiled = Dedup.dedupLines(c4ed, idCol, textCol,
       cfg.lineDedupMinDocs, cfg.lineSep, guard = cfg.skewGuard)
+    // Opaque = optimizer barrier (graft.compile.Opaque): the cleaned
+    // text and the quality score are each referenced by stacked filters
+    // downstream (quality floor, Gopher keep, LM cap) — without the
+    // barrier, predicate pushdown duplicates the whole strip/rebuild/
+    // redact chain into every pushed filter while the projection still
+    // computes it for output, evaluating the multi-regex chain several
+    // times per row. Marked non-deterministic, the aliases materialize
+    // once and every consumer reads the attribute.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def opaque(c: Column): Column =
+      ColumnBridge.column(graft.compile.Opaque(ColumnBridge.expression(c)))
     val redacted = deboiled.withColumn(textCol,
-      if (cfg.redactPii) TextAnalysis.piiRedact(col(textCol)) else col(textCol))
+      opaque(if (cfg.redactPii) TextAnalysis.piiRedact(col(textCol))
+             else col(textCol)))
     val scored = redacted
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("quality", opaque(TextAnalysis.qualityScore(col(textCol))))
       .where(col("quality") >= cfg.minQuality)
     val ruled =
       if (cfg.gopherRules)
