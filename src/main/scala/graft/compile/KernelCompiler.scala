@@ -335,6 +335,28 @@ object KernelCompiler {
     private def asBigDec(v: Any): java.math.BigDecimal =
       v.asInstanceOf[Decimal].toJavaBigDecimal
 
+    /** Unscaled-long fast-path support: a DecimalType with precision ≤ 18
+      * stores a compact unscaled long, so bound/divisibility/integrality
+      * tests reduce to exact long arithmetic — the BigDecimal general
+      * path allocated (toJavaBigDecimal + setScale/remainder/
+      * stripTrailingZeros) per ROW per keyword, the dominant cost of
+      * decimal-column validation. Each fast path below is gated on the
+      * needed products fitting in a long and is value-identical to the
+      * BigDecimal formulation it replaces. */
+    private def isCompact(dt: DataType): Boolean = dt match {
+      case d: DecimalType => d.precision <= 18
+      case _ => false
+    }
+    private val Pow10: Array[Long] =
+      (1 to 18).scanLeft(1L)((a, _) => a * 10L).toArray
+    /** lit × 10^s as a Long, None on overflow (falls back to BigDecimal). */
+    private def scaledLit(lit: Long, s: Int): Option[Long] =
+      if (s > 18) None
+      else { val p = Pow10(s)
+        if (lit == 0) Some(0L)
+        else if (math.abs(lit) <= Long.MaxValue / p) Some(lit * p) else None }
+    private def unscaled(v: Any): Long = v.asInstanceOf[Decimal].toUnscaledLong
+
     private def asDouble(dt: DataType): Any => Double = dt match {
       case ByteType    => v => v.asInstanceOf[Byte].toDouble
       case ShortType   => v => v.asInstanceOf[Short].toDouble
@@ -362,6 +384,12 @@ object KernelCompiler {
           if (!isNumeric(dt)) _ => false
           else if (isIntegral(dt)) nn
           else dt match {
+            case d: DecimalType if d.precision <= 18 =>
+              // compact decimal: integer-valued iff the unscaled long is
+              // divisible by 10^scale (identical to the stripTrailingZeros
+              // test, minus the per-row BigDecimal allocations)
+              val p = Pow10(d.scale)
+              v => v != null && unscaled(v) % p == 0L
             case _: DecimalType =>
               // exact value test, like v1's `col === floor(col)` on
               // decimals (no double rounding)
@@ -499,6 +527,14 @@ object KernelCompiler {
                            lt: Boolean): Ev = {
       if (dt.isInstanceOf[DecimalType]) {
         if (m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+          val s = dt.asInstanceOf[DecimalType].scale
+          val fast = if (isCompact(dt)) scaledLit(m.toLongExact, s) else None
+          if (fast.isDefined) {
+            // compact decimal vs whole literal: compare unscaled longs
+            val sl = fast.get
+            if (lt) return check(v => !(unscaled(v) < sl), kw, msg)
+            else    return check(v => !(unscaled(v) > sl), kw, msg)
+          }
           val lit = java.math.BigDecimal.valueOf(m.toLongExact)
           if (lt) check(v => !(asBigDec(v).compareTo(lit) < 0), kw, msg)
           else    check(v => !(asBigDec(v).compareTo(lit) > 0), kw, msg)
@@ -522,6 +558,12 @@ object KernelCompiler {
     private def numEquals(dt: DataType, m: BigDecimal, kw: String, msg: String): Ev = {
       if (dt.isInstanceOf[DecimalType]) {
         if (m.isWhole && m.abs <= BigDecimal(Long.MaxValue)) {
+          val s = dt.asInstanceOf[DecimalType].scale
+          val fast = if (isCompact(dt)) scaledLit(m.toLongExact, s) else None
+          if (fast.isDefined) {
+            val sl = fast.get
+            return check(v => unscaled(v) != sl, kw, msg)
+          }
           val lit = java.math.BigDecimal.valueOf(m.toLongExact)
           check(v => asBigDec(v).compareTo(lit) != 0, kw, msg)
         } else {
@@ -548,6 +590,15 @@ object KernelCompiler {
       if (decimals == 0) {
         val lit = m.toLongExact
         if (dt.isInstanceOf[DecimalType]) {
+          val s = dt.asInstanceOf[DecimalType].scale
+          val fast = if (isCompact(dt)) scaledLit(lit, s) else None
+          if (fast.isDefined && fast.get != 0L) {
+            // compact decimal % whole literal on unscaled longs: both
+            // operands share scale s, so remainder-zero ⇔ unscaled
+            // divisibility
+            val sl = fast.get
+            return check(v => unscaled(v) % sl == 0L, "multipleOf", msg)
+          }
           // v1: decimal % bigint literal — exact decimal remainder (covers
           // both scale-0 and fractional-scale decimal columns)
           val litBd = java.math.BigDecimal.valueOf(lit)
@@ -576,7 +627,21 @@ object KernelCompiler {
               else java.math.BigDecimal.valueOf(x)
                 .setScale(scale, java.math.RoundingMode.HALF_UP)
             }
-          case _: DecimalType =>
+          case d: DecimalType =>
+            // compact fast path: when the column's scale fits under the
+            // target scale and re-scaling stays in a long, the HALF_UP
+            // setScale is exact zero-append (u × 10^(scale−s)), the
+            // precision guard holds statically (p−s ≤ 18 ≤ 38−scale),
+            // and equal-scale remainder-zero is unscaled divisibility
+            if (d.precision <= 18 && d.scale <= scale &&
+                d.precision + (scale - d.scale) <= 18 &&
+                mScaled.unscaledValue.bitLength <= 62) {
+              val pow = Pow10(scale - d.scale)
+              val mU = mScaled.unscaledValue.longValueExact
+              if (mU != 0L)
+                return check(v => (unscaled(v) * pow) % mU == 0L,
+                  "multipleOf", msg)
+            }
             // v1's try_cast(col, decimal(38, scale)): round HALF_UP; the
             // precision guard below reproduces the overflow→null→error path
             v => asBigDec(v).setScale(scale, java.math.RoundingMode.HALF_UP)

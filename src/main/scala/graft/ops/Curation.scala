@@ -162,14 +162,12 @@ object Curation {
     // computes it for output, evaluating the multi-regex chain several
     // times per row. Marked non-deterministic, the aliases materialize
     // once and every consumer reads the attribute.
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    def opaque(c: Column): Column =
-      ColumnBridge.column(graft.compile.Opaque(ColumnBridge.expression(c)))
     val redacted = deboiled.withColumn(textCol,
-      opaque(if (cfg.redactPii) TextAnalysis.piiRedact(col(textCol))
-             else col(textCol)))
+      Barrier.opaque(if (cfg.redactPii) TextAnalysis.piiRedact(col(textCol))
+                     else col(textCol)))
     val scored = redacted
-      .withColumn("quality", opaque(TextAnalysis.qualityScore(col(textCol))))
+      .withColumn("quality",
+        Barrier.opaque(TextAnalysis.qualityScore(col(textCol))))
       .where(col("quality") >= cfg.minQuality)
     val ruled =
       if (cfg.gopherRules)
