@@ -1131,8 +1131,14 @@ object OpsQueries {
     Q("q_lm_score",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val model = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
-        LmScore.crossEntropy(docs, "doc_id", "text", model)
+        // tokenize ONCE (eager localCheckpoint): the unigram census, the
+        // bigram census and the scoring pass all read the cached arrays
+        // instead of re-running tokenize+explode from parquet per
+        // consumer — words() is deterministic, so results are identical
+        val w = docs.select(col("doc_id"),
+          TextAnalysis.words(col("text")).as("ws")).localCheckpoint(true)
+        val model = LmScore.trainFromWords(w, "ws", topV = 500, maxBigrams = 2000)
+        LmScore.crossEntropyFromWords(w, "doc_id", "ws", model)
       },
       Some("""WITH w AS (SELECT doc_id,
                 list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> x <> '') AS w
@@ -1180,10 +1186,19 @@ object OpsQueries {
     Q("q_dsir_weights",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val target = LmScore.train(docs.where(col("lang") === "en"),
-          "text", topV = 500, maxBigrams = 2000)
-        val raw = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
-        Dsir.importanceWeights(docs, "doc_id", "text", target, raw)
+        // tokenize ONCE (eager localCheckpoint) and train BOTH models in
+        // one shared census (LmScore.trainDual): the r7 shape re-ran
+        // tokenize+explode from parquet in every one of the five
+        // consumers (two unigram censuses, two bigram censuses, the
+        // scoring join) across ~8 jobs; this shape is 4 jobs — words
+        // materialization, unigram census, bigram census, scoring.
+        // words() is deterministic and trainDual is value-identical to
+        // the two-train formulation: results identical.
+        val w = docs.select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          TextAnalysis.words(col("text")).as("ws")).localCheckpoint(true)
+        val (target, raw) = LmScore.trainDual(w, "ws", "is_t",
+          topV = 500, maxBigrams = 2000)
+        Dsir.importanceWeightsFromWords(w, "doc_id", "ws", target, raw)
           .withColumn("log_weight", round(col("log_weight").cast("double"), 6))
       },
       Some(s"""WITH ${dsirModelCtes("t_", "WHERE lang = 'en'")},
@@ -1202,10 +1217,13 @@ object OpsQueries {
       // cannot hash DECIMAL; round-6 exact so lossless)
       (s, d) => {
         val docs = T(s, d, "documents")
-        val target = LmScore.train(docs.where(col("lang") === "en"),
-          "text", topV = 500, maxBigrams = 2000)
-        val raw = LmScore.train(docs, "text", topV = 500, maxBigrams = 2000)
-        Dsir.resample(docs, "doc_id", "text", target, raw, k = 25, seed = 42L)
+        // tokenize ONCE + one shared dual-model census — the
+        // q_dsir_weights words-sharing/trainDual shape
+        val w = docs.select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          TextAnalysis.words(col("text")).as("ws")).localCheckpoint(true)
+        val (target, raw) = LmScore.trainDual(w, "ws", "is_t",
+          topV = 500, maxBigrams = 2000)
+        Dsir.resampleFromWords(w, "doc_id", "ws", target, raw, k = 25, seed = 42L)
           .withColumn("log_weight", round(col("log_weight").cast("double"), 6))
       },
       Some(s"""WITH ${dsirModelCtes("t_", "WHERE lang = 'en'")},

@@ -45,10 +45,25 @@ object Dsir {
     * interpolation weight applied to both sides. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         target: LmModel, raw: LmModel,
-                        alpha: Double = 1.0): DataFrame = {
+                        alpha: Double = 1.0): DataFrame =
+    importanceWeightsFromWords(
+      df.select(col(idCol), TextAnalysis.words(col(textCol)).as("_graft_ws")),
+      idCol, "_graft_ws", target, raw, alpha)
+
+  /** [[importanceWeights]] over a PRE-TOKENIZED frame (`wsCol`: the
+    * [[TextAnalysis.words]] array) — the words-reuse surface: the DSIR
+    * composition tokenizes its corpus up to five times (two model
+    * unigram censuses, two bigram censuses, one scoring pass) when each
+    * consumer starts from text; callers that materialize the words
+    * frame once (e.g. `localCheckpoint`) and train both models via
+    * [[LmScore.trainFromWords]] on it pay ONE tokenization pass total.
+    * Value-identical to [[importanceWeights]]. */
+  def importanceWeightsFromWords(idWords: DataFrame, idCol: String,
+                                 wsCol: String,
+                                 target: LmModel, raw: LmModel,
+                                 alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, "alpha must be positive")
-    val words = df.select(col(idCol).as("_id"),
-      TextAnalysis.words(col(textCol)).as("ws"))
+    val words = idWords.select(col(idCol).as("_id"), col(wsCol).as("ws"))
     val pairs = words
       .select(col("_id"), posexplode(slice(col("ws"), lit(1),
         greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")), col("ws"))
@@ -82,7 +97,7 @@ object Dsir {
         sum("_lt").as("_st"), sum("_lr").as("_sr"))
       .select(col("_id"), col("n_bigrams"),
         (col("_st") - col("_sr")).cast("decimal(18,6)").as("log_weight"))
-    df.select(col(idCol)).join(perDoc.withColumnRenamed("_id", idCol),
+    idWords.select(col(idCol)).join(perDoc.withColumnRenamed("_id", idCol),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("log_weight"))
@@ -107,12 +122,21 @@ object Dsir {
     * and the rank window runs over the k survivors only. */
   def resample(df: DataFrame, idCol: String, textCol: String,
                target: LmModel, raw: LmModel, k: Int, seed: Long,
-               alpha: Double = 1.0): DataFrame = {
+               alpha: Double = 1.0): DataFrame =
+    resampleFromWords(
+      df.select(col(idCol), TextAnalysis.words(col(textCol)).as("_graft_ws")),
+      idCol, "_graft_ws", target, raw, k, seed, alpha)
+
+  /** [[resample]] over a PRE-TOKENIZED frame — the words-reuse surface
+    * (see [[importanceWeightsFromWords]]). Value-identical. */
+  def resampleFromWords(idWords: DataFrame, idCol: String, wsCol: String,
+                        target: LmModel, raw: LmModel, k: Int, seed: Long,
+                        alpha: Double = 1.0): DataFrame = {
     require(k >= 1, "resample: k must be >= 1")
     val u = (TextAnalysis.fingerprint(
         concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
         .cast("double") + 1.0) / lit(2147483648.0)
-    val keyed = importanceWeights(df, idCol, textCol, target, raw, alpha)
+    val keyed = importanceWeightsFromWords(idWords, idCol, wsCol, target, raw, alpha)
       .where(col("log_weight").isNotNull)
       .withColumn("gumbel_key",
         Rounding.roundAt(col("log_weight").cast("double") - log(-log(u)), 6))

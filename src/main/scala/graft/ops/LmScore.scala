@@ -41,10 +41,24 @@ object LmScore {
     * (count desc, term asc) — a deterministic total order; bigrams keep
     * the top `maxBigrams` pairs over the vocabulary by the same rule. */
   def train(corpus: DataFrame, textCol: String,
-            topV: Int = 65536, maxBigrams: Int = 1 << 20): LmModel = {
+            topV: Int = 65536, maxBigrams: Int = 1 << 20): LmModel =
+    trainFromWords(
+      corpus.select(TextAnalysis.words(col(textCol)).as("ws")), "ws",
+      topV, maxBigrams)
+
+  /** [[train]] over a PRE-TOKENIZED corpus (`wsCol`: the
+    * [[TextAnalysis.words]] array). Value-identical to [[train]] —
+    * words() is deterministic — but lets a caller that feeds several
+    * models and a scoring pass from ONE corpus (the DSIR dual-model
+    * shape) tokenize once, materialize the words frame, and share it:
+    * the unigram census, the bigram census and the scoring join all
+    * read the cached arrays instead of re-running tokenize+explode per
+    * consumer (guide §1.2: don't compute things twice). */
+  def trainFromWords(corpus: DataFrame, wsCol: String,
+                     topV: Int = 65536, maxBigrams: Int = 1 << 20): LmModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val words = corpus.select(TextAnalysis.words(col(textCol)).as("ws"))
+    val words = corpus.select(col(wsCol).as("ws"))
       .where(size(col("ws")) > 0)
     val tokens = words.select(explode(col("ws")).as("term"))
     // ONE tokenize+explode+aggregate pass feeds both the corpus total
@@ -53,17 +67,24 @@ object LmScore {
     // first. The aggregated frame (distinct terms) is persisted for the
     // two bounded follow-up actions, then released.
     val grouped = tokens.groupBy("term").agg(count(lit(1)).as("n")).persist()
-    val total = grouped.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
     // the vocabulary is bounded by topV (≤ 65k rows by default), so it
     // COLLECTS to a local frame instead of persisting the distributed
     // aggregation: no executor-cache lifetime to manage, and the two
     // vocab joins below plus every scoring broadcast read driver-local
     // data (the bigram table stays a lazy distributed frame — persist
-    // model.bi yourself if scoring many batches against one model)
-    val uniRows = grouped
-      .orderBy(col("n").desc, col("term").asc).limit(topV)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // model.bi yourself if scoring many batches against one model).
+    // The corpus total rides the SAME collect as a tagged union row —
+    // one action over the persisted census instead of two (an agg job
+    // plus a top-V job; guide §1.2: fewer passes).
+    val topRows = grouped.orderBy(col("n").desc, col("term").asc).limit(topV)
+      .select(lit(0).as("_tag"), col("term"), col("n"))
+    val totalRow = grouped.agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .select(lit(1).as("_tag"), lit(null).cast("string").as("term"), col("n"))
+    val rows = topRows.unionByName(totalRow).collect()
     grouped.unpersist(false)
+    val uniRows = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    val total = rows.find(_.getInt(0) == 1).map(_.getLong(2)).getOrElse(0L)
     val uni = uniRows.toDF("term", "n")
     val vocabSize = uniRows.length.toLong
     val pairs = words.select(posexplode(slice(col("ws"), lit(1),
@@ -78,14 +99,97 @@ object LmScore {
     LmModel(uni, bi, total, vocabSize)
   }
 
+  /** Train the TARGET and RAW models of the DSIR dual-model shape in
+    * ONE shared census over a pre-tokenized corpus: the target model
+    * trains on the rows where boolean `flagCol` is true, the raw model
+    * on every row — value-identical to two [[trainFromWords]] calls on
+    * the filtered / full frames (per-term target counts are the
+    * conditional counts of the same aggregation; ordering and limits
+    * unchanged), but the whole training costs TWO jobs instead of six:
+    * one unigram census job whose tagged-union collect carries both
+    * top-V vocabularies and both corpus totals, and one bigram census
+    * job whose tagged-union collect carries both capped bigram tables.
+    * The bigram tables come back DRIVER-LOCAL (bounded by `maxBigrams`
+    * — the broadcastability contract; a broadcast join was collecting
+    * them to the driver anyway), so the scoring pass's six broadcast
+    * builds run without cluster jobs. */
+  def trainDual(corpus: DataFrame, wsCol: String, flagCol: String,
+                topV: Int = 65536,
+                maxBigrams: Int = 1 << 20): (LmModel, LmModel) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val words = corpus
+      .select(col(wsCol).as("ws"), col(flagCol).cast("boolean").as("_t"))
+      .where(size(col("ws")) > 0)
+    val tokens = words.select(explode(col("ws")).as("term"), col("_t"))
+    // one census: raw count + conditional target count per term
+    val grouped = tokens.groupBy("term")
+      .agg(count(lit(1)).as("n_r"),
+        count(when(col("_t"), lit(1))).as("n_t")).persist()
+    val rawTop = grouped.orderBy(col("n_r").desc, col("term").asc).limit(topV)
+      .select(lit(0).as("_tag"), col("term"), col("n_r").as("n"))
+    // terms absent from the target slice never enter its census in the
+    // two-train formulation — the n_t > 0 screen reproduces that
+    val tgtTop = grouped.where(col("n_t") > 0)
+      .orderBy(col("n_t").desc, col("term").asc).limit(topV)
+      .select(lit(1).as("_tag"), col("term"), col("n_t").as("n"))
+    val totals = grouped
+      .agg(coalesce(sum("n_r"), lit(0L)).as("r"),
+        coalesce(sum("n_t"), lit(0L)).as("t"))
+    val totalRows =
+      totals.select(lit(2).as("_tag"), lit(null).cast("string").as("term"),
+          col("r").as("n"))
+        .unionByName(totals.select(lit(3).as("_tag"),
+          lit(null).cast("string").as("term"), col("t").as("n")))
+    val rows = rawTop.unionByName(tgtTop).unionByName(totalRows).collect()
+    grouped.unpersist(false)
+    def side(tag: Int) = rows.filter(_.getInt(0) == tag)
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    val (rawUniRows, tgtUniRows) = (side(0), side(1))
+    val totalR = rows.find(_.getInt(0) == 2).map(_.getLong(2)).getOrElse(0L)
+    val totalT = rows.find(_.getInt(0) == 3).map(_.getLong(2)).getOrElse(0L)
+    val rawUni = rawUniRows.toDF("term", "n")
+    val tgtUni = tgtUniRows.toDF("term", "n")
+
+    val pairs = words.select(posexplode(slice(col("ws"), lit(1),
+        greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")),
+        col("ws"), col("_t"))
+      .select(col("w1"), element_at(col("ws"), col("i") + 2).as("w2"), col("_t"))
+    def biOf(uni: DataFrame, onlyTarget: Boolean, tag: Int) = {
+      val base = if (onlyTarget) pairs.where(col("_t")) else pairs
+      base
+        .join(broadcast(uni.select(col("term").as("w1"))), Seq("w1"))
+        .join(broadcast(uni.select(col("term").as("w2"))), Seq("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1").asc, col("w2").asc).limit(maxBigrams)
+        .select(lit(tag).as("_tag"), col("w1"), col("w2"), col("n"))
+    }
+    val biRows = biOf(rawUni, onlyTarget = false, tag = 0)
+      .unionByName(biOf(tgtUni, onlyTarget = true, tag = 1)).collect()
+    def biSide(tag: Int) = biRows.filter(_.getInt(0) == tag)
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .toDF("w1", "w2", "n")
+    (LmModel(tgtUni, biSide(1), totalT, tgtUniRows.length.toLong),
+     LmModel(rawUni, biSide(0), totalR, rawUniRows.length.toLong))
+  }
+
   /** Per-document cross-entropy against the model:
     * (idCol, n_bigrams, cross_entropy) — documents with fewer than two
     * words score NULL (no bigrams to judge). Lower is more fluent. */
   def crossEntropy(df: DataFrame, idCol: String, textCol: String,
-                   model: LmModel, alpha: Double = 1.0): DataFrame = {
+                   model: LmModel, alpha: Double = 1.0): DataFrame =
+    crossEntropyFromWords(
+      df.select(col(idCol), TextAnalysis.words(col(textCol)).as("_graft_ws")),
+      idCol, "_graft_ws", model, alpha)
+
+  /** [[crossEntropy]] over a PRE-TOKENIZED frame (`wsCol`: the
+    * [[TextAnalysis.words]] array) — the words-reuse surface (see
+    * [[trainFromWords]]). Row set and values identical to
+    * [[crossEntropy]] on the text the words came from. */
+  def crossEntropyFromWords(idWords: DataFrame, idCol: String, wsCol: String,
+                            model: LmModel, alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, "alpha must be positive")
-    val words = df.select(col(idCol).as("_id"),
-      TextAnalysis.words(col(textCol)).as("ws"))
+    val words = idWords.select(col(idCol).as("_id"), col(wsCol).as("ws"))
     val pairs = words
       .select(col("_id"), posexplode(slice(col("ws"), lit(1),
         greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")), col("ws"))
@@ -111,7 +215,7 @@ object LmScore {
         Rounding.roundAt(-col("_sum").cast("double") / col("n_bigrams"), 6)
           .as("cross_entropy"))
     // keep zero-bigram docs (NULL score) — a filter should see them
-    df.select(col(idCol)).join(perDoc.withColumnRenamed("_id", idCol),
+    idWords.select(col(idCol)).join(perDoc.withColumnRenamed("_id", idCol),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("cross_entropy"))

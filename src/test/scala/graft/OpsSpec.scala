@@ -1170,6 +1170,38 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("dsir: trainDual is value-identical to two separate trains") {
+    import graft.ops.{Dsir, LmScore, TextAnalysis}
+    val pool = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "zz qq xx ww yy vv the cat", "xx"),
+      (3L, "the cat sat somewhere else", "en"),
+      (4L, "single", "en"),
+      (5L, null.asInstanceOf[String], "xx"),
+      (6L, "le chat et le chien et le chat", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val tmRef = LmScore.train(pool.where(col("lang") === "en"), "text",
+      topV = 5, maxBigrams = 7)
+    val rmRef = LmScore.train(pool, "text", topV = 5, maxBigrams = 7)
+    val w = pool.select(col("doc_id"), (col("lang") === "en").as("is_t"),
+      TextAnalysis.words(col("text")).as("ws"))
+    val (tm, rm) = LmScore.trainDual(w, "ws", "is_t", topV = 5, maxBigrams = 7)
+    def uniSet(m: LmScore.LmModel) =
+      m.uni.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def biSet(m: LmScore.LmModel) =
+      m.bi.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(uniSet(tm) == uniSet(tmRef) && uniSet(rm) == uniSet(rmRef))
+    assert(biSet(tm) == biSet(tmRef) && biSet(rm) == biSet(rmRef))
+    assert(tm.totalTokens == tmRef.totalTokens && rm.totalTokens == rmRef.totalTokens)
+    assert(tm.vocabSize == tmRef.vocabSize && rm.vocabSize == rmRef.vocabSize)
+    // and the full scored output agrees bit-for-bit
+    val ref = Dsir.importanceWeights(pool, "doc_id", "text", tmRef, rmRef)
+      .collect().map(_.toSeq).toSet
+    val got = Dsir.importanceWeightsFromWords(w, "doc_id", "ws", tm, rm)
+      .collect().map(_.toSeq).toSet
+    assert(got == ref)
+  }
+
   test("nbClassifier: exact census, reference-scored parity, edges") {
     import graft.ops.QualityClassifier
     import graft.compile.NbKernels
