@@ -14,6 +14,33 @@ object QueryUtil {
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[T]] with guaranteed scan parallelism for kernel-heavy per-row
+    * work: the sf tables are ONE parquet file with ONE row group, which
+    * Spark cannot split below a single task no matter the split config
+    * (a row group is the atomic read unit) — the guide-§2.5 "huge
+    * unsplittable file" input-skew case, whose remedy is repartitioning
+    * immediately after the read. Gated on actual under-splitting AND a
+    * size floor, so a small table (or a properly laid-out production
+    * table that already reads as ≥ defaultParallelism splits) never
+    * pays the exchange; column pruning and filter pushdown pass through
+    * a Repartition node, so the shuffle carries only the columns the
+    * query reads. Row-set results are partitioning-independent
+    * throughout this library (the oracle-restatability invariant), so
+    * the spread never changes what a query computes. */
+  def Tspread(spark: SparkSession, dir: String, name: String,
+              keys: Seq[String]): DataFrame = {
+    val df = T(spark, dir, name)
+    val want = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= (2L << 20) && df.rdd.getNumPartitions < want)
+      // hash exchange on the table's natural key: no round-robin
+      // pre-sort (SPARK-23207) and deterministic row→partition
+      // assignment under task retries (the guide-§2.5 rand()-key
+      // hazard); the key is unique per row, so the spread is even
+      df.repartition(want, keys.map(col): _*)
+    else df
+  }
+
   /** greedy validator with standard outputs: valid + violation count. */
   def validate(df: DataFrame, spec: String,
                keyCols: Seq[String]): DataFrame = {
@@ -89,7 +116,7 @@ object ValidationQueries {
              FROM lineitem""")),
 
     Q("q_multiple_of",
-      (s, d) => validate(T(s, d, "orders"),
+      (s, d) => validate(Tspread(s, d, "orders", Seq("o_orderkey")),
         """{"properties":{"o_totalprice":{"multipleOf":0.25},
                           "o_orderkey":{"multipleOf":3}}}""",
         Seq("o_orderkey")),
@@ -104,7 +131,7 @@ object ValidationQueries {
     // 89th order key
     Q("q_items_bounds",
       (s, d) => {
-        val df = T(s, d, "lineitem").select(
+        val df = Tspread(s, d, "lineitem", Seq("l_orderkey", "l_linenumber")).select(
           col("l_orderkey"), col("l_linenumber"),
           transform(sequence(lit(0), pmod(col("l_linenumber"), lit(4)) + 1),
             i => (pmod(col("l_orderkey") * 31 + i * 17, lit(100)) -
@@ -131,7 +158,7 @@ object ValidationQueries {
 
     Q("q_unique_items",
       (s, d) => {
-        val df = T(s, d, "lineitem").select(
+        val df = Tspread(s, d, "lineitem", Seq("l_orderkey", "l_linenumber")).select(
           col("l_orderkey"), col("l_linenumber"),
           transform(sequence(lit(0), lit(3)),
             i => when(pmod(col("l_orderkey"), lit(13)) === 0, i * 0)
@@ -495,7 +522,7 @@ object ValidationQueries {
     // test on a scale-2 decimal.
     Q("q_decimal_bounds",
       (s, d) => {
-        val df = T(s, d, "lineitem").select(
+        val df = Tspread(s, d, "lineitem", Seq("l_orderkey", "l_linenumber")).select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").cast("decimal(12,2)").as("price"),
           (col("l_quantity") +

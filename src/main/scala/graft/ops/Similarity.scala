@@ -664,21 +664,56 @@ object Similarity {
     df.select(col(idCol), pqEncodeCol(col(vecCol), dim, codebooks).as("pcode"))
 
   /** Train per-subspace PQ codebooks: `iters` distributed Lloyd steps
-    * ([[refineCentroids]]) over each subspace's `slice` of the corpus,
-    * starting from the given seeds (driver-sampled rows' subvectors, the
-    * [[trainCentroids]] discipline). m × iters jobs; each collects only
-    * the bounded codes×subDim refinement table — nothing corpus-sized
-    * reaches the driver. */
+    * over the corpus, starting from the given seeds (driver-sampled
+    * rows' subvectors, the [[trainCentroids]] discipline). ONE corpus
+    * pass per iteration refines ALL m subspaces (the r7 shape ran one
+    * [[refineCentroids]] job — a full corpus scan — per subspace, m ×
+    * iters scans total): each row explodes to its m (s, subvector)
+    * slices, each slice assigns to its own subspace's nearest code (a
+    * per-subspace [[nearestCells]] kernel dispatched on s — centroid
+    * literals stay per-branch, everything codegen), and one partial-agg
+    * exchange carries (s, cell, j, decimal sum, count) — ≤ m × codes ×
+    * subDim rows to the driver, nothing corpus-sized. Per-(s, cell, j)
+    * arithmetic is exactly [[refineCentroidsDf]]'s (same assignment
+    * rule, same order-independent decimal sums), so the trained
+    * codebooks are bit-identical to the per-subspace formulation
+    * (pinned by SimilaritySpec's fused-parity test). */
   def trainPqCodebooks(df: DataFrame, vecCol: String, dim: Int,
                        seeds: Seq[Seq[Seq[Double]]],
                        iters: Int = 1): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
     val m = pqValidate(dim, seeds)
     val subDim = dim / m
-    (0 until m).map { s =>
-      refineCentroids(
-        df.select(slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
-        "_sub", subDim, seeds(s), iters)
+    var cur: Array[Array[Array[Double]]] =
+      seeds.map(_.map(_.toArray).toArray).toArray
+    (0 until iters).foreach { _ =>
+      val cbs = cur.map(_.map(_.toSeq).toSeq).toSeq
+      val subs = df.select(posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * subDim + 1, subDim)): _*)).as(Seq("s", "v")))
+      val cellCol = (1 until m).foldLeft(
+        when(col("s") === 0,
+          element_at(nearestCells(col("v"), cbs(0), 1), 1))) { (acc, s) =>
+        acc.when(col("s") === s,
+          element_at(nearestCells(col("v"), cbs(s), 1), 1))
+      }
+      val refined = subs.select(col("s"), cellCol.as("cell"), col("v"))
+        .where(col("cell").isNotNull)
+        .select(col("s"), col("cell"), posexplode(col("v")).as(Seq("_j0", "x")))
+        .groupBy(col("s"), col("cell"), (col("_j0") + 1).cast("int").as("j"))
+        .agg(sum(Rounding.roundAt(col("x").cast("double"), 6)
+            .cast("decimal(38,6)")).as("_s"),
+          count(lit(1)).as("n"))
+        .select(col("s"), col("cell"), col("j"),
+          Rounding.roundAt(col("_s").cast("double") / col("n"), 6).as("c"))
+        .collect()
+      val next = cur.map(_.map(_.clone()))
+      refined.foreach { r =>
+        next(r.getInt(0))(r.getAs[Long]("cell").toInt)(r.getInt(2) - 1) =
+          r.getDouble(3)
+      }
+      cur = next
     }
+    cur.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /** PQ ANN top-k via asymmetric distance computation (ADC) with exact

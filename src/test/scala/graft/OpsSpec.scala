@@ -405,6 +405,29 @@ class OpsSpec extends SparkSpec {
     assert(trained(1)(0) == Seq(-5.0, 0.0) && trained(1)(1) == Seq(5.0, 0.0))
   }
 
+  test("trainPqCodebooks: fused single-pass equals per-subspace refineCentroids") {
+    // irregular clusters + a degenerate row (NULL vec) + a short vec:
+    // the fused one-pass refinement must reproduce the per-subspace
+    // refineCentroids loop bit-for-bit, including exclusion rules
+    val rows: Seq[(Long, Array[Float])] = Seq.tabulate(17) { i =>
+      (i.toLong, Array.tabulate(6)(j => (i * 7 % 5) + 0.25f * j * (i % 3)))
+    } ++ Seq((100L, null.asInstanceOf[Array[Float]]),
+             (101L, Array(1f, 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = Seq(
+      Seq(Seq(0.0, 0.0, 0.0), Seq(3.0, 3.0, 3.0), Seq(5.0, 1.0, 2.0)),
+      Seq(Seq(1.0, 1.0, 1.0), Seq(4.0, 2.0, 0.0), Seq(0.0, 5.0, 5.0)))
+    val fused = Similarity.trainPqCodebooks(df, "embedding", 6, seeds, iters = 2)
+    // reference: the pre-fusion formulation — one refineCentroids run
+    // per subspace over that subspace's slice
+    val ref = (0 until 2).map { s =>
+      Similarity.refineCentroids(
+        df.select(slice(col("embedding"), s * 3 + 1, 3).as("_sub")),
+        "_sub", 3, seeds(s), iters = 2)
+    }
+    assert(fused == ref, s"fused=$fused ref=$ref")
+  }
+
   test("pqTopK: full rerank equals brute force; bounded rerank is sound") {
     val queries = vecs.where(col("vec_id") < 5)
     // rerank >= corpus-1: every pair reaches the exact re-rank, so the
