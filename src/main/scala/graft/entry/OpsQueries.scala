@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
 object OpsQueries {
   import QueryUtil._
 
+  /** The documents table with guaranteed scan parallelism — for queries
+    * whose per-row TEXT work (multi-regex chains, tokenizer/shingle/
+    * winnow kernels, BPE encode, LM scoring) dwarfs one exchange of the
+    * rows: the sf tables are one parquet file with one row group, which
+    * cannot split below a single task (guide §2.5 unsplittable input),
+    * so without the spread the whole kernel chain runs one-core. Cheap
+    * scans keep plain [[QueryUtil.T]]; see [[QueryUtil.Tspread]]. */
+  private def Tdocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tspread(s, d, "documents", Seq("doc_id"), minBytes = 0L)
+
   // shared DuckDB fragment: word list of an arbitrary string expression
   // (mirrors TextAnalysis.words)
   private def duckWordsOf(e: String): String =
@@ -3364,7 +3374,7 @@ object OpsQueries {
     // space; the gid is the 62-bit two-polynomial hash (SimHash's
     // portable combination) so occurrence-scale corpora don't birthday
     Q("q_dup_spans",
-      (s, d) => Dedup.duplicateSpans(T(s, d, "documents"),
+      (s, d) => Dedup.duplicateSpans(Tdocs(s, d),
         "doc_id", "text", windowWords = 8, minDocs = 2),
       Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
                wins AS (SELECT doc_id, i AS pos,
@@ -3379,7 +3389,7 @@ object OpsQueries {
     // the Lee-et-al-style transform built on the same span frame: cut
     // every word covered by a shared 8-gram, keep untouched docs verbatim
     Q("q_span_removal",
-      (s, d) => Dedup.removeSharedSpans(T(s, d, "documents"),
+      (s, d) => Dedup.removeSharedSpans(Tdocs(s, d),
         "doc_id", "text", windowWords = 8, minDocs = 2),
       Some(s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
                wins AS (SELECT doc_id, i AS pos,
@@ -3779,7 +3789,7 @@ object OpsQueries {
     // elimination), ids_align (one id per token)
     Q("q_bpe_tokenize",
       (s, d) => {
-        val docs = T(s, d, "documents")
+        val docs = Tdocs(s, d)
         val model = Bpe.train(docs, "text", numMerges = 200, sampleRows = 2000)
         val t = coalesce(col("text"), lit(""))
         val toks = Bpe.encode(col("text"), model)

@@ -28,11 +28,11 @@ object QueryUtil {
     * throughout this library (the oracle-restatability invariant), so
     * the spread never changes what a query computes. */
   def Tspread(spark: SparkSession, dir: String, name: String,
-              keys: Seq[String]): DataFrame = {
+              keys: Seq[String], minBytes: Long = 2L << 20): DataFrame = {
     val df = T(spark, dir, name)
     val want = spark.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= (2L << 20) && df.rdd.getNumPartitions < want)
+    if (bytes >= minBytes && df.rdd.getNumPartitions < want)
       // hash exchange on the table's natural key: no round-robin
       // pre-sort (SPARK-23207) and deterministic row→partition
       // assignment under task retries (the guide-§2.5 rand()-key

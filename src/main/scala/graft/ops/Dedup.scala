@@ -833,7 +833,17 @@ object Dedup {
                              shingleN: Int = 3): DataFrame = {
     val t = df.select(col(idCol).as("id"), blockCol.as("block"),
       shingles(col(textCol), shingleN).as("sh"))
-    val a = t.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    // the block join broadcasts one side, so every stream row pays
+    // O(block) set intersections in the pushed join condition — an
+    // under-split stream side (one unsplittable input file) serializes
+    // the whole O(block²) verification into a single task (guide §2.5).
+    // Spread the stream side up to the default parallelism, hash-keyed
+    // on the id (deterministic under retries, no round-robin pre-sort);
+    // a well-split input is untouched.
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (t.rdd.getNumPartitions < want)
+      t.repartition(want, col("id")) else t
+    val a = spread.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = t.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     verifyJaccard(a.join(b, Seq("block")).where(col("id_a") < col("id_b")), threshold)
   }
