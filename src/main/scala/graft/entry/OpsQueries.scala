@@ -1141,12 +1141,13 @@ object OpsQueries {
     Q("q_lm_score",
       (s, d) => {
         val docs = T(s, d, "documents")
-        // tokenize ONCE (eager localCheckpoint): the unigram census, the
-        // bigram census and the scoring pass all read the cached arrays
+        // tokenize ONCE (lazy persist — the train census job fills the
+        // cache, no dedicated materialization job): the unigram census,
+        // the bigram census and the scoring pass all read the cached arrays
         // instead of re-running tokenize+explode from parquet per
         // consumer — words() is deterministic, so results are identical
         val w = docs.select(col("doc_id"),
-          TextAnalysis.words(col("text")).as("ws")).localCheckpoint(true)
+          TextAnalysis.words(col("text")).as("ws")).persist()
         val model = LmScore.trainFromWords(w, "ws", topV = 500, maxBigrams = 2000)
         LmScore.crossEntropyFromWords(w, "doc_id", "ws", model)
       },
@@ -1196,16 +1197,17 @@ object OpsQueries {
     Q("q_dsir_weights",
       (s, d) => {
         val docs = T(s, d, "documents")
-        // tokenize ONCE (eager localCheckpoint) and train BOTH models in
+        // tokenize ONCE (lazy persist — trainDual's census job fills the
+        // cache) and train BOTH models in
         // one shared census (LmScore.trainDual): the r7 shape re-ran
         // tokenize+explode from parquet in every one of the five
         // consumers (two unigram censuses, two bigram censuses, the
-        // scoring join) across ~8 jobs; this shape is 4 jobs — words
-        // materialization, unigram census, bigram census, scoring.
+        // scoring join) across ~8 jobs; this shape is 3 — unigram census
+        // (which also fills the words cache), bigram census, scoring.
         // words() is deterministic and trainDual is value-identical to
         // the two-train formulation: results identical.
         val w = docs.select(col("doc_id"), (col("lang") === "en").as("is_t"),
-          TextAnalysis.words(col("text")).as("ws")).localCheckpoint(true)
+          TextAnalysis.words(col("text")).as("ws")).persist()
         val (target, raw) = LmScore.trainDual(w, "ws", "is_t",
           topV = 500, maxBigrams = 2000)
         Dsir.importanceWeightsFromWords(w, "doc_id", "ws", target, raw)
@@ -1227,10 +1229,10 @@ object OpsQueries {
       // cannot hash DECIMAL; round-6 exact so lossless)
       (s, d) => {
         val docs = T(s, d, "documents")
-        // tokenize ONCE + one shared dual-model census — the
-        // q_dsir_weights words-sharing/trainDual shape
+        // tokenize ONCE (lazy persist) + one shared dual-model census —
+        // the q_dsir_weights words-sharing/trainDual shape
         val w = docs.select(col("doc_id"), (col("lang") === "en").as("is_t"),
-          TextAnalysis.words(col("text")).as("ws")).localCheckpoint(true)
+          TextAnalysis.words(col("text")).as("ws")).persist()
         val (target, raw) = LmScore.trainDual(w, "ws", "is_t",
           topV = 500, maxBigrams = 2000)
         Dsir.resampleFromWords(w, "doc_id", "ws", target, raw, k = 25, seed = 42L)

@@ -222,8 +222,11 @@ object Curation {
         val hits = Dedup.crossCorpusDuplicates(cached, ref, idCol, textCol,
           cfg.nearDedupThreshold, cfg.crossShingleN, cfg.crossBands,
           cfg.crossRowsPerBand, shingleId = cfg.crossShingleId)
+        // the drop-id set is a pure function of the (checkpointed) pair
+        // frame and the (checkpointed) chain — the broadcast build
+        // evaluates it directly from those blocks, so an intermediate
+        // localCheckpoint here was one whole extra job for nothing
         val dropIds0 = hits.select(col("new_id").as(idCol)).distinct()
-          .localCheckpoint(true)
         val dropIds = if (cfg.broadcastDrops) broadcast(dropIds0) else dropIds0
         cached.join(dropIds, Seq(idCol), "left_anti")
       case None => nearDeduped

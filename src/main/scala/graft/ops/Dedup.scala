@@ -499,6 +499,32 @@ object Dedup {
                            keys: Seq[String], maxBucket: Int): DataFrame =
     if (anyHot) capBuckets(bucketed, keys, maxBucket) else bucketed
 
+  /** [[adjudicateHotBuckets]] for BOTH sides of a cross join in ONE
+    * tagged-union action (one job materializes both persisted banded
+    * frames and both censuses instead of two). Same logging, same
+    * verdicts. */
+  private def adjudicateHotBucketsPair(op: String,
+                                       a: DataFrame, b: DataFrame,
+                                       keys: Seq[String],
+                                       maxBucket: Int): (Boolean, Boolean) =
+    if (maxBucket == Int.MaxValue) (false, false)
+    else {
+      def census(df: DataFrame, side: Int) =
+        oversizedBuckets(df, keys, maxBucket)
+          .agg(count(lit(1)).as("k"), coalesce(sum("n"), lit(0L)).as("m"))
+          .select(lit(side).as("_side"), col("k"), col("m"))
+      val rows = census(a, 0).unionByName(census(b, 1)).collect()
+      def verdict(side: Int, tag: String): Boolean = {
+        val r = rows.find(_.getInt(0) == side).get
+        if (r.getLong(1) > 0)
+          log.warn(s"$op($tag): dropped ${r.getLong(1)} hot buckets " +
+            s"(${r.getLong(2)} member rows) from the pair join; " +
+            "route them via exactDuplicates")
+        r.getLong(1) > 0
+      }
+      (verdict(0, "new"), verdict(1, "ref"))
+    }
+
   /** Bucket self-join: only docs agreeing on a full band collide; output
     * is the deduped (id_a, id_b) candidate list — no shingles, no
     * signatures cross this shuffle. Buckets above `maxBucket` are dropped
@@ -549,10 +575,10 @@ object Dedup {
       bandedBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand, seed, shingleId)
     val pairs = if (materializePairs) {
       val bn = banded(newDf).persist(); val br = banded(refDf).persist()
-      val hotN = adjudicateHotBuckets("crossCorpusDuplicates(new)", bn,
-        Seq("band", "bucket"), maxBucket)
-      val hotR = adjudicateHotBuckets("crossCorpusDuplicates(ref)", br,
-        Seq("band", "bucket"), maxBucket)
+      // one tagged-union census job adjudicates BOTH sides (and fills
+      // both caches) — the r7 shape ran one census job per side
+      val (hotN, hotR) = adjudicateHotBucketsPair("crossCorpusDuplicates",
+        bn, br, Seq("band", "bucket"), maxBucket)
       val p = crossBandPairs(bn, br, maxBucket, Some(hotN), Some(hotR))
         .localCheckpoint(true)
       bn.unpersist(false); br.unpersist(false)
