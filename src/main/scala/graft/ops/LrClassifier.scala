@@ -117,12 +117,11 @@ object LrClassifier {
         labelCol.cast("boolean").as("_y"))
       .where(col("_y").isNotNull)
       .persist()
-    val n = labeled.count()
-    require(n > 0, "lr train: no labeled rows")
 
+    var n = 0L
     var bias = 0L
     var w = new Array[Long](buckets)
-    (0 until iters).foreach { _ =>
+    (0 until iters).foreach { it =>
       val zc = scoreRaw(col("_t"), Model(buckets, mult, iters, lr, bias, w))
       // residual r = σ(z) - y, exact at 6 decimals; the sentinel bucket
       // -1 rides every doc's distinct-bucket list so the bias gradient
@@ -134,7 +133,7 @@ object LrClassifier {
       // generator in the same select re-evaluates sibling expressions
       // per EMITTED row, turning the per-doc sigmoid+kernel into a
       // per-bucket-element one (~200× at web doc sizes — r6 diag)
-      val grads = labeled
+      val gradsDf = labeled
         .select(
           (probOf(zc.getField("zmicro")) -
             when(col("_y"), lit(1.0)).otherwise(lit(0.0)))
@@ -143,16 +142,32 @@ object LrClassifier {
             coalesce(map_keys(feats), array())).as("_bs"))
         .select(col("_r"), explode(col("_bs")).as("_b"))
         .groupBy("_b").agg(sum("_r").as("_g"))
-        .collect() // bounded: ≤ buckets + 1 rows
+      // the labeled-row count rides the FIRST iteration's collect as a
+      // tagged union row (sentinel bucket -2) instead of a dedicated
+      // count() job — the driver update needs n only after the
+      // gradients are in hand, and later iterations reuse it
+      val grads = (if (it == 0)
+          gradsDf.unionByName(labeled
+            .agg(count(lit(1)).cast("decimal(38,6)").as("_g"))
+            .select(lit(-2).as("_b"), col("_g")))
+        else gradsDf)
+        .collect() // bounded: ≤ buckets + 2 rows
+      if (it == 0) {
+        n = grads.find(_.getInt(0) == -2)
+          .map(_.getDecimal(1).longValue()).getOrElse(0L)
+        require(n > 0, "lr train: no labeled rows")
+      }
       val next = w.clone()
       grads.foreach { row =>
         val b = row.getInt(0)
-        val g = row.getDecimal(1).doubleValue()
-        // floor half-up in micro-units: every factor is one correctly-
-        // rounded IEEE op (g/N exact-rounded, lr a power of two, 1e6
-        // exact), so the update replays bit-identically in SQL
-        val step = math.floor(lr * (g / n) * 1000000.0 + 0.5).toLong
-        if (b == -1) bias -= step else next(b) = next(b) - step
+        if (b != -2) {
+          val g = row.getDecimal(1).doubleValue()
+          // floor half-up in micro-units: every factor is one correctly-
+          // rounded IEEE op (g/N exact-rounded, lr a power of two, 1e6
+          // exact), so the update replays bit-identically in SQL
+          val step = math.floor(lr * (g / n) * 1000000.0 + 0.5).toLong
+          if (b == -1) bias -= step else next(b) = next(b) - step
+        }
       }
       w = next
     }

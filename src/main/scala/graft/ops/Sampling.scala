@@ -376,9 +376,17 @@ object Sampling {
     val withCell = df.withColumn("_sc", score).withColumn("_cell", cell)
     val census0 = withCell.groupBy("_cell").agg(count(lit(1)).as("_n"))
       .persist() // bounded frame: read for n, hot set, starts; then released
-    val n = census0.agg(sum("_n")).head().getLong(0)
-    val hotCells = census0.where(col("_n") > hotCellRows)
-      .select("_cell").collect().map(_.getLong(0))
+    // one tagged-union collect carries the row total AND the hot-cell
+    // set (the census cache fills in the same job) — the r7 shape ran
+    // a dedicated agg job for each
+    val info = census0
+      .agg(coalesce(sum("_n"), lit(0L)).as("_v"))
+      .select(lit(0).as("_tag"), lit(0L).as("_cell"), col("_v"))
+      .unionByName(census0.where(col("_n") > hotCellRows)
+        .select(lit(1).as("_tag"), col("_cell"), lit(0L).as("_v")))
+      .collect()
+    val n = info.find(_.getInt(0) == 0).map(_.getLong(2)).getOrElse(0L)
+    val hotCells = info.filter(_.getInt(0) == 1).map(_.getLong(1))
     require(hotCells.length <= 64,
       s"rankBuckets: ${hotCells.length} cells exceed $hotCellRows rows — " +
         "the grid is too coarse for this score; raise cellsPerUnit")
