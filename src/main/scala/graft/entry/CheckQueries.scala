@@ -170,7 +170,7 @@ object CheckQueries {
     // comparator sorts with pandas, which cannot sort list-typed cells
     Q("q_stats_quantiles",
       (s, d) => {
-        val df = T(s, d, "orders").withColumn("part",
+        val df = Tspread(s, d, "orders", Seq("o_orderkey")).withColumn("part",
           pmod(col("o_orderkey"), lit(4)).cast("int"))
         df.groupBy("part").agg(
           Rounding.roundAt(expr("percentile(o_totalprice, 0.25D)"), 2).as("price_q25"),

@@ -1714,7 +1714,7 @@ object OpsQueries {
         val payload = when(pmod(id, lit(5)) === 4,
           encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(gif)
         val st = Multimodal.gifFrameStats(payload, 1)
-        T(s, d, "documents")
+        Tdocs(s, d)
           .select(id, Multimodal.gifFrameCount(payload).as("n_frames"),
             st.as("st"))
           .select(id, col("n_frames"),
@@ -1772,7 +1772,7 @@ object OpsQueries {
         val payload = when(pmod(id, lit(5)) === 4,
           encode(coalesce(col("text"), lit("x")), "UTF-8")).otherwise(gif)
         val st = Multimodal.gifStats(payload)
-        T(s, d, "documents").select(id, st.as("st"))
+        Tdocs(s, d).select(id, st.as("st"))
           .select(id,
             col("st.width").as("width"), col("st.height").as("height"),
             col("st.n_px").as("n_px"), col("st.sum_r").as("sum_r"),
@@ -2612,7 +2612,7 @@ object OpsQueries {
       // reasons is an ARRAY internally; the gate surface serializes it
       // ('|' join, order fixed by the rule list) because the driver's
       // comparer cannot sort array cells
-      (s, d) => TextAnalysis.gopherFilter(T(s, d, "documents"), "text")
+      (s, d) => TextAnalysis.gopherFilter(Tdocs(s, d), "text")
         .select(col("doc_id"), col("word_count"),
           array_join(col("reasons"), "|").as("reasons"), col("keep")),
       Some {
@@ -2681,7 +2681,7 @@ object OpsQueries {
             concat(lit(" call 555-01"), pmod(id, lit(10)), lit("-"),
               lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
           .otherwise(lit(""))
-        T(s, d, "documents")
+        Tdocs(s, d)
           .select(id, concat(col("text"), suffix).as("_t"))
           .select(col("doc_id"),
             TextAnalysis.piiCounts(col("_t")).as("c"),
